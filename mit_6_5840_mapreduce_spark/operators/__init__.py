@@ -1,0 +1,41 @@
+"""Query library. Each module exposes:
+
+- ``QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]]``
+- ``ORACLES: dict[str, str]`` — DuckDB-ANSI SQL computing the same result
+  on the same parquet tables (omitted for non-SQL-expressible ops).
+
+``registry()`` merges all modules for ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
+                        dict[str, str]]:
+    from mit_6_5840_mapreduce_spark.operators import (
+        dedup,
+        events,
+        mrqueries,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+    )
+    modules = (mrqueries, relational, events, dedup, similarity, textstats,
+               multimodal)
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for m in modules:
+        overlap = set(m.QUERIES) & set(queries)
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        queries.update(m.QUERIES)
+        oracles.update(m.ORACLES)
+    unknown = set(oracles) - set(queries)
+    if unknown:
+        raise ValueError(f"oracles without queries: {unknown}")
+    return queries, oracles

@@ -1,0 +1,366 @@
+"""Deduplication operators over the ``documents`` table — the LLM-pipeline
+extension surface (BASELINE.json north star; nothing in the reference
+implements these).
+
+Four families, all expressed with cross-engine-deterministic hashing
+(md5-derived integers, functions/hashing.py) so the DuckDB oracle verifies
+VALUES, not just row counts:
+
+- exact dedup           : content-hash groupBy
+- n-gram Jaccard        : word-3-gram shingle sets, exact similarity join
+- MinHash + LSH banding : 16 multiply-mod permutations, 4 bands x 4 rows
+- SimHash               : 32-bit sketch + banded Hamming<=3 pair search
+
+Scale design (100 TB):
+- shingle join (ngram_jaccard) is an inverted-index join: shuffle keyed by
+  shingle. Hot shingles (stopword runs) explode pair counts — at scale,
+  drop shingles with doc-frequency above a cap before the join (standard
+  trick; the cap is a correctness-neutral candidate filter only when
+  paired with LSH, so here it stays exact and we document the knob).
+- MinHash banding IS the scale path: candidate pairs come from equi-joins
+  on (band, band_hash) buckets, never a cross join.
+- SimHash banding (4 x 8-bit bands) is exact for Hamming<=3 by pigeonhole:
+  any pair differing in <=3 bits agrees on >=1 whole band.
+- exact dedup shuffles on a 128-bit content hash — uniformly distributed,
+  no skew by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from mit_6_5840_mapreduce_spark.functions.numeric import floor4
+from mit_6_5840_mapreduce_spark.functions.text import TOKEN_SPLIT_RE, tokenize
+from mit_6_5840_mapreduce_spark.sources.tables import load_table
+
+# ---- MinHash parameters (shared with the oracle SQL) --------------------
+MINHASH_P = 2147483647          # 2^31 - 1, prime
+N_PERMS = 16
+BAND_ROWS = 4                   # 4 bands x 4 rows
+PERMS = [(1000003 + 7919 * i, 12345 + 104729 * i) for i in range(N_PERMS)]
+
+NGRAM_N = 3
+MIN_JACCARD = 0.1
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3         # exact under 4-band pigeonhole
+
+
+def _shingles(text: Column) -> Column:
+    """Word 3-gram shingles (space-joined), [] when the doc is too short."""
+    t = tokenize(text)
+    return F.when(
+        F.size(t) >= NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (NGRAM_N - 1)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1),
+                F.element_at(t, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+        .distinct()
+    )
+
+
+_DUCK_SHINGLES = rf"""
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= {NGRAM_N}
+                          THEN list_transform(
+                                   range(1, len(toks) - {NGRAM_N - 2}),
+                                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                          ELSE [] END) AS shingle
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
+                                     t -> t <> '') AS toks
+                  FROM documents)
+        )
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by md5(text); keep lowest doc_id as survivor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count("*").alias("n_copies"))
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity join (pairs >= MIN_JACCARD).
+
+    Inverted-index join on shingle -> per-pair intersection counts ->
+    Jaccard from per-doc set sizes. One shuffle keyed by shingle, one by
+    pair; never a cross join.
+    """
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            floor4(F.col("n_common")
+                   / (F.col("na") + F.col("nb") - F.col("n_common"))))
+        .where(F.col("jaccard") >= MIN_JACCARD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, perm_i, sig): MinHash signature entries."""
+    sh = _doc_shingles(spark, sf_dir)
+    h = (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+         .cast("bigint") % MINHASH_P).alias("h")
+    perms = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(PERMS)], "perm_i INT, a BIGINT, b BIGINT")
+    return (
+        sh.select("doc_id", h)
+        .join(broadcast(perms))
+        .groupBy("doc_id", "perm_i")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MINHASH_P)
+             .alias("sig"))
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature as an ordered comma-joined string."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    return (
+        sigs.groupBy("doc_id")
+        .agg(F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("perm_i", "sig"))),
+                lambda s: s["sig"].cast("string"))).alias("signature"))
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with estimated Jaccard.
+
+    Bands of BAND_ROWS rows each hash to a bucket key; candidate pairs are
+    docs sharing any bucket (equi-join — the 100 TB-safe path), then each
+    pair's full 16-slot signature agreement estimates Jaccard.
+    """
+    sigs = _minhash_sigs(spark, sf_dir).cache()
+    bands = (
+        sigs.withColumn("band", (F.col("perm_i") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("perm_i", "sig"))),
+                lambda s: s["sig"].cast("string")))).alias("band_hash"))
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_hash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), "perm_i",
+                     F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), "perm_i",
+                     F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "perm_i"])
+        .groupBy("doc_a", "doc_b")
+        .agg(floor4(
+            F.count(F.when(F.col("sig_a") == F.col("sig_b"), 1))
+            / float(N_PERMS)).alias("est_jaccard"))
+    )
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from token frequencies."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10)
+                    .cast("bigint"))
+    )
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        F.col("cnt"), F.col("h"),
+    ).withColumn("contrib",
+                 F.expr("cnt * (2 * ((h >> j) & 1) - 1)"))
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr(
+            "CASE WHEN s > 0 THEN shiftleft(cast(1 AS BIGINT), j) "
+            "ELSE cast(0 AS BIGINT) END")).alias("simhash"))
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= 3.
+
+    Candidates via 4 x 8-bit band buckets (exact for Hamming<=3), verified
+    with bit_count(xor). Equi-join only — no cross join at any scale.
+    """
+    sh = simhash_docs(spark, sf_dir).cache()
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn("band_val", F.expr("(simhash >> (band * 8)) & 255"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_val"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.col("x.simhash").alias("sim_a"),
+                F.col("y.simhash").alias("sim_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "minhash_signatures": minhash_signatures,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "simhash_docs": simhash_docs,
+    "dedup_simhash": dedup_simhash,
+}
+
+_PERMS_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(PERMS))
+
+_DUCK_SIGS = f"""
+        SELECT doc_id, perm_i,
+               min((a * h + b) % {MINHASH_P}) AS sig
+        FROM (
+            SELECT doc_id,
+                   CAST(concat('0x', substring(md5(shingle), 1, 8)) AS BIGINT)
+                       % {MINHASH_P} AS h
+            FROM ({_DUCK_SHINGLES})
+        )
+        CROSS JOIN (SELECT * FROM (VALUES {_PERMS_VALUES}) p(perm_i, a, b))
+        GROUP BY doc_id, perm_i
+"""
+
+_DUCK_SIMHASH = rf"""
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT
+                   AS simhash
+        FROM (
+            SELECT doc_id, j, sum(contrib) AS s
+            FROM (
+                SELECT doc_id, j,
+                       cnt * (2 * ((h >> j) & 1) - 1) AS contrib
+                FROM (
+                    SELECT doc_id, word, count(*) AS cnt,
+                           CAST(concat('0x', substring(md5(word), 1, 8)) AS BIGINT) AS h
+                    FROM (SELECT doc_id,
+                                 unnest(regexp_split_to_array(text, '[^\p{{L}}]+')) AS word
+                          FROM documents)
+                    WHERE word <> ''
+                    GROUP BY doc_id, word
+                )
+                CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS j)
+            )
+            GROUP BY doc_id, j
+        )
+        GROUP BY doc_id
+"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH sh AS ({_DUCK_SHINGLES}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_common,
+               floor(n_common / (sa.n + sb.n - n_common) * 10000) / 10000
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE floor(n_common / (sa.n + sb.n - n_common) * 10000) / 10000
+              >= {MIN_JACCARD}
+    """,
+    "minhash_signatures": f"""
+        SELECT doc_id,
+               string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm_i)
+                   AS signature
+        FROM ({_DUCK_SIGS})
+        GROUP BY doc_id
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH sigs AS ({_DUCK_SIGS}),
+        bands AS (
+            SELECT doc_id, perm_i // {BAND_ROWS} AS band,
+                   md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm_i))
+                       AS band_hash
+            FROM sigs GROUP BY doc_id, perm_i // {BAND_ROWS}
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.band_hash = y.band_hash
+             AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b,
+               floor(count(CASE WHEN sa.sig = sb.sig THEN 1 END)
+                     / {float(N_PERMS)} * 10000) / 10000 AS est_jaccard
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = doc_a
+        JOIN sigs sb ON sb.doc_id = doc_b AND sb.perm_i = sa.perm_i
+        GROUP BY doc_a, doc_b
+    """,
+    "simhash_docs": _DUCK_SIMHASH,
+    "dedup_simhash": f"""
+        WITH sh AS ({_DUCK_SIMHASH})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+}

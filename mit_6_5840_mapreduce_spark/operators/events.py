@@ -1,0 +1,239 @@
+"""Event-stream analytics over the ``events`` table
+(event_id, ts, user_id, event_type, value, props JSON-string).
+
+These are the batch forms; ``streaming/jobs.py`` re-expresses the windowed
+aggregation and sessionization as Structured Streaming jobs with
+watermarks. The reference has no streaming surface (SURVEY.md §2.4) — this
+is north-star capability.
+
+Scale design (100 TB of events):
+- everything partitions by user_id (sessionize, asof, transitions) or by
+  coarse time bucket (tumbling) — one shuffle each, no driver loops.
+- the as-of join is the union-merge algorithm (tag both sides, single sort
+  within user partition, running last_value) — O(n log n) per key and one
+  shuffle, instead of the naive range-join that explodes to a near cross
+  product per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mit_6_5840_mapreduce_spark.functions.numeric import floor4
+from mit_6_5840_mapreduce_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after a >30 min gap.
+
+    Classic two-window formulation: flag session starts with lag(), then a
+    running sum assigns session ids — both windows share ONE partitioning
+    (user_id), so Catalyst plans a single shuffle + sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gaps in microseconds (matches DuckDB epoch_us) so both engines
+    # compare the identical integer — no seconds-truncation divergence
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            ts_us - F.lag(ts_us).over(by_user)
+            > SESSION_GAP_MIN * 60 * 1_000_000, 1).otherwise(0))
+    with_id = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            # avg from the ROUNDED sum: round(sum,2) is bit-identical
+            # across engines (money sums sit on exact cents), so the
+            # floored quotient can never diverge — raw avg() rounds
+            # differently on exact decimal halves (e.g. 290.93/8).
+            floor4(F.round(F.sum("value"), 2) / F.count("*"))
+                .alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the user's latest order at-or-before ts
+    (ties on o_orderdate broken by highest o_orderkey).
+
+    Spark has no ASOF JOIN; this is the scalable union-merge formulation:
+    union events and orders tagged by side, sort once within each user_id
+    partition by (time, tiebreaks), carry the last-seen order forward with
+    last_value(ignoreNulls) — one shuffle, no range-join blowup.
+    Equivalent to DuckDB's ASOF JOIN with deterministic tie-breaks.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey")
+    # side 0 = order (sorts before events at the same instant so an order
+    # dated exactly at ts is visible to that event); within equal
+    # timestamps orders sort by o_orderkey so the LAST seen is the max.
+    orders_tagged = orders.select(
+        "user_id", "ts",
+        F.lit(0).alias("side"),
+        F.col("o_orderkey").alias("sort_key"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_orderkey"),
+        F.col("ts").alias("o_orderdate"))
+    events_tagged = ev.select(
+        "user_id", "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("sort_key"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"))
+    unioned = orders_tagged.unionByName(events_tagged)
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "side", "sort_key")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = unioned.select(
+        "user_id", "ts", "side", "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("o_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("o_orderdate"),
+    )
+    return (
+        carried.where(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+    )
+
+
+def user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+             .alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-style transition counts between consecutive event types
+    per user (lead over one user-partitioned sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(by_user).alias("to_type"))
+    return (
+        pairs.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+QUERIES = {
+    "sessionize": sessionize,
+    "events_hourly": events_hourly,
+    "asof_join_orders": asof_join_orders,
+    "user_stats": user_stats,
+    "event_transitions": event_transitions,
+}
+
+ORACLES = {
+    "sessionize": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {SESSION_GAP_MIN * 60 * 1_000_000}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), with_id AS (
+            SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id
+                                                  ROWS UNBOUNDED PRECEDING)
+                           AS BIGINT) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM with_id
+        GROUP BY user_id, session_seq
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               floor(round(sum(value), 2) / count(*) * 10000) / 10000
+                   AS avg_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "asof_join_orders": """
+        SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+        FROM (
+            SELECT e.event_id, e.user_id, e.ts,
+                   o.o_orderkey, o.o_orderdate,
+                   row_number() OVER (PARTITION BY e.event_id
+                                      ORDER BY o.o_orderdate DESC,
+                                               o.o_orderkey DESC) AS rn
+            FROM events e
+            LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        WHERE rn = 1
+    """,
+    "user_stats": """
+        SELECT user_id,
+               count(*) AS n_events,
+               count(DISTINCT event_type) AS n_types,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   AS n_purchases,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY user_id
+    """,
+    "event_transitions": """
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM (SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS to_type
+              FROM events)
+        WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    """,
+}

@@ -1,0 +1,135 @@
+"""DataFrame forms of the reference's four data queries (SURVEY.md §2.2).
+
+The reference computes these as (Map, Reduce) plugin pairs over whole text
+files; here each is a Catalyst plan over the ``documents`` table
+(doc_id BIGINT, text STRING, lang, source, n_chars):
+
+- ``mr_wc``       — word count            (``src/mrapps/wc.go:19-40``)
+- ``mr_indexer``  — inverted index        (``src/mrapps/indexer.go:20-39``)
+- ``mr_docmeta``  — per-key metadata agg  (``src/mrapps/nocrash.go:26-47``,
+                    the crash/nocrash query with fault injection removed —
+                    fault tolerance is Spark's scheduler, not the query)
+- ``mr_doccount`` — per-document count    (``src/mrapps/early_exit.go:19-36``)
+
+Scale notes (100 TB): all four are single-shuffle hash aggregations with
+map-side partial aggregation — strictly better than the reference's
+combiner-less sort-agg (``src/mr/worker.go:170-192``). The only state that
+grows with a hot key is mr_indexer's/mr_docmeta's collect_set/collect_list;
+at 100 TB those would be re-keyed (word, salt) first — documented in
+operators/dedup.py where the same pattern recurs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_spark.functions.text import tokens_df
+from mit_6_5840_mapreduce_spark.sources.tables import load_table
+
+
+def mr_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count: token = maximal Unicode-letter run, case-sensitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tokens_df(docs)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def mr_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: per word, #distinct docs + sorted doc list.
+
+    The reference dedups (word, doc) pairs map-side with a set
+    (``src/mrapps/indexer.go:21-25``) and sorts the doc list in Reduce
+    (``indexer.go:37``); ``collect_set`` + ``sort_array`` reproduces both.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tokens_df(docs)
+        .select("word", F.col("doc_id").cast("string").alias("doc"))
+        .distinct()
+        .groupBy("word")
+        .agg(
+            F.count("doc").alias("doc_count"),
+            F.concat_ws(",", F.sort_array(F.collect_set("doc"))).alias("docs"),
+        )
+    )
+
+
+def mr_docmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crash/nocrash query: each doc emits 4 KV rows
+    ("a", doc_id) ("b", len(doc_id)) ("c", len(text)) ("d", "xyzzy");
+    per key, values sorted lexicographically and space-joined
+    (``src/mrapps/nocrash.go:26-47``).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("name"), "text")
+    kv = docs.select(
+        F.expr(
+            "stack(4, "
+            " 'a', name,"
+            " 'b', cast(length(name) as string),"
+            " 'c', cast(length(text) as string),"
+            " 'd', 'xyzzy') as (key, value)"
+        )
+    )
+    return (
+        kv.groupBy("key")
+        .agg(F.concat_ws(" ", F.sort_array(F.collect_list("value")))
+             .alias("joined_values"))
+    )
+
+
+def mr_doccount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """early_exit query: per-document record count (1 absent failures)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("doc_id").agg(F.count("*").alias("cnt"))
+
+
+QUERIES = {
+    "mr_wc": mr_wc,
+    "mr_indexer": mr_indexer,
+    "mr_docmeta": mr_docmeta,
+    "mr_doccount": mr_doccount,
+}
+
+ORACLES = {
+    "mr_wc": r"""
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    """,
+    "mr_indexer": r"""
+        WITH tok AS (
+            SELECT DISTINCT word, doc
+            FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word,
+                         CAST(doc_id AS VARCHAR) AS doc
+                  FROM documents)
+            WHERE word <> ''
+        )
+        SELECT word,
+               count(doc) AS doc_count,
+               array_to_string(list_sort(list(doc)), ',') AS docs
+        FROM tok GROUP BY word
+    """,
+    "mr_docmeta": r"""
+        WITH kv AS (
+            SELECT 'a' AS key, CAST(doc_id AS VARCHAR) AS value FROM documents
+            UNION ALL
+            SELECT 'b', CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT 'c', CAST(length(text) AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT 'd', 'xyzzy' FROM documents
+        )
+        SELECT key, string_agg(value, ' ' ORDER BY value) AS joined_values
+        FROM kv GROUP BY key
+    """,
+    "mr_doccount": """
+        SELECT doc_id, count(*) AS cnt FROM documents GROUP BY doc_id
+    """,
+}

@@ -1,0 +1,338 @@
+"""Relational query surface over the driver's TPC-H-ish corpus.
+
+The reference has no SQL layer at all (SURVEY.md §2.4 — no joins, windows,
+set ops); this module is the engine's full relational capability, expressed
+as declarative Catalyst plans so pushdown / pruning / join planning are
+automatic.
+
+Scale design (100 TB):
+- region/nation are constant-size at any SF — always ``broadcast()``-hinted.
+- fact-fact joins (orders x lineitem) shuffle on the join key; AQE handles
+  skew splitting at runtime.
+- every aggregate is a hash-agg with map-side partial aggregation; no
+  ``collect()`` anywhere.
+- float aggregates are ROUNDed identically in the Spark plan and the
+  oracle SQL so summation-order ulps never flip a comparison.
+- top-k queries carry a full deterministic ORDER BY (ties broken by key)
+  so LIMIT selects the same rows on any engine or partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from mit_6_5840_mapreduce_spark.functions.numeric import floor4
+from mit_6_5840_mapreduce_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report (single scan, hash-agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                          * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            # averages derived from rounded sums: cross-engine-stable
+            # (see functions/numeric.py and operators/events.py)
+            floor4(F.round(F.sum("l_quantity"), 2) / F.count("*"))
+                .alias("avg_qty"),
+            floor4(F.round(F.sum("l_extendedprice"), 2) / F.count("*"))
+                .alias("avg_price"),
+            floor4(F.round(F.sum("l_discount"), 2) / F.count("*"))
+                .alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top-10 unshipped orders by revenue for one segment."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation where customer and supplier co-located."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-scan filtered aggregate (pushdown showcase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted: orders with a late-shipping lineitem, by priority.
+
+    (Corpus lacks commit/receipt dates; 'late' = shipped >30 days after
+    order date.) Semi join — Catalyst plans a shuffled or broadcast
+    left-semi; never materializes duplicates.
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey) \
+             .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")) \
+             .select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: histogram of orders-per-customer (incl. zero)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: 3 highest-value orders per customer (deterministic
+    tiebreak on o_orderkey). Single shuffle on o_custkey."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("totalprice"), "rn")
+    )
+
+
+def brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand part price stats (scan + hash-agg on a dim table)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            floor4(F.round(F.sum("p_retailprice"), 2) / F.count("*"))
+                .alias("avg_price"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+            floor4(F.round(F.sum("p_size"), 2) / F.count("*"))
+                .alias("avg_size"),
+        )
+    )
+
+
+def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: customers ordering in BOTH 1996 and 1997 but NOT 1998."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def in_year(y: int) -> DataFrame:
+        return orders.where(F.year("o_orderdate") == y) \
+                     .select("o_custkey").distinct()
+
+    return in_year(1996).intersect(in_year(1997)).exceptAll(in_year(1998)) \
+        .select(F.col("o_custkey").alias("custkey"))
+
+
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation) of order value — multi-level agg in one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
+    "q13_customer_distribution": q13_customer_distribution,
+    "top3_orders_per_customer": top3_orders_per_customer,
+    "brand_price_stats": brand_price_stats,
+    "repeat_customers": repeat_customers,
+    "sales_rollup": sales_rollup,
+}
+
+ORACLES = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               floor(round(sum(l_quantity), 2) / count(*) * 10000) / 10000
+                   AS avg_qty,
+               floor(round(sum(l_extendedprice), 2) / count(*) * 10000) / 10000
+                   AS avg_price,
+               floor(round(sum(l_discount), 2) / count(*) * 10000) / 10000
+                   AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "q6_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+    """,
+    "q13_customer_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+        GROUP BY c_count
+    """,
+    "top3_orders_per_customer": """
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice, 2) AS totalprice, rn
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey)
+                         AS rn
+              FROM orders)
+        WHERE rn <= 3
+    """,
+    "brand_price_stats": """
+        SELECT p_brand,
+               count(*) AS n_parts,
+               floor(round(sum(p_retailprice), 2) / count(*) * 10000) / 10000
+                   AS avg_price,
+               round(min(p_retailprice), 2) AS min_price,
+               round(max(p_retailprice), 2) AS max_price,
+               floor(round(sum(p_size), 2) / count(*) * 10000) / 10000
+                   AS avg_size
+        FROM part GROUP BY p_brand
+    """,
+    "repeat_customers": """
+        SELECT custkey FROM (
+            (SELECT DISTINCT o_custkey AS custkey FROM orders
+             WHERE year(o_orderdate) = 1996
+             INTERSECT
+             SELECT DISTINCT o_custkey FROM orders
+             WHERE year(o_orderdate) = 1997)
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE year(o_orderdate) = 1998
+        )
+    """,
+    "sales_rollup": """
+        SELECT r_name, n_name,
+               round(sum(o_totalprice), 2) AS total_sales,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+}

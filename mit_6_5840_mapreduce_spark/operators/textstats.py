@@ -1,0 +1,214 @@
+"""Text-analysis operators over ``documents`` — language ID, quality
+scoring, token counting, fingerprinting (LLM-pipeline north star).
+
+All JVM-side built-ins (split/regexp/md5) — no Python in the row path, so
+each query is one codegen'd scan + at most one shuffle at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from mit_6_5840_mapreduce_spark.functions.numeric import floor4
+from mit_6_5840_mapreduce_spark.functions.text import tokenize
+from mit_6_5840_mapreduce_spark.sources.tables import load_table
+
+# Tiny stopword lexicons for the n-gram/stopword language-ID heuristic.
+# Scores are computed over the doc's tokens; predicted language = argmax
+# hit count with deterministic lexicographic tiebreak ('und' beats unknown).
+LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "zu", "mit", "den", "von"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "por"),
+    "fr": ("le", "la", "et", "les", "des", "en", "un", "du", "une", "est"),
+}
+
+# BPE-ish pre-tokenization: letter runs | digit runs | single non-space symbol
+BPE_RE = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]"
+PUNCT_STRIP_RE = r"[\p{L}\p{N}\s]"
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID: per doc, hits per lexicon -> argmax
+    (ties -> lexicographically smallest language; no hits -> 'und')."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [(lang, w) for lang, words in LEXICONS.items() for w in words],
+        "cand_lang STRING, stopword STRING")
+    toks = docs.select("doc_id", F.explode(tokenize(F.lower(F.col("text"))))
+                       .alias("word"))
+    hits = (
+        toks.join(broadcast(lex), toks.word == lex.stopword)
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    # argmax(hits, tiebreak lang asc) without a window: min over the
+    # struct (-hits, lang) — struct ordering is field-by-field.
+    best = (
+        hits.select("doc_id",
+                    F.struct((-F.col("hits")).alias("neg"),
+                             F.col("cand_lang").alias("l")).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.min("s").alias("s"))
+        .select("doc_id", F.col("s.l").alias("pred_lang"),
+                (-F.col("s.neg")).alias("hits"))
+    )
+    return (
+        load_table(spark, sf_dir, "documents").select("doc_id")
+        .join(best, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+                F.coalesce("hits", F.lit(0).cast("bigint")).alias("hits"))
+    )
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: token counts, mean token length, punctuation ratio,
+    and a composite score in [0,1] (heuristic, deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    avg_tok = F.when(n_tokens > 0,
+                     F.aggregate(toks, F.lit(0.0),
+                                 lambda acc, t: acc + F.length(t))
+                     / n_tokens).otherwise(F.lit(0.0))
+    n_punct = F.length(F.regexp_replace("text", PUNCT_STRIP_RE, ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
+        + F.least(avg_tok / F.lit(8.0), F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars"),
+        floor4(avg_tok).alias("avg_token_len"),
+        floor4(punct_ratio).alias("punct_ratio"),
+        floor4(score).alias("quality_score"),
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, letter-run, BPE-ish regex."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                         lambda t: t != F.lit("")))
+    letter = F.size(tokenize(F.col("text")))
+    bpe = F.regexp_count(F.col("text"), F.lit(BPE_RE))
+    distinct_letter = F.size(F.array_distinct(tokenize(F.col("text"))))
+    return docs.select(
+        "doc_id",
+        ws.cast("bigint").alias("ws_tokens"),
+        letter.cast("bigint").alias("letter_tokens"),
+        bpe.cast("bigint").alias("bpe_tokens"),
+        distinct_letter.cast("bigint").alias("distinct_tokens"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint: md5 over lowercased,
+    whitespace-collapsed, trimmed text."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.length(normalized).cast("bigint").alias("norm_len"),
+    )
+
+
+QUERIES = {
+    "lang_id": lang_id,
+    "doc_quality": doc_quality,
+    "token_stats": token_stats,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+_LEX_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, words in LEXICONS.items() for w in words)
+
+ORACLES = {
+    "lang_id": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^\p{{L}}]+'))
+                       AS word
+            FROM documents
+        ),
+        lex AS (SELECT * FROM (VALUES {_LEX_VALUES}) l(cand_lang, stopword)),
+        hits AS (
+            SELECT doc_id, cand_lang, count(*) AS hits
+            FROM toks JOIN lex ON word = stopword
+            GROUP BY doc_id, cand_lang
+        ),
+        best AS (
+            SELECT doc_id, cand_lang AS pred_lang, hits,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY hits DESC, cand_lang) AS rn
+            FROM hits
+        )
+        SELECT d.doc_id,
+               coalesce(b.pred_lang, 'und') AS pred_lang,
+               coalesce(b.hits, 0) AS hits
+        FROM documents d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+    """,
+    "doc_quality": rf"""
+        WITH base AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
+                                   t -> t <> ''))::BIGINT AS n_tokens,
+                   length(text)::BIGINT AS n_chars,
+                   list_sum(list_transform(
+                       list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
+                                   t -> t <> ''),
+                       t -> length(t)::DOUBLE)) AS tok_len_sum,
+                   length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g'))
+                       ::BIGINT AS n_punct
+            FROM documents
+        ),
+        derived AS (
+            SELECT doc_id, n_tokens, n_chars,
+                   CASE WHEN n_tokens > 0
+                        THEN coalesce(tok_len_sum, 0) / n_tokens
+                        ELSE 0.0 END AS avg_tok,
+                   CASE WHEN n_chars > 0
+                        THEN n_punct::DOUBLE / n_chars
+                        ELSE 0.0 END AS punct_ratio
+            FROM base
+        )
+        SELECT doc_id, n_tokens, n_chars,
+               floor(avg_tok * 10000) / 10000 AS avg_token_len,
+               floor(punct_ratio * 10000) / 10000 AS punct_ratio,
+               floor((least(n_tokens / 100.0, 1.0) * 0.5
+                      + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+                      + least(avg_tok / 8.0, 1.0) * 0.2) * 10000) / 10000
+                   AS quality_score
+        FROM derived
+    """,
+    "token_stats": rf"""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
+                               t -> t <> ''))::BIGINT AS ws_tokens,
+               len(list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
+                               t -> t <> ''))::BIGINT AS letter_tokens,
+               len(regexp_extract_all(text,
+                   '\p{{L}}+|\p{{N}}+|[^\s\p{{L}}\p{{N}}]'))::BIGINT AS bpe_tokens,
+               len(list_distinct(
+                   list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
+                               t -> t <> '')))::BIGINT AS distinct_tokens
+        FROM documents
+    """,
+    "doc_fingerprint": r"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS fingerprint,
+               length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   ::BIGINT AS norm_len
+        FROM documents
+    """,
+}
