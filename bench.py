@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full physical
+execution, no driver-side result transfer skewing the number).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mit_6_5840_mapreduce_spark.operators import registry
+from mit_6_5840_mapreduce_spark.session import get_spark
+
+HEADLINE = (
+    "mr_wc",
+    "mr_indexer",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q13_customer_distribution",
+    "top3_orders_per_customer",
+    "sessionize",
+    "asof_join_orders",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "embedding_topk",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    queries, _ = registry()
+
+    spark = get_spark("bench")
+    # JVM/codegen warm-up so the first measured query isn't paying JIT cost
+    queries["q6_forecast_revenue"](spark, sf_dir).write.mode(
+        "overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite") \
+            .format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

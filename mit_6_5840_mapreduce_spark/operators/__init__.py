@@ -9,9 +9,22 @@
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _with_package(fn: Callable[[SparkSession, str], DataFrame]
+                  ) -> Callable[[SparkSession, str], DataFrame]:
+    """Ensure executors can import this package even when the caller built
+    its own SparkSession from an arbitrary cwd (the driver does)."""
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from mit_6_5840_mapreduce_spark.session import attach_package
+        attach_package(spark)
+        return fn(spark, sf_dir)
+    return wrapped
 
 
 def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
@@ -33,7 +46,8 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
         overlap = set(m.QUERIES) & set(queries)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
-        queries.update(m.QUERIES)
+        queries.update({name: _with_package(fn)
+                        for name, fn in m.QUERIES.items()})
         oracles.update(m.ORACLES)
     unknown = set(oracles) - set(queries)
     if unknown:

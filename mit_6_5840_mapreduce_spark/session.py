@@ -15,8 +15,41 @@ multi-executor cluster:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_ATTACHED_SESSIONS: set[int] = set()
+
+
+def attach_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    RDD closures and mapInPandas functions reference this module by name;
+    cloudpickle serializes them by reference, so Python workers must be
+    able to import the package regardless of the driver's cwd/sys.path.
+    Idempotent per session.
+    """
+    if id(spark) in _ATTACHED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            f"{pkg_name}_pyfiles_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        arc = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_dir))
+                        zf.write(full, arc)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    _ATTACHED_SESSIONS.add(id(spark))
 
 
 def default_parallelism() -> int:
@@ -48,4 +81,6 @@ def get_spark(app_name: str = "mit-6-5840-mapreduce-spark",
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    attach_package(spark)
+    return spark
