@@ -47,9 +47,15 @@ SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 3         # exact under 4-band pigeonhole
 
 
-def _shingles(text: Column) -> Column:
-    """Word 3-gram shingles (space-joined), [] when the doc is too short."""
-    t = tokenize(text)
+def _shingles(t: Column) -> Column:
+    """Word 3-gram shingles (space-joined) from a STAGED token-array
+    column, [] when the doc is too short.
+
+    ``t`` must be a bound column reference (tokens materialized by a prior
+    projection), not the raw ``tokenize(text)`` expression — Catalyst
+    re-evaluates an inline expression per element_at inside the lambda,
+    which measured ~6x slower at sf0.1.
+    """
     return F.when(
         F.size(t) >= NGRAM_N,
         F.transform(
@@ -62,10 +68,20 @@ def _shingles(text: Column) -> Column:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs."""
+    """Distinct (doc_id, hs) pairs, hs = 60-bit md5 of the shingle.
+
+    Hashing BEFORE the distinct/joins shrinks every downstream shuffle to
+    fixed-width ints (vs ~20-char strings); collision probability at 60
+    bits is ~n^2/2^61 — negligible at any realistic shingle cardinality.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+        docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .select("doc_id",
+                F.explode(_shingles(F.col("toks"))).alias("shingle"))
+        .select("doc_id",
+                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+                 .cast("bigint").alias("hs"))
         .distinct()
     )
 
@@ -105,12 +121,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard from per-doc set sizes. One shuffle keyed by shingle, one by
     pair; never a cross join.
     """
-    sh = _doc_shingles(spark, sf_dir).cache()
+    sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "hs")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "hs")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "hs")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
@@ -130,52 +146,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, perm_i, sig): MinHash signature entries."""
+def _minhash_sig_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig_0 .. sig_15): the whole MinHash signature in ONE
+    hash-aggregation pass — 16 min() expressions over the permuted base
+    hash instead of a 16x row explosion + re-shuffle. At 100 TB this is
+    the difference between one shuffle of |shingles| rows and one of
+    16x|shingles| rows."""
     sh = _doc_shingles(spark, sf_dir)
-    h = (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
-         .cast("bigint") % MINHASH_P).alias("h")
-    perms = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(PERMS)], "perm_i INT, a BIGINT, b BIGINT")
-    return (
-        sh.select("doc_id", h)
-        .join(broadcast(perms))
-        .groupBy("doc_id", "perm_i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MINHASH_P)
-             .alias("sig"))
-    )
+    base = sh.select("doc_id", (F.col("hs") % MINHASH_P).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P)
+         .alias(f"sig_{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def _sig_cols(prefix: str = "sig_") -> list:
+    return [F.col(f"{prefix}{i}") for i in range(N_PERMS)]
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature as an ordered comma-joined string."""
-    sigs = _minhash_sigs(spark, sf_dir)
-    return (
-        sigs.groupBy("doc_id")
-        .agg(F.concat_ws(
-            ",",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("perm_i", "sig"))),
-                lambda s: s["sig"].cast("string"))).alias("signature"))
-    )
+    wide = _minhash_sig_wide(spark, sf_dir)
+    return wide.select(
+        "doc_id",
+        F.concat_ws(",", *[c.cast("string") for c in _sig_cols()])
+         .alias("signature"))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated Jaccard.
 
-    Bands of BAND_ROWS rows each hash to a bucket key; candidate pairs are
-    docs sharing any bucket (equi-join — the 100 TB-safe path), then each
-    pair's full 16-slot signature agreement estimates Jaccard.
+    Bands of BAND_ROWS rows hash to bucket keys; candidate pairs are docs
+    sharing any bucket (equi-join — the 100 TB-safe path); each pair then
+    compares full signatures via two wide joins (no per-perm re-shuffle).
     """
-    sigs = _minhash_sigs(spark, sf_dir).cache()
-    bands = (
-        sigs.withColumn("band", (F.col("perm_i") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(
-            ",",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("perm_i", "sig"))),
-                lambda s: s["sig"].cast("string")))).alias("band_hash"))
-    )
+    wide = _minhash_sig_wide(spark, sf_dir).cache()
+    n_bands = N_PERMS // BAND_ROWS
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(k).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"sig_{i}").cast("string")
+                for i in range(k * BAND_ROWS, (k + 1) * BAND_ROWS)
+            ])).alias("band_hash"))
+        for k in range(n_bands)
+    ])
+    bands = wide.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"),
+             F.col("b.band_hash").alias("band_hash"))
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_hash"])
@@ -184,16 +205,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), "perm_i",
-                     F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), "perm_i",
-                     F.col("sig").alias("sig_b"))
+    wa = wide.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(f"sig_{i}").alias(f"a{i}")
+                       for i in range(N_PERMS)])
+    wb = wide.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(f"sig_{i}").alias(f"b{i}")
+                       for i in range(N_PERMS)])
+    matches = sum(
+        (F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+         for i in range(N_PERMS)),
+        start=F.lit(0))
     return (
-        cand.join(sa, "doc_a").join(sb, ["doc_b", "perm_i"])
-        .groupBy("doc_a", "doc_b")
-        .agg(floor4(
-            F.count(F.when(F.col("sig_a") == F.col("sig_b"), 1))
-            / float(N_PERMS)).alias("est_jaccard"))
+        cand.join(wa, "doc_a").join(wb, "doc_b")
+        .select("doc_a", "doc_b",
+                floor4(matches / float(N_PERMS)).alias("est_jaccard"))
     )
 
 
@@ -269,7 +294,7 @@ _DUCK_SIGS = f"""
                min((a * h + b) % {MINHASH_P}) AS sig
         FROM (
             SELECT doc_id,
-                   CAST(concat('0x', substring(md5(shingle), 1, 8)) AS BIGINT)
+                   CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
                        % {MINHASH_P} AS h
             FROM ({_DUCK_SHINGLES})
         )
