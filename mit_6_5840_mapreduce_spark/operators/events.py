@@ -160,7 +160,23 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` column,
+    bucket by k-decile, aggregate. JSON parsing stays JVM-side
+    (get_json_object), no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select((k - k % 10).alias("k_bucket"), "value", "event_type")
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"),
+             F.countDistinct("event_type").alias("n_types"))
+    )
+
+
 QUERIES = {
+    "events_props_stats": events_props_stats,
     "sessionize": sessionize,
     "events_hourly": events_hourly,
     "asof_join_orders": asof_join_orders,
@@ -169,6 +185,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_props_stats": """
+        SELECT k_bucket,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT event_type) AS n_types
+        FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 * 10
+                         AS k_bucket,
+                     value, event_type
+              FROM events)
+        GROUP BY k_bucket
+    """,
     "sessionize": f"""
         WITH flagged AS (
             SELECT user_id, ts, event_id, value,

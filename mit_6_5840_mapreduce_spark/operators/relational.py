@@ -208,7 +208,49 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per order status
+    (sort-based exact percentile — at 100 TB swap for approx_percentile;
+    the exact form is the oracle-checkable correctness surface)."""
+    orders = _t(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(
+        F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            floor4(F.element_at(pct, 1)).alias("p25"),
+            floor4(F.element_at(pct, 2)).alias("p50"),
+            floor4(F.element_at(pct, 3)).alias("p75"),
+        )
+    )
+
+
+def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers who never ordered."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all 4 grouping combinations in one
+    pass (partial-agg friendly; grouping-set expansion is map-side)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_value"))
+    )
+
+
 QUERIES = {
+    "order_value_percentiles": order_value_percentiles,
+    "customers_no_orders": customers_no_orders,
+    "priority_status_cube": priority_status_cube,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -222,6 +264,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "order_value_percentiles": """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               floor(quantile_cont(o_totalprice, 0.25) * 10000) / 10000 AS p25,
+               floor(quantile_cont(o_totalprice, 0.50) * 10000) / 10000 AS p50,
+               floor(quantile_cont(o_totalprice, 0.75) * 10000) / 10000 AS p75
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "customers_no_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "priority_status_cube": """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_value
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,153 @@
+"""Structured Streaming surface over the ``events`` stream.
+
+The reference is purely batch (SURVEY.md §2.4: no watermarks, windows, or
+stateful ops anywhere); this module is the north-star streaming extension,
+built on standard Structured Streaming so the same logical queries as
+operators/events.py run incrementally:
+
+- ``windowed_counts_stream``  — tumbling 1-hour aggregates + 1h watermark
+  (late data beyond the watermark is dropped, the batch-equivalent rows
+  are finalized at watermark passage)
+- ``sessionized_stream``      — gap-based sessions via ``session_window``
+  (the streaming twin of operators/events.sessionize)
+- ``user_running_totals_stream`` — custom per-key state with
+  ``applyInPandasWithState`` (running event count + value sum per user,
+  emitted on every update)
+
+Scale design: state is keyed by (window x type) / user_id — bounded by
+key cardinality, pruned by watermark; ``availableNow`` triggers give
+batch-backfill semantics with the same code. File-source streams shard by
+file listing; on a cluster the same jobs read Kafka by swapping the
+source, nothing else changes.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StructField, StructType, TimestampType,
+)
+
+from mit_6_5840_mapreduce_spark.sources.tables import load_table
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet (schema from the batch
+    reader, including the nanos->ntz timestamp normalization)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")).schema
+    # the file source requires a DIRECTORY; stream the sf dir with a glob
+    # filter so only the events file matches
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # TIMESTAMP (ltz), not NTZ: watermarks require it; session TZ is UTC
+    # so values align with the batch layer's TIMESTAMP_NTZ.
+    return stream.withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with a 1-hour watermark."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("win.start").alias("hour"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+def sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) via
+    session_window — the streaming form of operators/events.sessionize."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"),
+                 "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+        .select("user_id", "session_start", "session_end",
+                "n_events", "sum_value")
+    )
+
+
+_TOTALS_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value_cents", LongType()),
+    StructField("last_ts", TimestampType()),
+])
+_STATE_SCHEMA = StructType([
+    StructField("n_events", LongType()),
+    StructField("total_value_cents", LongType()),
+])
+
+
+def _update_totals(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Running per-user totals; value tracked in integer cents so state
+    never accumulates float error."""
+    (user_id,) = key
+    if state.exists:
+        n, cents = state.get
+    else:
+        n, cents = 0, 0
+    last_ts = None
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(round(pdf["value"].sum() * 100))
+        ts_max = pdf["ts"].max()
+        last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
+    state.update((n, cents))
+    yield pd.DataFrame({
+        "user_id": [user_id],
+        "n_events": [n],
+        "total_value_cents": [cents],
+        "last_ts": [last_ts],
+    })
+
+
+def user_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user running totals emitted on every
+    micro-batch via applyInPandasWithState (Arrow-batched, keyed state)."""
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    return (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_totals,
+            outputStructType=_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, df: DataFrame, name: str,
+                         output_mode: str = "complete",
+                         timeout_sec: int = 120) -> DataFrame:
+    """Execute a streaming DataFrame with an availableNow trigger into a
+    memory sink; returns the materialized result table."""
+    q = (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(name)

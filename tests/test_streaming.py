@@ -1,0 +1,61 @@
+"""Structured Streaming jobs vs their batch equivalents: an availableNow
+run over the full events file must reproduce the batch query results."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_spark.operators.events import (
+    events_hourly, sessionize, user_stats,
+)
+from mit_6_5840_mapreduce_spark.streaming.jobs import (
+    run_stream_to_memory,
+    sessionized_stream,
+    user_running_totals_stream,
+    windowed_counts_stream,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    got = run_stream_to_memory(
+        spark, windowed_counts_stream(spark, sf_dir), "win_counts")
+    want = events_hourly(spark, sf_dir).select(
+        "hour", "event_type", "n_events", "sum_value")
+    cols = ["hour", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sessionized_stream_matches_batch(spark, sf_dir):
+    got = run_stream_to_memory(
+        spark, sessionized_stream(spark, sf_dir), "sessions")
+    want = sessionize(spark, sf_dir).select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value")
+    cols = ["user_id", "session_start", "session_end",
+            "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_user_running_totals_final_state(spark, sf_dir):
+    """After consuming the whole stream, each user's last update must equal
+    the batch per-user totals (cents-exact)."""
+    got = run_stream_to_memory(
+        spark, user_running_totals_stream(spark, sf_dir), "totals",
+        output_mode="update")
+    # update mode may emit one row per micro-batch per user; take the last
+    # (availableNow on a single file -> single batch, but don't assume)
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.max("total_value_cents").alias("cents"))
+    )
+    want = user_stats(spark, sf_dir).select(
+        "user_id", "n_events",
+        (F.round(F.col("sum_value") * 100)).cast("long").alias("cents"))
+    cols = ["user_id", "n_events", "cents"]
+    assert _rows(final, cols) == _rows(want, cols)
