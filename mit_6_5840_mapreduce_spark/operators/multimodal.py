@@ -59,8 +59,43 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(_extract_meta, META_SCHEMA)
 
 
+N_FRAMES = 4
+FRAME_BYTES = 16
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic frame sampling stub: up to N_FRAMES slices of
+    FRAME_BYTES each from the head of the payload (a real video pipeline
+    would decode and sample keyframes here — same batch shape)."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [],
+                                "frame_hex": [], "frame_bytes": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for i in range(N_FRAMES):
+                frame = payload[i * FRAME_BYTES:(i + 1) * FRAME_BYTES]
+                if not frame:
+                    break
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_hex"].append(frame.hex().upper())
+                out["frame_bytes"].append(len(frame))
+        yield pd.DataFrame(out)
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads via mapInPandas
+    (decode stubbed; schema/batching/partitioning real)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return with_payload.mapInPandas(
+        _sample_frames,
+        "doc_id BIGINT, frame_idx INT, frame_hex STRING, frame_bytes BIGINT")
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
+    "frame_sample": frame_sample,
 }
 
 ORACLES = {
@@ -70,5 +105,17 @@ ORACLES = {
                substring(hex(encode(text)), 1, 16) AS header_hex,
                'text/plain' AS media_type
         FROM documents
+    """,
+    "frame_sample": f"""
+        SELECT doc_id,
+               CAST(i AS INT) AS frame_idx,
+               substring(hex(encode(text)), i * {FRAME_BYTES} * 2 + 1,
+                         {FRAME_BYTES} * 2) AS frame_hex,
+               CAST(least({FRAME_BYTES},
+                    octet_length(encode(text)) - i * {FRAME_BYTES})
+                    AS BIGINT) AS frame_bytes
+        FROM documents
+        CROSS JOIN (SELECT unnest(range(0, {N_FRAMES})) AS i)
+        WHERE octet_length(encode(text)) > i * {FRAME_BYTES}
     """,
 }

@@ -247,7 +247,45 @@ def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_name_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function suite over part names: case ops, token extraction,
+    containment, edit distance — all JVM built-ins."""
+    part = _t(spark, sf_dir, "part")
+    first_word = F.split("p_name", " ").getItem(0)
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        first_word.alias("first_word"),
+        F.substring("p_brand", 7, 10).alias("brand_num"),
+        F.when(F.col("p_name").contains("red"), 1).otherwise(0)
+         .cast("bigint").alias("is_red"),
+        F.levenshtein(first_word, F.lower("p_type")).alias("edit_dist"),
+    )
+
+
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month sales with lag-window growth rate. The window runs
+    over ALREADY-AGGREGATED rows (one per month) — a single-partition sort
+    of ~tens of rows, safe at any input scale."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("sales"),
+             F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("sales").over(w)
+    return monthly.select(
+        "month", "sales", "n_orders",
+        F.when(prev.isNotNull() & (prev != 0),
+               floor4((F.col("sales") - prev) / prev)).alias("growth"),
+    )
+
+
 QUERIES = {
+    "part_name_analysis": part_name_analysis,
+    "orders_monthly_growth": orders_monthly_growth,
     "order_value_percentiles": order_value_percentiles,
     "customers_no_orders": customers_no_orders,
     "priority_status_cube": priority_status_cube,
@@ -264,6 +302,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "part_name_analysis": """
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               length(p_name)::BIGINT AS name_len,
+               string_split(p_name, ' ')[1] AS first_word,
+               substring(p_brand, 7, 10) AS brand_num,
+               (CASE WHEN contains(p_name, 'red') THEN 1 ELSE 0 END)::BIGINT
+                   AS is_red,
+               levenshtein(string_split(p_name, ' ')[1], lower(p_type))
+                   AS edit_dist
+        FROM part
+    """,
+    "orders_monthly_growth": """
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   round(sum(o_totalprice), 2) AS sales,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT month, sales, n_orders,
+               CASE WHEN lag(sales) OVER w IS NOT NULL
+                         AND lag(sales) OVER w <> 0
+                    THEN floor((sales - lag(sales) OVER w)
+                               / lag(sales) OVER w * 10000) / 10000
+               END AS growth
+        FROM monthly
+        WINDOW w AS (ORDER BY month)
+    """,
     "order_value_percentiles": """
         SELECT o_orderstatus,
                count(*) AS n_orders,

@@ -121,7 +121,35 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24   # 8-token overlap between consecutive chunks
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline chunking: sliding token windows of CHUNK_TOKENS with
+    CHUNK_STRIDE step (8-token overlap). One narrow pass — tokens staged,
+    chunk starts generated per doc, slices re-joined; no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokenize(F.col("text")).alias("toks")) \
+                 .where(F.size("toks") > 0)
+    return (
+        staged.select(
+            "doc_id", "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks"),
+                                 F.lit(CHUNK_STRIDE))).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint")
+             .alias("chunk_id"),
+            F.size(F.slice("toks", F.col("start"), CHUNK_TOKENS))
+             .cast("bigint").alias("chunk_tokens"),
+            F.concat_ws(" ", F.slice("toks", F.col("start"), CHUNK_TOKENS))
+             .alias("chunk_text"))
+    )
+
+
 QUERIES = {
+    "doc_chunks": doc_chunks,
     "lang_id": lang_id,
     "doc_quality": doc_quality,
     "token_stats": token_stats,
@@ -132,6 +160,28 @@ _LEX_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang, words in LEXICONS.items() for w in words)
 
 ORACLES = {
+    "doc_chunks": rf"""
+        WITH staged AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               CAST(len(list_slice(toks, start,
+                    least(start + {CHUNK_TOKENS} - 1, len(toks))))
+                    AS BIGINT) AS chunk_tokens,
+               array_to_string(list_slice(toks, start,
+                    least(start + {CHUNK_TOKENS} - 1, len(toks))), ' ')
+                   AS chunk_text
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(1, len(toks) + 1, {CHUNK_STRIDE})) AS start
+            FROM staged
+            WHERE len(toks) > 0
+        )
+    """,
     "lang_id": rf"""
         WITH toks AS (
             SELECT doc_id,

@@ -10,78 +10,87 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
+from mit_6_5840_mapreduce_spark.plans import (
+    executed_plan,
+    has_broadcast_join,
+    has_cartesian_product,
+    has_python_eval,
+    pushed_filters,
+    read_schema,
+)
 
 QUERIES = entrymod.queries()
 
+# queries that deliberately cross into Python (Arrow-batched mapInPandas)
+PYTHON_PATH_OK = {"multimodal_meta", "frame_sample"}
+# tiny-side cross joins (broadcast) are fine; a plain cartesian is not
+CARTESIAN_OK = {"embedding_neardup"}
 
-def plan_of(spark, sf_dir, name: str) -> str:
-    return QUERIES[name](spark, sf_dir)._jdf.queryExecution() \
-        .executedPlan().toString()
 
-
-def explain_formatted(spark, sf_dir, name: str) -> str:
-    df = QUERIES[name](spark, sf_dir)
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution
-        .ExplainMode.fromString("formatted"))
+def q(spark, sf_dir, name):
+    return QUERIES[name](spark, sf_dir)
 
 
 def test_q6_pushes_filters_to_scan(spark, sf_dir):
-    plan = explain_formatted(spark, sf_dir, "q6_forecast_revenue")
-    assert "PushedFilters:" in plan
-    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+    filters = pushed_filters(q(spark, sf_dir, "q6_forecast_revenue"))
+    assert any("l_shipdate" in f for f in filters)
+    assert any("l_quantity" in f for f in filters)
 
 
 def test_q6_prunes_columns(spark, sf_dir):
-    plan = explain_formatted(spark, sf_dir, "q6_forecast_revenue")
-    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    schemas = read_schema(q(spark, sf_dir, "q6_forecast_revenue"))
+    assert schemas, "no scan found"
+    joined = " ".join(schemas)
     # only the 4 referenced columns are read, not all 11
-    assert "l_orderkey" not in read_schema
-    assert "l_returnflag" not in read_schema
-    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in joined
+    assert "l_returnflag" not in joined
+    assert "l_extendedprice" in joined
 
 
 def test_q5_broadcasts_dimension_tables(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
-    assert "BroadcastHashJoin" in plan
+    assert has_broadcast_join(q(spark, sf_dir, "q5_local_supplier_volume"))
 
 
 def test_no_cartesian_products_anywhere(spark, sf_dir):
-    """Cross joins are allowed only where one side is broadcast-tiny
-    (similarity queries); a non-broadcast CartesianProduct is a scale bug."""
     for name in QUERIES:
-        plan = plan_of(spark, sf_dir, name)
-        if "CartesianProduct" in plan:
-            assert "Broadcast" in plan or name in (
-                "embedding_neardup",), f"{name} plans a CartesianProduct"
+        df = q(spark, sf_dir, name)
+        if has_cartesian_product(df):
+            assert name in CARTESIAN_OK, f"{name} plans a CartesianProduct"
 
 
 def test_mr_wc_stays_jvm_side(spark, sf_dir):
-    """The DataFrame word count must not serialize rows through Python."""
-    plan = plan_of(spark, sf_dir, "mr_wc")
+    plan = executed_plan(q(spark, sf_dir, "mr_wc"))
     assert "BatchEvalPython" not in plan
     # AQE shows the pre-execution plan; JVM hash aggregation is the marker
     assert "HashAggregate" in plan
 
 
-def test_dataframe_queries_avoid_python_row_path(spark, sf_dir):
-    """Only multimodal_meta (deliberate mapInPandas) may cross into
-    Python; everything else must be pure JVM."""
+def test_queries_avoid_python_row_path(spark, sf_dir):
     for name in QUERIES:
-        if name == "multimodal_meta":
+        if name in PYTHON_PATH_OK:
             continue
-        plan = plan_of(spark, sf_dir, name)
-        assert "EvalPython" not in plan, f"{name} has a Python row path"
+        assert not has_python_eval(q(spark, sf_dir, name)), \
+            f"{name} has a Python row path"
 
 
-def test_asof_join_is_single_shuffle_per_side(spark, sf_dir):
+def test_asof_join_is_union_merge_not_join(spark, sf_dir):
     """The as-of join must be the union-merge plan: no join operator at
     all, just exchanges + window sort."""
-    plan = plan_of(spark, sf_dir, "asof_join_orders")
+    plan = executed_plan(q(spark, sf_dir, "asof_join_orders"))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_embedding_topk_broadcasts_queries(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "embedding_topk")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert has_broadcast_join(q(spark, sf_dir, "embedding_topk"))
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf_dir):
+    assert "Exchange" not in executed_plan(q(spark, sf_dir, "doc_chunks"))
+
+
+def test_scans_read_only_needed_document_columns(spark, sf_dir):
+    """mr_wc projects documents down to the text column at the scan."""
+    schemas = read_schema(q(spark, sf_dir, "mr_wc"))
+    joined = " ".join(schemas)
+    assert "text" in joined and "lang" not in joined
