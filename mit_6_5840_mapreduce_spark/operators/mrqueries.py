@@ -88,14 +88,42 @@ def mr_doccount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("doc_id").agg(F.count("*").alias("cnt"))
 
 
+def mr_wc_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count through the MR-compat RDD layer itself (mr/api.mr_run):
+    the reference's exact pipeline — flatMap mapf, FNV-hash shuffle,
+    groupByKey, reducef — surfaced in the driver gate so the compat layer
+    is oracle-checked, not just unit-tested. (Python row path by design;
+    the DataFrame twin ``mr_wc`` is the scale path.)"""
+    from mit_6_5840_mapreduce_spark.mr.api import mr_run
+    from mit_6_5840_mapreduce_spark.mr.apps import wc_map, wc_reduce
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select(F.col("doc_id").cast("string"), "text")
+    pairs = docs.rdd.map(lambda r: (r[0], r[1]))
+    lines = mr_run(spark, wc_map, wc_reduce, pairs, n_reduce=10)
+    parsed = lines.map(lambda line: line.rsplit(" ", 1)) \
+                  .map(lambda kv: (kv[0], int(kv[1])))
+    return spark.createDataFrame(parsed, "word STRING, cnt BIGINT")
+
+
 QUERIES = {
     "mr_wc": mr_wc,
+    "mr_wc_rdd": mr_wc_rdd,
     "mr_indexer": mr_indexer,
     "mr_docmeta": mr_docmeta,
     "mr_doccount": mr_doccount,
 }
 
+_WC_ORACLE = r"""
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+"""
+
 ORACLES = {
+    "mr_wc_rdd": _WC_ORACLE,
     "mr_wc": r"""
         SELECT word, count(*) AS cnt
         FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word

@@ -283,7 +283,72 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_customer_supplier_balance(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer and supplier counts
+    (nations may have customers, suppliers, neither side dropped)."""
+    cust = _t(spark, sf_dir, "customer").groupBy("c_nationkey") \
+        .agg(F.count("*").alias("n_customers"))
+    supp = _t(spark, sf_dir, "supplier").groupBy("s_nationkey") \
+        .agg(F.count("*").alias("n_suppliers"))
+    joined = cust.join(supp, cust.c_nationkey == supp.s_nationkey,
+                       "full_outer")
+    return joined.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type with per-user counts (explicit
+    value list — required for a deterministic schema, and what keeps the
+    pivot a single pass at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        ev.groupBy("user_id").pivot("event_type", types).count()
+    )
+    return pivoted.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                     for t in types])
+
+
+def orders_dow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function coverage: ISO day-of-week distribution of orders
+    (Spark weekday()+1 == DuckDB isodow: 1=Mon..7=Sun)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy((F.weekday("o_orderdate") + 1).cast("bigint")
+                       .alias("isodow"))
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+             F.min(F.year("o_orderdate")).alias("first_year"),
+             F.max(F.year("o_orderdate")).alias("last_year"))
+    )
+
+
+def events_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type (HyperLogLog++).
+
+    NO ORACLE by design: sketch estimates are engine-specific. The driver
+    records a rows-only check; tests/test_sketches.py bounds the estimate
+    against the exact count (rsd 5%). This is the 100 TB path where exact
+    countDistinct's per-key state is unaffordable."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.05)
+             .alias("approx_users"),
+             F.count("*").alias("n_events"))
+    )
+
+
 QUERIES = {
+    "nation_customer_supplier_balance": nation_customer_supplier_balance,
+    "user_event_pivot": user_event_pivot,
+    "orders_dow_stats": orders_dow_stats,
+    "events_user_sketch": events_user_sketch,
     "part_name_analysis": part_name_analysis,
     "orders_monthly_growth": orders_monthly_growth,
     "order_value_percentiles": order_value_percentiles,
@@ -302,6 +367,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    # events_user_sketch: deliberately no oracle (approximate result)
+    "nation_customer_supplier_balance": """
+        SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+               coalesce(c.n_customers, 0) AS n_customers,
+               coalesce(s.n_suppliers, 0) AS n_suppliers
+        FROM (SELECT c_nationkey, count(*) AS n_customers
+              FROM customer GROUP BY c_nationkey) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey, count(*) AS n_suppliers
+              FROM supplier GROUP BY s_nationkey) s
+          ON c.c_nationkey = s.s_nationkey
+    """,
+    "user_event_pivot": """
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        FROM events GROUP BY user_id
+    """,
+    "orders_dow_stats": """
+        SELECT isodow(o_orderdate) AS isodow,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_value,
+               min(year(o_orderdate)) AS first_year,
+               max(year(o_orderdate)) AS last_year
+        FROM orders GROUP BY 1
+    """,
     "part_name_analysis": """
         SELECT p_partkey,
                upper(p_name) AS name_upper,
