@@ -121,7 +121,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard from per-doc set sizes. One shuffle keyed by shingle, one by
     pair; never a cross join.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    # cache: the shingle set feeds four consumers (a-side, b-side, two
+    # size lookups); without it Catalyst re-derives the whole
+    # scan+explode+distinct subtree per consumer
+    sh = _doc_shingles(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "hs")
     b = sh.select(F.col("doc_id").alias("doc_b"), "hs")
