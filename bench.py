@@ -47,12 +47,17 @@ def main() -> None:
     queries["q6_forecast_revenue"](spark, sf_dir).write.mode(
         "overwrite").format("noop").save()
 
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.mode("overwrite") \
-            .format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeat):
+            spark.catalog.clearCache()   # operators may cache() internally
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.mode("overwrite") \
+                .format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

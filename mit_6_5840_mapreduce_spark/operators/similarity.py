@@ -115,10 +115,92 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- Random-projection LSH (signed random hyperplanes) ------------------
+# Plane weights are md5-derived pseudo-randoms in [-1, 1] — a shared
+# deterministic constant, so the DuckDB oracle recomputes the identical
+# signatures. 16 planes -> 16-bit signature; 4 bands x 4 bits.
+import hashlib
+
+N_PLANES = 16
+LSH_BANDS = 4
+EMB_DIM = 64
+
+
+def _plane_weight(i: int, j: int) -> float:
+    h = int(hashlib.md5(f"plane-{i}-{j}".encode()).hexdigest()[:8], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+PLANES = [[_plane_weight(i, j) for j in range(EMB_DIM)]
+          for i in range(N_PLANES)]
+
+
+def _rp_signature(vec: Column) -> Column:
+    """16-bit signed-random-projection signature of an embedding."""
+    bits = []
+    for i in range(N_PLANES):
+        plane = F.array(*[F.lit(w) for w in PLANES[i]])
+        proj = _dot(vec, plane)
+        bits.append(F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return sum(bits[1:], start=bits[0]).cast("bigint")
+
+
+def embedding_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector random-projection LSH signature (the build side of
+    sub-linear cosine search: one narrow pass, planes are constants)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", _rp_signature(F.col("embedding"))
+                      .alias("lsh_sig"))
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via LSH banding: candidates share >=1 of 4 signature
+    bands (equi-join — THE scale path, vs embedding_neardup's exact
+    cross join), then verified with exact cosine >= NEARDUP_COS.
+
+    Candidate recall is probabilistic and depends on the similarity of
+    the pair: at true near-dup similarity (cos >= 0.9) a 4-bit band
+    collides with probability ~1, at this corpus's low threshold (0.35)
+    measured recall is ~0.5 — use this operator for high-similarity
+    dedup, ``ivf_assign``+probe for broader search. False positives are
+    zero by construction (exact cosine verification). The oracle
+    recomputes the identical pipeline, so the check is exact for what
+    the operator CLAIMS to return."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = emb.select("vec_id", "embedding",
+                      _rp_signature(F.col("embedding")).alias("sig"))
+    bands = sigs.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.expr(f"(sig >> {b * 4}) & 15").alias("band_val"))
+            for b in range(LSH_BANDS)])).alias("b")
+    ).select("vec_id", "embedding",
+             F.col("b.band").alias("band"),
+             F.col("b.band_val").alias("band_val"))
+    cand = (
+        bands.alias("x").join(bands.alias("y"), ["band", "band_val"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("vec_a"),
+                F.col("y.vec_id").alias("vec_b"),
+                F.col("x.embedding").alias("ea"),
+                F.col("y.embedding").alias("eb"))
+        .distinct()
+    )
+    return (
+        cand.select("vec_a", "vec_b",
+                    floor4(cosine(F.col("ea"), F.col("eb")))
+                    .alias("cos_sim"))
+        .where(F.col("cos_sim") >= NEARDUP_COS)
+    )
+
+
 QUERIES = {
     "embedding_topk": embedding_topk,
     "ivf_assign": ivf_assign,
     "embedding_neardup": embedding_neardup,
+    "embedding_lsh_signatures": embedding_lsh_signatures,
+    "embedding_neardup_lsh": embedding_neardup_lsh,
 }
 
 # DuckDB equivalents of _dot/_norm: ordered list folds with DOUBLE elements.
@@ -132,7 +214,47 @@ def _d_cos(a: str, b: str) -> str:
             f"({_D_NORM.format(a=a)} * {_D_NORM.format(a=b)}))")
 
 
+# Per-plane ordered-fold projections with the same literal weights, same
+# fold order as Spark's aggregate() — sign decisions stay bit-identical.
+def _d_proj(i: int) -> str:
+    w = "[" + ", ".join(repr(x) for x in PLANES[i]) + "]"
+    return (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+            f"j -> embedding[j]::DOUBLE * ({w}::DOUBLE[])[j]))")
+
+
+_D_SIG = "(" + " + ".join(
+    f"(CASE WHEN {_d_proj(i)} > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(N_PLANES)) + ")::BIGINT"
+
+_D_LSH_PAIRS = f"""
+        WITH sigs AS (
+            SELECT vec_id, embedding, {_D_SIG} AS sig FROM embeddings
+        ),
+        bands AS (
+            SELECT vec_id, embedding, b AS band, (sig >> (b * 4)) & 15
+                       AS band_val
+            FROM sigs CROSS JOIN (SELECT unnest(range(0, {LSH_BANDS})) AS b)
+        ),
+        cand AS (
+            SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.band_val = y.band_val
+             AND x.vec_id < y.vec_id
+        )
+        SELECT vec_a, vec_b,
+               floor({{cos}} * 10000) / 10000 AS cos_sim
+        FROM cand
+        JOIN embeddings a ON a.vec_id = vec_a
+        JOIN embeddings b ON b.vec_id = vec_b
+        WHERE floor({{cos}} * 10000) / 10000 >= {NEARDUP_COS}
+"""
+
 ORACLES = {
+    "embedding_lsh_signatures": f"""
+        SELECT vec_id, {_D_SIG} AS lsh_sig FROM embeddings
+    """,
+    "embedding_neardup_lsh": _D_LSH_PAIRS.format(
+        cos=_d_cos("a.embedding", "b.embedding")),
     "embedding_topk": f"""
         SELECT query_id, cand_id, cos_sim, rank
         FROM (
