@@ -283,6 +283,47 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL text surface: the same ANSI SQL runs on
+    spark.sql over registered views and on the DuckDB oracle verbatim —
+    one query string, two engines, hash-equal results."""
+    from mit_6_5840_mapreduce_spark.sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(_REVENUE_BY_SEGMENT_SQL)
+
+
+_REVENUE_BY_SEGMENT_SQL = """
+    SELECT c_mktsegment,
+           count(DISTINCT o_orderkey) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           floor(round(sum(o_totalprice), 2) / count(DISTINCT o_orderkey)
+                 * 10000) / 10000 AS avg_order_value
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of orders: per-column null counts and
+    numeric/temporal ranges in ONE scan (the pipeline-health primitive a
+    100 TB ingest runs before anything else)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1))
+         .alias("null_totalprice"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1))
+         .alias("null_orderdate"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
 def nation_customer_supplier_balance(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
     """Full outer join of per-nation customer and supplier counts
@@ -345,6 +386,8 @@ def events_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sql_revenue_by_segment": sql_revenue_by_segment,
+    "table_profile": table_profile,
     "nation_customer_supplier_balance": nation_customer_supplier_balance,
     "user_event_pivot": user_event_pivot,
     "orders_dow_stats": orders_dow_stats,
@@ -368,6 +411,23 @@ QUERIES = {
 
 ORACLES = {
     # events_user_sketch: deliberately no oracle (approximate result)
+    # sql_revenue_by_segment: the SAME SQL string is the oracle
+    "sql_revenue_by_segment": _REVENUE_BY_SEGMENT_SQL,
+    "table_profile": """
+        SELECT count(*) AS n_rows,
+               count(CASE WHEN o_custkey IS NULL THEN 1 END)
+                   AS null_custkey,
+               count(CASE WHEN o_totalprice IS NULL THEN 1 END)
+                   AS null_totalprice,
+               count(CASE WHEN o_orderdate IS NULL THEN 1 END)
+                   AS null_orderdate,
+               count(DISTINCT o_orderstatus) AS n_statuses,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price,
+               min(o_orderdate) AS min_date,
+               max(o_orderdate) AS max_date
+        FROM orders
+    """,
     "nation_customer_supplier_balance": """
         SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
                coalesce(c.n_customers, 0) AS n_customers,
