@@ -138,6 +138,69 @@ def user_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTRIBUTION_WINDOW_MIN = 60
+
+
+def click_purchase_attribution_stream(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks within the preceding hour. Watermarks on BOTH sides
+    bound the join state (clicks older than purchase-watermark minus the
+    interval are dropped from state) — the canonical attribution join at
+    unbounded scale."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(f"""
+            p_user = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES
+        """),
+    ).select("purchase_id", F.col("p_user").alias("user_id"),
+             "purchase_ts", "click_id", "click_ts", "purchase_value")
+
+
+def click_purchase_attribution_batch(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream attribution join (same logical
+    query on the static table; used as the oracle for the stream)."""
+    from mit_6_5840_mapreduce_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"))
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts")
+           - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")),
+    ).select("purchase_id", F.col("p_user").alias("user_id"),
+             "purchase_ts", "click_id", "click_ts", "purchase_value")
+
+
 def run_stream_to_memory(spark: SparkSession, df: DataFrame, name: str,
                          output_mode: str = "complete",
                          timeout_sec: int = 120) -> DataFrame:

@@ -11,6 +11,8 @@ from mit_6_5840_mapreduce_spark.operators.events import (
     events_hourly, sessionize, user_stats,
 )
 from mit_6_5840_mapreduce_spark.streaming.jobs import (
+    click_purchase_attribution_batch,
+    click_purchase_attribution_stream,
     run_stream_to_memory,
     sessionized_stream,
     user_running_totals_stream,
@@ -39,6 +41,16 @@ def test_sessionized_stream_matches_batch(spark, sf_dir):
     cols = ["user_id", "session_start", "session_end",
             "n_events", "sum_value"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir):
+    got = run_stream_to_memory(
+        spark, click_purchase_attribution_stream(spark, sf_dir),
+        "attribution", output_mode="append")
+    want = click_purchase_attribution_batch(spark, sf_dir)
+    cols = ["purchase_id", "user_id", "click_id"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0   # the join actually fires on this corpus
 
 
 def test_user_running_totals_final_state(spark, sf_dir):
