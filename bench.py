@@ -26,13 +26,21 @@ HEADLINE = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "q13_customer_distribution",
     "top3_orders_per_customer",
+    "user_event_pivot",
     "sessionize",
+    "events_hourly",
     "asof_join_orders",
+    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "embedding_topk",
+    "embedding_neardup_lsh",
+    "doc_chunks",
+    "lang_id",
 )
 
 

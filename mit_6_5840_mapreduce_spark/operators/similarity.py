@@ -35,8 +35,14 @@ N_CENTROIDS = 10        # ivf_assign: vec_id < 10 are the centroids
 NEARDUP_COS = 0.35
 
 
+EMB_DIM = 64
+
+
 def _dot(a: Column, b: Column) -> Column:
-    """Ordered-fold dot product with DOUBLE accumulation (deterministic)."""
+    """Ordered-fold dot product with DOUBLE accumulation (deterministic;
+    matches DuckDB list_sum's fold order). NOTE: an unrolled 64-term Add
+    chain was tried and measured SLOWER — the giant codegen tree blows
+    past JIT method limits; the higher-order fold wins in practice."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -56,19 +62,29 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _with_norm(emb: DataFrame, id_alias: str, vec_alias: str,
+               norm_alias: str) -> DataFrame:
+    """Precompute each vector's norm ONCE — pairwise scoring then costs a
+    single fold (the dot) instead of three. Numerically identical to
+    inline cosine: same folds, same order, just not repeated per pair."""
+    return emb.select(F.col("vec_id").alias(id_alias),
+                      F.col("embedding").alias(vec_alias),
+                      _norm(F.col("embedding")).alias(norm_alias))
+
+
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: for each query vector (vec_id <
     N_QUERY_VECS), the TOP_K most similar other vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    c = emb.select(F.col("vec_id").alias("cand_id"),
-                   F.col("embedding").alias("cv"))
+    q = _with_norm(emb.where(F.col("vec_id") < N_QUERY_VECS),
+                   "query_id", "qv", "qn")
+    c = _with_norm(emb, "cand_id", "cv", "cn")
     scored = (
         c.crossJoin(broadcast(q))
         .where(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id",
-                floor4(cosine(F.col("qv"), F.col("cv"))).alias("cos_sim"))
+                floor4(_dot(F.col("qv"), F.col("cv"))
+                       / (F.col("qn") * F.col("cn"))).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("cand_id"))
@@ -82,14 +98,14 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid
     by cosine (centroids = vec_id < N_CENTROIDS; ties -> lowest id)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centroid"))
+    cents = _with_norm(emb.where(F.col("vec_id") < N_CENTROIDS),
+                       "centroid_id", "centroid", "cn")
+    vecs = _with_norm(emb, "vec_id", "v", "vn")
     scored = (
-        emb.crossJoin(broadcast(cents))
+        vecs.crossJoin(broadcast(cents))
         .select("vec_id", "centroid_id",
-                floor4(cosine(F.col("embedding"), F.col("centroid")))
-                 .alias("cos_sim"))
+                floor4(_dot(F.col("v"), F.col("centroid"))
+                       / (F.col("vn") * F.col("cn"))).alias("cos_sim"))
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_sim"), F.asc("centroid_id"))
@@ -103,14 +119,13 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= NEARDUP_COS, exact."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").alias("eb"))
+    a = _with_norm(emb, "vec_a", "ea", "na")
+    b = _with_norm(emb, "vec_b", "eb", "nb")
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b",
-                floor4(cosine(F.col("ea"), F.col("eb"))).alias("cos_sim"))
+                floor4(_dot(F.col("ea"), F.col("eb"))
+                       / (F.col("na") * F.col("nb"))).alias("cos_sim"))
         .where(F.col("cos_sim") >= NEARDUP_COS)
     )
 
@@ -118,12 +133,20 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- Random-projection LSH (signed random hyperplanes) ------------------
 # Plane weights are md5-derived pseudo-randoms in [-1, 1] — a shared
 # deterministic constant, so the DuckDB oracle recomputes the identical
-# signatures. 16 planes -> 16-bit signature; 4 bands x 4 bits.
+# signatures.
+#
+# Two knobs, two uses:
+# - embedding_lsh_signatures packs the first 32 plane signs into one
+#   BIGINT (a compact per-vector sketch).
+# - embedding_neardup_lsh uses 64 planes as 8 bands x 8 bits: recall at
+#   cos 0.9 is 1-(1-p^8)^8 with p = 1 - acos(0.9)/pi ~= 0.94, while each
+#   band still has 256 buckets bounding candidate fan-out.
 import hashlib
 
-N_PLANES = 16
-LSH_BANDS = 4
-EMB_DIM = 64
+N_PLANES = 32                 # packed-signature width
+LSH_TOTAL_PLANES = 64
+LSH_BANDS = 8
+BAND_BITS = LSH_TOTAL_PLANES // LSH_BANDS
 
 
 def _plane_weight(i: int, j: int) -> float:
@@ -132,11 +155,12 @@ def _plane_weight(i: int, j: int) -> float:
 
 
 PLANES = [[_plane_weight(i, j) for j in range(EMB_DIM)]
-          for i in range(N_PLANES)]
+          for i in range(LSH_TOTAL_PLANES)]
 
 
 def _rp_signature(vec: Column) -> Column:
-    """16-bit signed-random-projection signature of an embedding."""
+    """Signed-random-projection signature (fold-based projections; see
+    the _dot note on why unrolling loses)."""
     bits = []
     for i in range(N_PLANES):
         plane = F.array(*[F.lit(w) for w in PLANES[i]])
@@ -153,44 +177,56 @@ def embedding_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("lsh_sig"))
 
 
+def _band_val(vec: Column, band: int) -> Column:
+    """8-bit band value: the sign bits of this band's 8 plane
+    projections (computed directly — no 64-bit packed signature, which
+    would overflow BIGINT at bit 63)."""
+    val = F.lit(0)
+    for j in range(BAND_BITS):
+        i = band * BAND_BITS + j
+        plane = F.array(*[F.lit(w) for w in PLANES[i]])
+        val = val + F.when(_dot(vec, plane) > 0,
+                           F.lit(1 << j)).otherwise(F.lit(0))
+    return val
+
+
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup via LSH banding: candidates share >=1 of 4 signature
+    """Near-dup via LSH banding: candidates share >=1 of 8 signature
     bands (equi-join — THE scale path, vs embedding_neardup's exact
     cross join), then verified with exact cosine >= NEARDUP_COS.
 
-    Candidate recall is probabilistic and depends on the similarity of
-    the pair: at true near-dup similarity (cos >= 0.9) a 4-bit band
-    collides with probability ~1, at this corpus's low threshold (0.35)
-    measured recall is ~0.5 — use this operator for high-similarity
-    dedup, ``ivf_assign``+probe for broader search. False positives are
-    zero by construction (exact cosine verification). The oracle
-    recomputes the identical pipeline, so the check is exact for what
-    the operator CLAIMS to return."""
+    Candidate recall is probabilistic and similarity-dependent:
+    ~0.94 at cos 0.9 (true near-dups), low at this corpus's 0.35
+    threshold — use this operator for high-similarity dedup,
+    ``ivf_assign``+probe for broader search. False positives are zero
+    by construction (exact cosine verification). The oracle recomputes
+    the identical pipeline, so the check is exact for what the operator
+    CLAIMS to return."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = emb.select("vec_id", "embedding",
-                      _rp_signature(F.col("embedding")).alias("sig"))
-    bands = sigs.select(
-        "vec_id", "embedding",
+    bands = emb.select(
+        "vec_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.expr(f"(sig >> {b * 4}) & 15").alias("band_val"))
+                     _band_val(F.col("embedding"), b).alias("band_val"))
             for b in range(LSH_BANDS)])).alias("b")
-    ).select("vec_id", "embedding",
-             F.col("b.band").alias("band"),
+    ).select("vec_id", F.col("b.band").alias("band"),
              F.col("b.band_val").alias("band_val"))
+    # distinct on id PAIRS only — never shuffle embedding arrays through
+    # the dedup; re-join vectors for the verification step
     cand = (
         bands.alias("x").join(bands.alias("y"), ["band", "band_val"])
         .where(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(F.col("x.vec_id").alias("vec_a"),
-                F.col("y.vec_id").alias("vec_b"),
-                F.col("x.embedding").alias("ea"),
-                F.col("y.embedding").alias("eb"))
+                F.col("y.vec_id").alias("vec_b"))
         .distinct()
     )
+    ea = _with_norm(emb, "vec_a", "ea", "na")
+    eb = _with_norm(emb, "vec_b", "eb", "nb")
     return (
-        cand.select("vec_a", "vec_b",
-                    floor4(cosine(F.col("ea"), F.col("eb")))
-                    .alias("cos_sim"))
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .select("vec_a", "vec_b",
+                floor4(_dot(F.col("ea"), F.col("eb"))
+                       / (F.col("na") * F.col("nb"))).alias("cos_sim"))
         .where(F.col("cos_sim") >= NEARDUP_COS)
     )
 
@@ -226,14 +262,22 @@ _D_SIG = "(" + " + ".join(
     f"(CASE WHEN {_d_proj(i)} > 0 THEN {1 << i} ELSE 0 END)"
     for i in range(N_PLANES)) + ")::BIGINT"
 
+def _d_band_val(band: int) -> str:
+    terms = []
+    for j in range(BAND_BITS):
+        i = band * BAND_BITS + j
+        w = "[" + ", ".join(repr(x) for x in PLANES[i]) + "]"
+        proj = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+                f"j -> embedding[j]::DOUBLE * ({w}::DOUBLE[])[j]))")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 _D_LSH_PAIRS = f"""
-        WITH sigs AS (
-            SELECT vec_id, embedding, {_D_SIG} AS sig FROM embeddings
-        ),
-        bands AS (
-            SELECT vec_id, embedding, b AS band, (sig >> (b * 4)) & 15
-                       AS band_val
-            FROM sigs CROSS JOIN (SELECT unnest(range(0, {LSH_BANDS})) AS b)
+        WITH bands AS (
+            {" UNION ALL ".join(
+                f"SELECT vec_id, {b} AS band, {_d_band_val(b)} AS band_val "
+                f"FROM embeddings" for b in range(LSH_BANDS))}
         ),
         cand AS (
             SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
