@@ -58,10 +58,6 @@ def _norm(a: Column) -> Column:
     ))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
-
-
 def _with_norm(emb: DataFrame, id_alias: str, vec_alias: str,
                norm_alias: str) -> DataFrame:
     """Precompute each vector's norm ONCE — pairwise scoring then costs a
@@ -158,14 +154,19 @@ PLANES = [[_plane_weight(i, j) for j in range(EMB_DIM)]
           for i in range(LSH_TOTAL_PLANES)]
 
 
+def _proj(vec: Column, i: int) -> Column:
+    """Projection of vec onto plane i — the ONE Spark expression whose
+    fold order must match the oracle's _d_proj; both signature packing
+    and band values go through here."""
+    plane = F.array(*[F.lit(w) for w in PLANES[i]])
+    return _dot(vec, plane)
+
+
 def _rp_signature(vec: Column) -> Column:
     """Signed-random-projection signature (fold-based projections; see
     the _dot note on why unrolling loses)."""
-    bits = []
-    for i in range(N_PLANES):
-        plane = F.array(*[F.lit(w) for w in PLANES[i]])
-        proj = _dot(vec, plane)
-        bits.append(F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    bits = [F.when(_proj(vec, i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(N_PLANES)]
     return sum(bits[1:], start=bits[0]).cast("bigint")
 
 
@@ -183,9 +184,7 @@ def _band_val(vec: Column, band: int) -> Column:
     would overflow BIGINT at bit 63)."""
     val = F.lit(0)
     for j in range(BAND_BITS):
-        i = band * BAND_BITS + j
-        plane = F.array(*[F.lit(w) for w in PLANES[i]])
-        val = val + F.when(_dot(vec, plane) > 0,
+        val = val + F.when(_proj(vec, band * BAND_BITS + j) > 0,
                            F.lit(1 << j)).otherwise(F.lit(0))
     return val
 
@@ -252,6 +251,8 @@ def _d_cos(a: str, b: str) -> str:
 
 # Per-plane ordered-fold projections with the same literal weights, same
 # fold order as Spark's aggregate() — sign decisions stay bit-identical.
+# The ONE DuckDB counterpart of _proj; both oracle signature packing and
+# oracle band values go through here.
 def _d_proj(i: int) -> str:
     w = "[" + ", ".join(repr(x) for x in PLANES[i]) + "]"
     return (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
@@ -263,21 +264,25 @@ _D_SIG = "(" + " + ".join(
     for i in range(N_PLANES)) + ")::BIGINT"
 
 def _d_band_val(band: int) -> str:
-    terms = []
-    for j in range(BAND_BITS):
-        i = band * BAND_BITS + j
-        w = "[" + ", ".join(repr(x) for x in PLANES[i]) + "]"
-        proj = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
-                f"j -> embedding[j]::DOUBLE * ({w}::DOUBLE[])[j]))")
-        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    terms = [
+        f"(CASE WHEN {_d_proj(band * BAND_BITS + j)} > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(BAND_BITS)
+    ]
     return "(" + " + ".join(terms) + ")"
 
 
 _D_LSH_PAIRS = f"""
-        WITH bands AS (
+        WITH proj AS (
+            SELECT vec_id,
+                   {", ".join(f"{_d_band_val(b)} AS bv{b}"
+                              for b in range(LSH_BANDS))}
+            FROM embeddings
+        ),
+        bands AS (
             {" UNION ALL ".join(
-                f"SELECT vec_id, {b} AS band, {_d_band_val(b)} AS band_val "
-                f"FROM embeddings" for b in range(LSH_BANDS))}
+                f"SELECT vec_id, {b} AS band, bv{b} AS band_val FROM proj"
+                for b in range(LSH_BANDS))}
         ),
         cand AS (
             SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
