@@ -175,7 +175,52 @@ def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event value over time via the built-in
+    regression aggregates (JVM-side regr_slope/regr_r2 — no Python).
+    Time axis in hours since epoch keeps slopes in a sane range."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = (F.unix_micros(F.col("ts").cast("timestamp")) / 3.6e9)
+    return (
+        ev.select("user_id", hours.alias("h"), "value")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            floor4(F.regr_slope("value", "h")).alias("slope"),
+            floor4(F.regr_intercept("value", "h")).alias("intercept"),
+        )
+    )
+
+
+def _user_mad(pdf):
+    import numpy as np
+    med = float(np.median(pdf["value"]))
+    mad = float(np.median((pdf["value"] - med).abs()))
+    import pandas as pd
+    return pd.DataFrame({
+        "user_id": [pdf["user_id"].iloc[0]],
+        "n_events": [len(pdf)],
+        "median_value": [med],
+        "mad_value": [mad],
+    })
+
+
+def user_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of event values per user via grouped
+    applyInPandas (the Arrow grouped-map API — the escape hatch for
+    per-group logic built-ins can't express). Medians are order
+    statistics, so results are cross-engine exact with no float-order
+    hazard."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        _user_mad,
+        "user_id BIGINT, n_events BIGINT, median_value DOUBLE, "
+        "mad_value DOUBLE")
+
+
 QUERIES = {
+    "user_value_trend": user_value_trend,
+    "user_value_mad": user_value_mad,
     "events_props_stats": events_props_stats,
     "sessionize": sessionize,
     "events_hourly": events_hourly,
@@ -185,6 +230,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "user_value_trend": """
+        SELECT user_id,
+               count(*) AS n_events,
+               floor(regr_slope(value, epoch_us(ts) / 3.6e9) * 10000)
+                   / 10000 AS slope,
+               floor(regr_intercept(value, epoch_us(ts) / 3.6e9) * 10000)
+                   / 10000 AS intercept
+        FROM events GROUP BY user_id
+    """,
+    "user_value_mad": """
+        SELECT user_id,
+               count(*) AS n_events,
+               median(value) AS median_value,
+               median(abs(value - med)) AS mad_value
+        FROM (SELECT user_id, value,
+                     median(value) OVER (PARTITION BY user_id) AS med
+              FROM events)
+        GROUP BY user_id
+    """,
     "events_props_stats": """
         SELECT k_bucket,
                count(*) AS n_events,

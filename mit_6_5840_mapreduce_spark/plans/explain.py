@@ -60,7 +60,8 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def has_python_eval(df: DataFrame) -> bool:
-    """True if rows cross into Python (Batch/ArrowEvalPython, mapInPandas
-    operators) — the slow path unless explicitly intended."""
+    """True if rows cross into Python (Batch/ArrowEvalPython, mapInPandas,
+    grouped applyInPandas) — the slow path unless explicitly intended."""
     plan = executed_plan(df)
-    return "EvalPython" in plan or "MapInPandas" in plan
+    return ("EvalPython" in plan or "MapInPandas" in plan
+            or "FlatMapGroupsInPandas" in plan)

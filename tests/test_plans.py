@@ -21,8 +21,9 @@ from mit_6_5840_mapreduce_spark.plans import (
 
 QUERIES = entrymod.queries()
 
-# queries that deliberately cross into Python (Arrow-batched mapInPandas)
-PYTHON_PATH_OK = {"multimodal_meta", "frame_sample"}
+# queries that deliberately cross into Python (Arrow-batched mapInPandas
+# / grouped applyInPandas)
+PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad"}
 # tiny-side cross joins (broadcast) are fine; a plain cartesian is not
 CARTESIAN_OK = {"embedding_neardup"}
 
