@@ -112,6 +112,63 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 3             # ivf_search: cells probed per query
+
+
+def _cell_assign(emb: DataFrame, cents: DataFrame, id_col: str,
+                 rank_col: str, n_cells: int) -> DataFrame:
+    """Nearest-n_cells centroid assignment (shared by build & probe sides
+    of ivf_search). cents must be the small broadcastable side."""
+    vecs = _with_norm(emb, id_col, "v", "vn")
+    scored = (
+        vecs.crossJoin(broadcast(cents))
+        .select(id_col, "centroid_id",
+                (_dot(F.col("v"), F.col("centroid"))
+                 / (F.col("vn") * F.col("cn"))).alias("cs"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("centroid_id"))
+    return (scored.withColumn(rank_col, F.row_number().over(w))
+            .where(F.col(rank_col) <= n_cells)
+            .select(id_col, "centroid_id"))
+
+
+def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: each query probes only its N_PROBE nearest
+    cells; candidates are corpus vectors assigned to those cells
+    (equi-join on centroid_id — at 100 TB this touches ~N_PROBE/N_CENTROIDS
+    of the corpus instead of all of it, and the inverted lists can be
+    pre-partitioned by cell). Exact cosine re-rank on the candidates.
+
+    The approximation is explicit: a neighbor whose cell the query does
+    not probe is missed — standard IVF semantics (the oracle recomputes
+    the identical pipeline, so the check is exact for what the operator
+    claims)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _with_norm(emb.where(F.col("vec_id") < N_CENTROIDS),
+                       "centroid_id", "centroid", "cn")
+    # build: every corpus vector -> its 1 nearest cell
+    corpus_cells = _cell_assign(emb, cents, "cand_id", "rn", 1)
+    # probe: every query -> its N_PROBE nearest cells
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    query_cells = _cell_assign(queries, cents, "query_id", "probe_rank",
+                               N_PROBE)
+    cand_ids = (query_cells.join(corpus_cells, "centroid_id")
+                .where(F.col("cand_id") != F.col("query_id"))
+                .select("query_id", "cand_id").distinct())
+    q = _with_norm(queries, "query_id", "qv", "qn")
+    c = _with_norm(emb, "cand_id", "cv", "cn")
+    scored = (
+        cand_ids.join(broadcast(q), "query_id").join(c, "cand_id")
+        .select("query_id", "cand_id",
+                floor4(_dot(F.col("qv"), F.col("cv"))
+                       / (F.col("qn") * F.col("cn"))).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K))
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= NEARDUP_COS, exact."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -154,39 +211,55 @@ PLANES = [[_plane_weight(i, j) for j in range(EMB_DIM)]
           for i in range(LSH_TOTAL_PLANES)]
 
 
-def _proj(vec: Column, i: int) -> Column:
-    """Projection of vec onto plane i — the ONE Spark expression whose
-    fold order must match the oracle's _d_proj; both signature packing
-    and band values go through here."""
-    plane = F.array(*[F.lit(w) for w in PLANES[i]])
-    return _dot(vec, plane)
+def _proj_sql(vec_sql: str, i: int) -> str:
+    """Projection of vec onto plane i as SQL TEXT. The whole per-query
+    expression is assembled as one string and parsed with a single
+    F.expr call: building it from Column objects costs a py4j round trip
+    per node (~4096 literals + lambdas across 64 planes), measured at
+    ~3 s of driver time per query BUILD — dwarfing actual execution.
+    Semantics are exactly _dot(vec, plane): same zip_with/aggregate fold,
+    same DOUBLE casts ('D' literals parse via Double.parseDouble, which
+    is correctly rounded like Python float, so weights are bit-identical
+    to the F.lit path). This is the ONE expression whose fold order must
+    match the oracle's _d_proj; signature packing and band values both
+    go through here."""
+    plane = "array(" + ", ".join(f"{w!r}D" for w in PLANES[i]) + ")"
+    return (f"aggregate(zip_with({vec_sql}, {plane}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x)")
 
 
-def _rp_signature(vec: Column) -> Column:
+def _rp_signature(vec_sql: str) -> Column:
     """Signed-random-projection signature (fold-based projections; see
     the _dot note on why unrolling loses)."""
-    bits = [F.when(_proj(vec, i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            for i in range(N_PLANES)]
-    return sum(bits[1:], start=bits[0]).cast("bigint")
+    terms = " + ".join(
+        f"(CASE WHEN {_proj_sql(vec_sql, i)} > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(N_PLANES))
+    return F.expr(f"CAST({terms} AS BIGINT)")
 
 
 def embedding_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector random-projection LSH signature (the build side of
-    sub-linear cosine search: one narrow pass, planes are constants)."""
+    sub-linear cosine search: one narrow pass, planes are constants).
+
+    The projection fold is the per-row hot spot, and a single parquet
+    file scans as ONE partition — repartition first so all cores share
+    the work (at 100 TB the scan has thousands of splits and this is a
+    no-op cost-wise; here it's a 512 KB shuffle for a 32x speedup)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", _rp_signature(F.col("embedding"))
-                      .alias("lsh_sig"))
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    return emb.select("vec_id", _rp_signature("embedding").alias("lsh_sig"))
 
 
-def _band_val(vec: Column, band: int) -> Column:
+def _band_val_sql(vec_sql: str, band: int) -> str:
     """8-bit band value: the sign bits of this band's 8 plane
     projections (computed directly — no 64-bit packed signature, which
     would overflow BIGINT at bit 63)."""
-    val = F.lit(0)
-    for j in range(BAND_BITS):
-        val = val + F.when(_proj(vec, band * BAND_BITS + j) > 0,
-                           F.lit(1 << j)).otherwise(F.lit(0))
-    return val
+    return "(0 + " + " + ".join(
+        f"(CASE WHEN {_proj_sql(vec_sql, band * BAND_BITS + j)} > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(BAND_BITS)) + ")"
 
 
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,14 +275,24 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical pipeline, so the check is exact for what the operator
     CLAIMS to return."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bands = emb.select(
+    # repartition BEFORE the 64-projection band computation (single-file
+    # scan = single partition otherwise), then hash-partition the band
+    # rows on the join key: both sides of the self-join below become the
+    # same canonical exchange, so ReuseExchange computes the expensive
+    # projections ONCE and the equi-join needs no further shuffle.
+    band_structs = ", ".join(
+        f"struct({b} AS band, {_band_val_sql('embedding', b)} AS band_val)"
+        for b in range(LSH_BANDS))
+    bands = emb.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     _band_val(F.col("embedding"), b).alias("band_val"))
-            for b in range(LSH_BANDS)])).alias("b")
+        F.expr(f"explode(array({band_structs}))").alias("b")
     ).select("vec_id", F.col("b.band").alias("band"),
              F.col("b.band_val").alias("band_val"))
+    # The self-join consumes bands twice, and AQE's broadcast conversion
+    # defeats exchange reuse — persist so the 64-projection pass runs
+    # once (the 100 TB version of "once" is a bucketed materialization;
+    # bands are 3 ints/row, so this never approaches corpus size).
+    bands = bands.repartition("band", "band_val").persist()
     # distinct on id PAIRS only — never shuffle embedding arrays through
     # the dedup; re-join vectors for the verification step
     cand = (
@@ -233,6 +316,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "embedding_topk": embedding_topk,
     "ivf_assign": ivf_assign,
+    "ivf_search": ivf_search,
     "embedding_neardup": embedding_neardup,
     "embedding_lsh_signatures": embedding_lsh_signatures,
     "embedding_neardup_lsh": embedding_neardup_lsh,
@@ -332,6 +416,43 @@ ORACLES = {
             FROM embeddings v JOIN embeddings c ON c.vec_id < {N_CENTROIDS}
         )
         WHERE rn = 1
+    """,
+    "ivf_search": f"""
+        WITH corpus_cells AS (
+            SELECT cand_id, centroid_id FROM (
+                SELECT v.vec_id AS cand_id, c.vec_id AS centroid_id,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_d_cos('v.embedding', 'c.embedding')} DESC,
+                                    c.vec_id) AS rn
+                FROM embeddings v JOIN embeddings c ON c.vec_id < {N_CENTROIDS}
+            ) WHERE rn = 1
+        ),
+        query_cells AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_d_cos('q.embedding', 'c.embedding')} DESC,
+                                    c.vec_id) AS pr
+                FROM embeddings q JOIN embeddings c ON c.vec_id < {N_CENTROIDS}
+                WHERE q.vec_id < {N_QUERY_VECS}
+            ) WHERE pr <= {N_PROBE}
+        ),
+        cand AS (
+            SELECT DISTINCT query_id, cand_id
+            FROM query_cells qc JOIN corpus_cells cc USING (centroid_id)
+            WHERE cand_id <> query_id
+        )
+        SELECT query_id, cand_id, cos_sim, rank FROM (
+            SELECT query_id, cand_id,
+                   floor({_d_cos('a.embedding', 'b.embedding')} * 10000)
+                       / 10000 AS cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY floor({_d_cos('a.embedding', 'b.embedding')}
+                                      * 10000) / 10000 DESC,
+                                cand_id) AS rank
+            FROM cand JOIN embeddings a ON a.vec_id = query_id
+                      JOIN embeddings b ON b.vec_id = cand_id
+        ) WHERE rank <= {TOP_K}
     """,
     "embedding_neardup": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
