@@ -38,8 +38,9 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
         similarity,
         textstats,
     )
+    from mit_6_5840_mapreduce_spark.streaming import jobs as streaming_jobs
     modules = (mrqueries, relational, events, dedup, similarity, textstats,
-               multimodal)
+               multimodal, streaming_jobs)
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for m in modules:

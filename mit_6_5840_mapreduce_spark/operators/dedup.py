@@ -33,7 +33,7 @@ from pyspark.sql.functions import broadcast
 
 from mit_6_5840_mapreduce_spark.functions.numeric import floor4
 from mit_6_5840_mapreduce_spark.functions.text import TOKEN_SPLIT_RE, tokenize
-from mit_6_5840_mapreduce_spark.sources.tables import load_table
+from mit_6_5840_mapreduce_spark.sources.tables import fan_out, load_table
 
 # ---- MinHash parameters (shared with the oracle SQL) --------------------
 MINHASH_P = 2147483647          # 2^31 - 1, prime
@@ -74,7 +74,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width ints (vs ~20-char strings); collision probability at 60
     bits is ~n^2/2^61 — negligible at any realistic shingle cardinality.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
         .select("doc_id",
@@ -227,7 +227,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from token frequencies."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = (
         docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
         .groupBy("doc_id", "word")

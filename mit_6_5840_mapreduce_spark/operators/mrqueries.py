@@ -25,12 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mit_6_5840_mapreduce_spark.functions.text import tokens_df
-from mit_6_5840_mapreduce_spark.sources.tables import load_table
+from mit_6_5840_mapreduce_spark.sources.tables import fan_out, load_table
 
 
 def mr_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word count: token = maximal Unicode-letter run, case-sensitive."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     return (
         tokens_df(docs)
         .groupBy("word")
@@ -45,7 +45,7 @@ def mr_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``src/mrapps/indexer.go:21-25``) and sorts the doc list in Reduce
     (``indexer.go:37``); ``collect_set`` + ``sort_array`` reproduces both.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     return (
         tokens_df(docs)
         .select("word", F.col("doc_id").cast("string").alias("doc"))

@@ -13,7 +13,7 @@ from pyspark.sql.functions import broadcast
 
 from mit_6_5840_mapreduce_spark.functions.numeric import floor4
 from mit_6_5840_mapreduce_spark.functions.text import tokenize
-from mit_6_5840_mapreduce_spark.sources.tables import load_table
+from mit_6_5840_mapreduce_spark.sources.tables import fan_out, load_table
 
 # Tiny stopword lexicons for the n-gram/stopword language-ID heuristic.
 # Scores are computed over the doc's tokens; predicted language = argmax
@@ -33,7 +33,7 @@ PUNCT_STRIP_RE = r"[\p{L}\p{N}\s]"
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID: per doc, hits per lexicon -> argmax
     (ties -> lexicographically smallest language; no hits -> 'und')."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     lex = spark.createDataFrame(
         [(lang, w) for lang, words in LEXICONS.items() for w in words],
         "cand_lang STRING, stopword STRING")
@@ -148,7 +148,48 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOP_K terms per document.
+
+    Scoring uses the ratio form tf * (N / df) rather than tf * ln(N/df):
+    libm log is not guaranteed bit-identical across engines, while
+    (term_count * N) / (doc_len * df) is ONE correctly-rounded division
+    of exactly-representable integers — deterministic everywhere, and
+    monotone in the same (tf, 1/df) ordering for fixed doc_len.
+
+    Scale shape: one shuffle to (doc_id, word) counts, doc lengths via a
+    window on the same partitioning, document frequencies as a tiny
+    per-word aggregate that broadcasts back, corpus size as a broadcast
+    scalar (no driver-side .count() round trip)."""
+    from pyspark.sql.window import Window
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id",
+                       F.explode(tokenize(F.lower(F.col("text"))))
+                       .alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("term_count"))
+    tf = tf.withColumn(
+        "doc_len", F.sum("term_count").over(Window.partitionBy("doc_id")))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    raw = ((F.col("term_count") * F.col("n_docs")).cast("double")
+           / (F.col("doc_len") * F.col("df")).cast("double"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("word"))
+    return (
+        tf.join(broadcast(dfreq), "word")
+        .crossJoin(broadcast(total))
+        .withColumn("raw", raw)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "word", "term_count",
+                floor4(F.col("raw")).alias("tfidf"), "rank")
+    )
+
+
 QUERIES = {
+    "tfidf_top_terms": tfidf_top_terms,
     "doc_chunks": doc_chunks,
     "lang_id": lang_id,
     "doc_quality": doc_quality,
@@ -160,6 +201,37 @@ _LEX_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang, words in LEXICONS.items() for w in words)
 
 ORACLES = {
+    "tfidf_top_terms": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                       t -> t <> '')) AS word
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, word, count(*) AS term_count
+            FROM toks GROUP BY doc_id, word
+        ),
+        wl AS (
+            SELECT tf.*, sum(term_count) OVER (PARTITION BY doc_id)
+                       AS doc_len
+            FROM tf
+        ),
+        dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        total AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, word, term_count, tfidf, rank FROM (
+            SELECT doc_id, word, term_count,
+                   floor(((term_count * n_docs)::DOUBLE
+                          / (doc_len * df)::DOUBLE) * 10000) / 10000
+                       AS tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY (term_count * n_docs)::DOUBLE
+                                / (doc_len * df)::DOUBLE DESC,
+                                word) AS rank
+            FROM wl JOIN dfreq USING (word) CROSS JOIN total
+        ) WHERE rank <= {TFIDF_TOP_K}
+    """,
     "doc_chunks": rf"""
         WITH staged AS (
             SELECT doc_id,

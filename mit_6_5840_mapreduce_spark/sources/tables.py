@@ -42,6 +42,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a scan across all cores before per-row-heavy compute
+    (tokenize/shingle/hash/project). The driver testdata writes each
+    table as ONE parquet row group, which Spark cannot split — so without
+    this, a compute-bound stage runs on a single core no matter how many
+    are free. The shuffle moves only the scanned columns once; at
+    production scale inputs arrive as many splits and this becomes pure
+    overhead-free redistribution (or can be dropped).
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

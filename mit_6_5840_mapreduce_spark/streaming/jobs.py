@@ -138,6 +138,24 @@ def user_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_within_watermark(ev: DataFrame) -> DataFrame:
+    """Exact-dedup transform shared by the query and its tests."""
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+
+
+def deduped_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication on event_id via
+    dropDuplicatesWithinWatermark: state keeps only ids younger than the
+    watermark, so memory is bounded by arrival rate x watermark delay
+    instead of stream lifetime — the unbounded-scale form of
+    operators/dedup.dedup_exact (its batch twin is dropDuplicates)."""
+    return _dedup_within_watermark(read_events_stream(spark, sf_dir))
+
+
 ATTRIBUTION_WINDOW_MIN = 60
 
 
@@ -214,3 +232,69 @@ def run_stream_to_memory(spark: SparkSession, df: DataFrame, name: str,
     )
     q.awaitTermination(timeout_sec)
     return spark.table(name)
+
+
+# ---- Driver-gate surface --------------------------------------------------
+# Each streaming job also ships as a batch-materialized query: run the
+# stream availableNow into a memory sink and return the result table, so
+# the DuckDB differential gate checks STREAMING results, not just their
+# batch twins. Memory-sink names are uniqued per call (rerunning a stopped
+# query under the same name is an error).
+
+import uuid
+
+
+def _memq(prefix: str) -> str:
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        spark, windowed_counts_stream(spark, sf_dir), _memq("hourly"))
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        spark, deduped_events_stream(spark, sf_dir), _memq("dedup"),
+        output_mode="append")
+
+
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = run_stream_to_memory(
+        spark, user_running_totals_stream(spark, sf_dir), _memq("totals"),
+        output_mode="update")
+    # update mode emits one row per user per micro-batch; keep the final
+    # (= max) state so the result is batch-deterministic
+    return got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value_cents").alias("total_value_cents"))
+
+
+QUERIES = {
+    "stream_hourly_counts": stream_hourly_counts,
+    "stream_dedup_events": stream_dedup_events,
+    "stream_user_totals": stream_user_totals,
+}
+
+ORACLES = {
+    "stream_hourly_counts": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    # event_id is unique in this corpus, so watermarked dedup is the
+    # identity multiset (duplicate-dropping itself is pinned by
+    # tests/test_streaming.py's self-union test, where the survivor set
+    # is well-defined)
+    "stream_dedup_events": """
+        SELECT event_id, user_id, ts, event_type, value FROM events
+    """,
+    # single-file availableNow = one micro-batch, so the stateful
+    # operator's cents accumulation equals one rounded batch sum
+    "stream_user_totals": """
+        SELECT user_id, count(*) AS n_events,
+               CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
+        FROM events GROUP BY user_id
+    """,
+}

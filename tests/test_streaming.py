@@ -71,3 +71,31 @@ def test_user_running_totals_final_state(spark, sf_dir):
         (F.round(F.col("sum_value") * 100)).cast("long").alias("cents"))
     cols = ["user_id", "n_events", "cents"]
     assert _rows(final, cols) == _rows(want, cols)
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
+    from mit_6_5840_mapreduce_spark.streaming.jobs import (
+        deduped_events_stream,
+    )
+    from mit_6_5840_mapreduce_spark.sources.tables import load_table
+    got = run_stream_to_memory(
+        spark, deduped_events_stream(spark, sf_dir), "dedup_stream",
+        output_mode="append")
+    want = load_table(spark, sf_dir, "events").dropDuplicates(["event_id"])
+    assert got.count() == want.count()
+    assert _rows(got, ["event_id"]) == _rows(
+        want.select("event_id"), ["event_id"])
+
+
+def test_stream_dedup_drops_actual_duplicates(spark, sf_dir):
+    """Self-union doubles every event; the deduped stream must still
+    produce each event_id exactly once."""
+    from mit_6_5840_mapreduce_spark.streaming.jobs import (
+        _dedup_within_watermark, read_events_stream,
+    )
+    ev = read_events_stream(spark, sf_dir)
+    got = run_stream_to_memory(
+        spark, _dedup_within_watermark(ev.unionAll(ev)), "dedup_union",
+        output_mode="append")
+    n_ids = got.select("event_id").distinct().count()
+    assert got.count() == n_ids
