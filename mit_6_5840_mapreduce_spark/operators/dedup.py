@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 from mit_6_5840_mapreduce_spark.functions.numeric import floor4
 from mit_6_5840_mapreduce_spark.functions.text import TOKEN_SPLIT_RE, tokenize
@@ -225,6 +226,64 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_MAX_ITERS = 20
+
+
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS: connected components over the exact n-gram
+    Jaccard near-dup pairs, labeling every document with its component's
+    minimum doc_id (singletons keep their own id) plus the group size —
+    the "keep one per cluster" primitive a dedup pipeline actually needs
+    (pairwise output alone can't answer transitive duplication:
+    A~B, B~C => {A,B,C} even when A!~C).
+
+    Pregel-style iterative min-label propagation: each round is one
+    shuffle keyed by doc_id; lineage is cut per round with
+    localCheckpoint so plans stay flat. Rounds needed = component
+    diameter (near-dup clusters are shallow; hard cap CC_MAX_ITERS).
+    The per-round driver action reads ONE aggregated count — no row data
+    ever reaches the driver, so the loop is cluster-safe at any scale.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"),
+                            F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")) \
+                 .localCheckpoint(eager=True)
+    for _ in range(CC_MAX_ITERS):
+        nb = (
+            edges.join(labels.select(F.col("doc_id").alias("src"), "label"),
+                       "src")
+            .groupBy("dst").agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb, labels.doc_id == nb.dst, "left")
+            .select("doc_id",
+                    F.least(F.col("label"),
+                            F.coalesce("nb_label", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.select("doc_id", F.col("label").alias("new_label"))
+            .join(labels, "doc_id")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    w = Window.partitionBy("group_id")
+    return (
+        labels.select("doc_id", F.col("label").alias("group_id"))
+        .withColumn("group_size", F.count("*").over(w))
+    )
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from token frequencies."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
@@ -284,6 +343,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_groups": dedup_groups,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_docs": simhash_docs,
@@ -353,6 +413,43 @@ ORACLES = {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE floor(n_common / (sa.n + sb.n - n_common) * 10000) / 10000
               >= {MIN_JACCARD}
+    """,
+    # connected components via recursive min-label reachability: a doc's
+    # group is the min doc_id among everything transitively connected
+    # through the (undirected) near-dup pair edges
+    "dedup_groups": f"""
+        WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE floor(n_common / (sa.n + sb.n - n_common) * 10000) / 10000
+                  >= {MIN_JACCARD}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(doc_id, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.label
+            FROM edges e JOIN reach r ON r.doc_id = e.src
+        ),
+        grp AS (
+            SELECT doc_id, min(label) AS group_id FROM reach GROUP BY doc_id
+        )
+        SELECT doc_id, group_id,
+               count(*) OVER (PARTITION BY group_id) AS group_size
+        FROM grp
     """,
     "minhash_signatures": f"""
         SELECT doc_id,

@@ -218,8 +218,32 @@ def user_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad_value DOUBLE")
 
 
+VALUE_BANDS = [(0, 0.0, 10.0), (1, 10.0, 50.0), (2, 50.0, 100.0),
+               (3, 100.0, 250.0), (4, 250.0, 1000.0)]
+
+
+def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against a constant-size bands dimension: broadcast the
+    dim and probe lo <= value < hi (BroadcastNestedLoopJoin — each event
+    row scans a 5-row table, so the 'nested loop' is O(1) per row at any
+    corpus scale; the general big-big range join would instead band both
+    sides to an equi-join, the pattern used by the LSH operators)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.functions import broadcast
+    bands = spark.createDataFrame(VALUE_BANDS,
+                                  "band_id INT, lo DOUBLE, hi DOUBLE")
+    j = ev.join(broadcast(bands),
+                (ev.value >= bands.lo) & (ev.value < bands.hi))
+    return (
+        j.groupBy("band_id", "lo", "hi")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
 QUERIES = {
     "user_value_trend": user_value_trend,
+    "events_value_bands": events_value_bands,
     "user_value_mad": user_value_mad,
     "events_props_stats": events_props_stats,
     "sessionize": sessionize,
@@ -229,7 +253,20 @@ QUERIES = {
     "event_transitions": event_transitions,
 }
 
+_BANDS_VALUES = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BANDS)
+
 ORACLES = {
+    "events_value_bands": f"""
+        SELECT band_id, lo, hi,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        JOIN (SELECT band_id, CAST(lo AS DOUBLE) AS lo,
+                     CAST(hi AS DOUBLE) AS hi
+              FROM (VALUES {_BANDS_VALUES}) v(band_id, lo, hi))
+          ON value >= lo AND value < hi
+        GROUP BY band_id, lo, hi
+    """,
     "user_value_trend": """
         SELECT user_id,
                count(*) AS n_events,

@@ -135,6 +135,78 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q18_MIN_QTY = 300
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with very large orders (aggregate-filtered
+    semi join: the HAVING subquery becomes an inner join against the
+    filtered per-order aggregate, which also carries total_qty)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", F.col("total_qty").alias("total_qty"))
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 adapted (corpus has no container/shipmode): revenue from
+    three disjunctive brand/size/quantity branches. Exercises OR-predicate
+    handling — the shared p_partkey join stays a single broadcast hash
+    join, with the disjunction evaluated as a post-join filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    branch = (
+        ((F.col("p_brand") == "Brand#12")
+         & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23")
+           & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34")
+           & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return joined.where(branch).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("revenue"),
+        F.count("*").alias("n_lineitems"))
+
+
+def daily_revenue_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue via a RANGE window frame over the daily
+    aggregate. Money is summed as integer cents end-to-end, so window
+    sums are order-independent and exact on any engine. The unpartitioned
+    window runs on the DAILY rollup (bounded cardinality: one row per
+    day), so the single-reducer window stage is fine at any corpus scale
+    — the big shuffle is the day rollup, which is a plain hash-agg."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+              .alias("cents"),
+             F.count("*").alias("n_orders"))
+    )
+    w = (Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+         .rangeBetween(-6 * 86400, 0))
+    return daily.select(
+        "day", "n_orders",
+        F.round(F.col("cents") / F.lit(100.0), 2).alias("day_revenue"),
+        F.round(F.sum("cents").over(w) / F.lit(100.0), 2)
+         .alias("trailing7_revenue"),
+        F.sum("n_orders").over(w).alias("trailing7_orders"))
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: histogram of orders-per-customer (incl. zero)."""
     cust = _t(spark, sf_dir, "customer")
@@ -403,6 +475,9 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
     "q13_customer_distribution": q13_customer_distribution,
+    "q18_large_orders": q18_large_orders,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "daily_revenue_trailing": daily_revenue_trailing,
     "top3_orders_per_customer": top3_orders_per_customer,
     "brand_price_stats": brand_price_stats,
     "repeat_customers": repeat_customers,
@@ -547,6 +622,43 @@ ORACLES = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY n_name
+    """,
+    "daily_revenue_trailing": """
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT day, n_orders,
+               round(cents / 100.0, 2) AS day_revenue,
+               round(sum(cents) OVER w / 100.0, 2) AS trailing7_revenue,
+               CAST(sum(n_orders) OVER w AS BIGINT) AS trailing7_orders
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                           AND CURRENT ROW)
+    """,
+    "q18_large_orders": f"""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               total_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > {Q18_MIN_QTY}) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q19_discounted_revenue": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
     """,
     "q6_forecast_revenue": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue

@@ -188,8 +188,30 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_BUCKETS = 100
+TRAIN_PCT, VAL_PCT = 80, 10
+
+
+def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test holdout assignment: md5-bucket of
+    doc_id -> 80/10/10. No RNG and no state, so the split is
+    reproducible on any engine, cluster size, or partitioning — the
+    property a training pipeline actually needs from a holdout (a seeded
+    `sample()` changes with partition layout)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 8), 16, 10)
+              .cast("bigint") % SPLIT_BUCKETS)
+    return docs.select(
+        "doc_id", bucket.alias("bucket"),
+        F.when(bucket < TRAIN_PCT, "train")
+         .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+         .otherwise("test").alias("split"))
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
+    "doc_split": doc_split,
     "doc_chunks": doc_chunks,
     "lang_id": lang_id,
     "doc_quality": doc_quality,
@@ -201,6 +223,19 @@ _LEX_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang, words in LEXICONS.items() for w in words)
 
 ORACLES = {
+    "doc_split": f"""
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+                    WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(concat('0x',
+                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {SPLIT_BUCKETS} AS bucket
+            FROM documents
+        )
+    """,
     "tfidf_top_terms": rf"""
         WITH toks AS (
             SELECT doc_id,
