@@ -27,7 +27,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from mit_6_5840_mapreduce_spark.functions.numeric import floor4
-from mit_6_5840_mapreduce_spark.sources.tables import load_table
+from mit_6_5840_mapreduce_spark.sources.tables import fan_out, load_table
 
 N_QUERY_VECS = 8        # embedding_topk: vec_id < 8 are the query set
 TOP_K = 5
@@ -167,6 +167,95 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cos_sim"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= TOP_K))
+
+
+KMEANS_ITERS = 5
+
+
+def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer: Lloyd's k-means on the embedding
+    corpus (K = N_CENTROIDS, deterministic init = the N_CENTROIDS
+    lowest-id vectors, fixed KMEANS_ITERS rounds, cosine assignment /
+    mean recombination). Each round is one broadcast of K centroid
+    vectors + one narrow assignment pass + one hash-agg — the standard
+    distributed k-means shape; no row data reaches the driver except the
+    K x dim centroid matrix itself (which IS the model).
+
+    Returns (centroid_id, n_members, dim 0..2 means as a fingerprint) —
+    deterministic, but verified by pytest (tests/test_kmeans.py) against
+    a numpy reference rather than a SQL oracle: the iterative loop is
+    the canonical non-SQL-expressible operator, so the driver records
+    the rows-only check (SURVEY §2.6)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = fan_out(spark, emb).select("vec_id", "embedding")
+    cents = [r.embedding
+             for r in emb.where(F.col("vec_id") < N_CENTROIDS)
+                         .orderBy("vec_id").collect()]
+    for _ in range(KMEANS_ITERS):
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "centroid_id INT, centroid ARRAY<DOUBLE>")
+        cn = cent_df.select("centroid_id", "centroid",
+                            _norm(F.col("centroid")).alias("cn"))
+        scored = (
+            vecs.crossJoin(broadcast(cn))
+            .select("vec_id", "embedding", "centroid_id",
+                    (_dot(F.col("embedding"), F.col("centroid"))
+                     / (_norm(F.col("embedding")) * F.col("cn")))
+                    .alias("cs"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cs"), F.asc("centroid_id"))
+        assigned = (scored.withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") == 1))
+        # recombine: elementwise mean per centroid (posexplode -> hash-agg
+        # keyed by (centroid, dim) -> regroup); empty cells keep their
+        # previous centroid
+        means = (
+            assigned.select("centroid_id",
+                            F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                 .alias("dm"))
+            .select("centroid_id",
+                    F.transform("dm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        new_cents = list(cents)
+        for r in means:
+            new_cents[r.centroid_id] = r.centroid
+        cents = new_cents
+    # final assignment under the trained centroids
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid_id INT, centroid ARRAY<DOUBLE>")
+    cn = cent_df.select("centroid_id", "centroid",
+                        _norm(F.col("centroid")).alias("cn"))
+    scored = (
+        vecs.crossJoin(broadcast(cn))
+        .select("vec_id", "centroid_id",
+                (_dot(F.col("embedding"), F.col("centroid"))
+                 / (_norm(F.col("embedding")) * F.col("cn"))).alias("cs"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cs"), F.asc("centroid_id"))
+    assigned = (scored.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1))
+    fingerprint = spark.createDataFrame(
+        [(i, float(c[0]), float(c[1]), float(c[2]))
+         for i, c in enumerate(cents)],
+        "centroid_id INT, c0 DOUBLE, c1 DOUBLE, c2 DOUBLE")
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count("*").alias("n_members"))
+        .join(fingerprint, "centroid_id")
+        .select("centroid_id", "n_members",
+                floor4(F.col("c0")).alias("c0"),
+                floor4(F.col("c1")).alias("c1"),
+                floor4(F.col("c2")).alias("c2"))
+    )
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,6 +406,7 @@ QUERIES = {
     "embedding_topk": embedding_topk,
     "ivf_assign": ivf_assign,
     "ivf_search": ivf_search,
+    "ivf_train": ivf_train,   # iterative k-means: rows-only (no SQL oracle)
     "embedding_neardup": embedding_neardup,
     "embedding_lsh_signatures": embedding_lsh_signatures,
     "embedding_neardup_lsh": embedding_neardup_lsh,
