@@ -241,9 +241,41 @@ def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    advances a stage only with a LATER-or-equal event of the next type.
+    Three conditional-min aggregations, each a hash-agg keyed by user —
+    no window over raw events, no sequence explosion; conversion ratios
+    are single divisions of exact counts (cross-engine deterministic)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type",
+                                                    "ts")
+    fv = (ev.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    fc = (ev.where(F.col("event_type") == "click")
+          .join(fv, "user_id")
+          .where(F.col("ts") >= F.col("first_view"))
+          .groupBy("user_id").agg(F.min("ts").alias("first_click")))
+    fp = (ev.where(F.col("event_type") == "purchase")
+          .join(fc, "user_id")
+          .where(F.col("ts") >= F.col("first_click"))
+          .groupBy("user_id").agg(F.min("ts").alias("first_purchase")))
+    n1 = fv.agg(F.count("*").alias("n_view")).withColumn("k", F.lit(1))
+    n2 = fc.agg(F.count("*").alias("n_click")).withColumn("k", F.lit(1))
+    n3 = fp.agg(F.count("*").alias("n_purchase")).withColumn("k", F.lit(1))
+    return (
+        n1.join(n2, "k").join(n3, "k")
+        .select("n_view", "n_click", "n_purchase",
+                floor4(F.col("n_click").cast("double") / F.col("n_view"))
+                .alias("click_rate"),
+                floor4(F.col("n_purchase").cast("double") / F.col("n_click"))
+                .alias("purchase_rate"))
+    )
+
+
 QUERIES = {
     "user_value_trend": user_value_trend,
     "events_value_bands": events_value_bands,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
     "user_value_mad": user_value_mad,
     "events_props_stats": events_props_stats,
     "sessionize": sessionize,
@@ -256,6 +288,33 @@ QUERIES = {
 _BANDS_VALUES = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BANDS)
 
 ORACLES = {
+    "funnel_view_click_purchase": """
+        WITH fv AS (
+            SELECT user_id, min(ts) AS first_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        fc AS (
+            SELECT e.user_id, min(ts) AS first_click
+            FROM events e JOIN fv USING (user_id)
+            WHERE event_type = 'click' AND ts >= first_view
+            GROUP BY e.user_id
+        ),
+        fp AS (
+            SELECT e.user_id, min(ts) AS first_purchase
+            FROM events e JOIN fc USING (user_id)
+            WHERE event_type = 'purchase' AND ts >= first_click
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM fv) AS n_view,
+               (SELECT count(*) FROM fc) AS n_click,
+               (SELECT count(*) FROM fp) AS n_purchase,
+               floor((SELECT count(*) FROM fc)::DOUBLE
+                     / (SELECT count(*) FROM fv) * 10000) / 10000
+                   AS click_rate,
+               floor((SELECT count(*) FROM fp)::DOUBLE
+                     / (SELECT count(*) FROM fc) * 10000) / 10000
+                   AS purchase_rate
+    """,
     "events_value_bands": f"""
         SELECT band_id, lo, hi,
                count(*) AS n_events,

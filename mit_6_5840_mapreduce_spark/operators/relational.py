@@ -207,6 +207,29 @@ def daily_revenue_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").over(w).alias("trailing7_orders"))
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer cohort retention matrix: cohort = first-order month,
+    cell = distinct customers from that cohort active N months later.
+    Month arithmetic stays in integers (year*12+month) so the offset is
+    exact on any engine; two hash-aggs plus one shuffle join on custkey."""
+    o = _t(spark, sf_dir, "orders")
+    mnum = (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+    first = (o.groupBy("o_custkey")
+             .agg(F.min(mnum).alias("cohort_mnum")))
+    return (
+        o.select("o_custkey", mnum.alias("mnum"))
+        .join(first, "o_custkey")
+        .groupBy("cohort_mnum",
+                 (F.col("mnum") - F.col("cohort_mnum")).alias("months_since"))
+        .agg(F.count_distinct("o_custkey").alias("active_customers"))
+        .select(
+            F.expr("cast(make_date((cohort_mnum - 1) div 12, "
+                   "(cohort_mnum - 1) % 12 + 1, 1) as timestamp)")
+             .alias("cohort_month"),
+            "months_since", "active_customers")
+    )
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: histogram of orders-per-customer (incl. zero)."""
     cust = _t(spark, sf_dir, "customer")
@@ -478,6 +501,7 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q19_discounted_revenue": q19_discounted_revenue,
     "daily_revenue_trailing": daily_revenue_trailing,
+    "cohort_retention": cohort_retention,
     "top3_orders_per_customer": top3_orders_per_customer,
     "brand_price_stats": brand_price_stats,
     "repeat_customers": repeat_customers,
@@ -622,6 +646,24 @@ ORACLES = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY n_name
+    """,
+    "cohort_retention": """
+        WITH m AS (
+            SELECT o_custkey,
+                   year(o_orderdate) * 12 + month(o_orderdate) AS mnum
+            FROM orders
+        ),
+        first AS (
+            SELECT o_custkey, min(mnum) AS cohort_mnum FROM m
+            GROUP BY o_custkey
+        )
+        SELECT CAST(make_date(CAST((cohort_mnum - 1) // 12 AS INT),
+                              CAST((cohort_mnum - 1) % 12 + 1 AS INT), 1)
+                    AS TIMESTAMP) AS cohort_month,
+               mnum - cohort_mnum AS months_since,
+               count(DISTINCT m.o_custkey) AS active_customers
+        FROM m JOIN first USING (o_custkey)
+        GROUP BY cohort_mnum, mnum - cohort_mnum
     """,
     "daily_revenue_trailing": """
         WITH daily AS (
