@@ -93,12 +93,101 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, frame_idx INT, frame_hex STRING, frame_bytes BIGINT")
 
 
+N_FEATURES = 8
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]
+                      ) -> Iterator[pd.DataFrame]:
+    """Feature-extraction stub: N_FEATURES pseudo-features from md5 of
+    the payload (a real pipeline would run an image/audio encoder here —
+    same Arrow batch shape, same output schema). Deterministic, so the
+    oracle recomputes them exactly."""
+    import hashlib
+    for pdf in batches:
+        cols: dict[str, list] = {"doc_id": list(pdf["doc_id"])}
+        feats = [
+            [int(hashlib.md5(p).hexdigest()[k * 4:k * 4 + 4], 16) / 65535.0
+             for k in range(N_FEATURES)]
+            for p in pdf["payload"]
+        ]
+        for k in range(N_FEATURES):
+            cols[f"f{k}"] = [f[k] for f in feats]
+        yield pd.DataFrame(cols)
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoder-stub feature extraction over binary payloads via
+    mapInPandas (Arrow batches in, fixed-width feature schema out —
+    exactly the shape a real CLIP/wav2vec stage has)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    schema = "doc_id BIGINT, " + ", ".join(
+        f"f{k} DOUBLE" for k in range(N_FEATURES))
+    return with_payload.mapInPandas(_extract_features, schema)
+
+
+THUMB_SAMPLES = 8
+
+
+def _thumbnail(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Downsample stub: THUMB_SAMPLES bytes sampled at even strides from
+    the payload head (stand-in for image resize / audio downsample —
+    the real operator swaps the per-batch body, not the plumbing)."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "thumb_hex": [],
+                                "stride": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            stride = max(len(payload) // THUMB_SAMPLES, 1)
+            sampled = payload[::stride][:THUMB_SAMPLES]
+            out["doc_id"].append(doc_id)
+            out["thumb_hex"].append(sampled.hex().upper())
+            out["stride"].append(stride)
+        yield pd.DataFrame(out)
+
+
+def payload_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided-byte downsampling over binary payloads via mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return with_payload.mapInPandas(
+        _thumbnail, "doc_id BIGINT, thumb_hex STRING, stride BIGINT")
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "frame_sample": frame_sample,
+    "media_features": media_features,
+    "payload_thumbnail": payload_thumbnail,
 }
 
+# md5(text) == md5 of the payload: the payload IS text's UTF-8 bytes,
+# and DuckDB's md5(VARCHAR) hashes the string's UTF-8 encoding
+_FEATURE_COLS = ", ".join(
+    f"CAST(concat('0x', substring(md5(text), {k * 4 + 1}, 4)) "
+    f"AS BIGINT) / 65535.0 AS f{k}"
+    for k in range(N_FEATURES))
+
+_THUMB_PIECES = " || ".join(
+    f"(CASE WHEN {i} * stride < n THEN "
+    f"substring(h, {i} * stride * 2 + 1, 2) ELSE '' END)"
+    for i in range(THUMB_SAMPLES))
+
 ORACLES = {
+    "media_features": f"""
+        SELECT doc_id, {_FEATURE_COLS} FROM documents
+    """,
+    "payload_thumbnail": f"""
+        SELECT doc_id, {_THUMB_PIECES} AS thumb_hex, stride
+        FROM (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n,
+                   greatest(octet_length(encode(text)) // {THUMB_SAMPLES},
+                            1) AS stride
+            FROM documents
+        )
+    """,
     "multimodal_meta": """
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,
