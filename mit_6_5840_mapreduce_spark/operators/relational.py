@@ -207,6 +207,63 @@ def daily_revenue_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").over(w).alias("trailing7_orders"))
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 adapted: revenue flow between distinct (supplier nation,
+    customer nation) pairs by ship year. Two independent dimension paths
+    hang off the fact join (lineitem->supplier->nation and
+    lineitem->orders->customer->nation); both nation lookups broadcast,
+    so the only shuffles are the two fact-fact joins."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation")))
+    n2 = broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        # per-item floor-to-cents, then exact integer sums: these groups
+        # are small, so a float sum's engine-dependent addition order
+        # lands on half-cent boundaries often enough to flip round(,2)
+        .agg((F.sum(F.floor(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")) * 100))
+              / F.lit(100.0)).alias("revenue"),
+             F.count("*").alias("n_lineitems"))
+    )
+
+
+def column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling: equi-width histogram of orders.o_totalprice (20 bins
+    over the actual min/max). The min/max pass is a tiny aggregate
+    broadcast back as a scalar; the bin pass is one hash-agg — the same
+    two-pass shape works at any scale."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    N_BINS = 20
+    mm = o.agg(F.min("o_totalprice").alias("lo"),
+               F.max("o_totalprice").alias("hi")).withColumn("k", F.lit(1))
+    binned = (
+        o.withColumn("k", F.lit(1)).join(broadcast(mm), "k")
+        .select(F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / N_BINS)),
+            F.lit(N_BINS - 1)).cast("int").alias("bin"))
+    )
+    return (binned.groupBy("bin")
+            .agg(F.count("*").alias("n_orders")))
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer cohort retention matrix: cohort = first-order month,
     cell = distinct customers from that cohort active N months later.
@@ -502,6 +559,8 @@ QUERIES = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "daily_revenue_trailing": daily_revenue_trailing,
     "cohort_retention": cohort_retention,
+    "q7_nation_volume": q7_nation_volume,
+    "column_histogram": column_histogram,
     "top3_orders_per_customer": top3_orders_per_customer,
     "brand_price_stats": brand_price_stats,
     "repeat_customers": repeat_customers,
@@ -646,6 +705,34 @@ ORACLES = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY n_name
+    """,
+    "q7_nation_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) / 100.0 AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "column_histogram": """
+        WITH mm AS (
+            SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+            FROM orders
+        )
+        SELECT CAST(least(floor((o_totalprice - lo)
+                                / ((hi - lo) / 20)), 19) AS INT) AS bin,
+               count(*) AS n_orders
+        FROM orders CROSS JOIN mm
+        GROUP BY 1
     """,
     "cohort_retention": """
         WITH m AS (
