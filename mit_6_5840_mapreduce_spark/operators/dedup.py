@@ -294,19 +294,22 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("h", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10)
                     .cast("bigint"))
     )
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-        F.col("cnt"), F.col("h"),
-    ).withColumn("contrib",
-                 F.expr("cnt * (2 * ((h >> j) & 1) - 1)"))
+    # all 32 bit-sums in ONE hash-agg (32 conditional aggregates) instead
+    # of a 32x row explosion + extra shuffle; integer sums are
+    # order-independent, so the rewrite is oracle-exact. Same pattern as
+    # _minhash_sig_wide — at scale this shuffles |distinct(doc,word)|
+    # rows once, not 32x.
+    bit_aggs = [
+        F.sum(F.expr(f"cnt * (2 * ((h >> {j}) & 1) - 1)")).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    packed = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j}L ELSE 0L END)"
+        for j in range(SIMHASH_BITS))
     return (
-        bits.groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr(
-            "CASE WHEN s > 0 THEN shiftleft(cast(1 AS BIGINT), j) "
-            "ELSE cast(0 AS BIGINT) END")).alias("simhash"))
+        toks.groupBy("doc_id").agg(*bit_aggs)
+        .select("doc_id", F.expr(f"CAST({packed} AS BIGINT)")
+                .alias("simhash"))
     )
 
 

@@ -32,7 +32,9 @@ def duck(sf_dir):
 
 
 # approximate-sketch queries are rows-only checked by design
-NO_ORACLE = {"events_user_sketch"}
+# approximate (HLL) or iterative (k-means) — rows-only in the driver
+# gate; k-means is pinned by tests/test_kmeans.py instead
+NO_ORACLE = {"events_user_sketch", "ivf_train"}
 
 
 def test_every_query_has_an_oracle():
