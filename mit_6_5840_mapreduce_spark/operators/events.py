@@ -272,10 +272,36 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_type_count_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event_type -> count as a MapType column (built with
+    map_from_entries), surfaced for comparison as the deterministic
+    sorted "type:count" string plus the map's cardinality. Maps keep
+    arbitrary entry order, so the canonical string — not the map itself
+    — is the cross-engine contract."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = (ev.groupBy("user_id", "event_type")
+                .agg(F.count("*").alias("cnt")))
+    return (
+        per_type.groupBy("user_id")
+        .agg(F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("event_type", "cnt"))))
+             .alias("type_counts"))
+        .select(
+            "user_id",
+            F.size("type_counts").alias("n_types"),
+            F.concat_ws(",", F.transform(
+                F.map_entries("type_counts"),
+                lambda e: F.concat_ws(":", e["key"],
+                                      e["value"].cast("string"))))
+             .alias("counts_str"))
+    )
+
+
 QUERIES = {
     "user_value_trend": user_value_trend,
     "events_value_bands": events_value_bands,
     "funnel_view_click_purchase": funnel_view_click_purchase,
+    "user_type_count_map": user_type_count_map,
     "user_value_mad": user_value_mad,
     "events_props_stats": events_props_stats,
     "sessionize": sessionize,
@@ -288,6 +314,17 @@ QUERIES = {
 _BANDS_VALUES = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BANDS)
 
 ORACLES = {
+    "user_type_count_map": """
+        SELECT user_id,
+               count(*) AS n_types,
+               string_agg(event_type || ':' || CAST(cnt AS VARCHAR), ','
+                          ORDER BY event_type) AS counts_str
+        FROM (
+            SELECT user_id, event_type, count(*) AS cnt
+            FROM events GROUP BY user_id, event_type
+        )
+        GROUP BY user_id
+    """,
     "funnel_view_click_purchase": """
         WITH fv AS (
             SELECT user_id, min(ts) AS first_view

@@ -234,6 +234,25 @@ def run_stream_to_memory(spark: SparkSession, df: DataFrame, name: str,
     return spark.table(name)
 
 
+def run_stream_to_parquet(spark: SparkSession, df: DataFrame, out_dir: str,
+                          timeout_sec: int = 120) -> None:
+    """Execute a streaming DataFrame availableNow through foreachBatch
+    into parquet — the pattern for sinks Structured Streaming doesn't
+    ship natively (upserts, JDBC, multi-table writes): each micro-batch
+    arrives as a plain DataFrame with a monotonically increasing
+    batch_id for idempotent commits."""
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 # ---- Driver-gate surface --------------------------------------------------
 # Each streaming job also ships as a batch-materialized query: run the
 # stream availableNow into a memory sink and return the result table, so

@@ -99,3 +99,20 @@ def test_stream_dedup_drops_actual_duplicates(spark, sf_dir):
         output_mode="append")
     n_ids = got.select("event_id").distinct().count()
     assert got.count() == n_ids
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    """availableNow stream through foreachBatch must land every event in
+    parquet exactly once, tagged with its micro-batch id."""
+    from mit_6_5840_mapreduce_spark.streaming.jobs import (
+        read_events_stream, run_stream_to_parquet,
+    )
+    from mit_6_5840_mapreduce_spark.sources.tables import load_table
+    out = str(tmp_path / "events_sink")
+    ev = read_events_stream(spark, sf_dir).select("event_id", "user_id")
+    run_stream_to_parquet(spark, ev, out)
+    got = spark.read.parquet(out)
+    want = load_table(spark, sf_dir, "events")
+    assert got.count() == want.count()
+    assert got.select("event_id").distinct().count() == want.count()
+    assert "batch_id" in got.columns
