@@ -37,10 +37,14 @@ HEADLINE = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_groups",
     "embedding_topk",
     "embedding_neardup_lsh",
+    "ivf_search",
     "doc_chunks",
     "lang_id",
+    "tfidf_top_terms",
+    "q7_nation_volume",
 )
 
 

@@ -252,8 +252,13 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("doc_a").alias("dst")))
         .persist()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")) \
-                 .localCheckpoint(eager=True)
+    # iterate ONLY over the pair subgraph: docs with no near-dup edge are
+    # singletons by definition and rejoin at the end — at scale the hot
+    # set is a tiny fraction of the corpus, so each round touches
+    # |edge endpoints| rows, not |corpus|
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .select("doc_id", F.col("doc_id").alias("label"))
+              .localCheckpoint(eager=True))
     for _ in range(CC_MAX_ITERS):
         nb = (
             edges.join(labels.select(F.col("doc_id").alias("src"), "label"),
@@ -279,7 +284,9 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     w = Window.partitionBy("group_id")
     return (
-        labels.select("doc_id", F.col("label").alias("group_id"))
+        docs.join(labels, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("label", "doc_id").alias("group_id"))
         .withColumn("group_size", F.count("*").over(w))
     )
 

@@ -297,11 +297,25 @@ def user_type_count_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skewsafe_type_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT user_id) per event_type through the SALTED two-phase
+    path (functions/skew.py): event_type has only 5 values, so the naive
+    plan funnels ~20% of the corpus into each of 5 reducers; salting
+    bounds per-task distinct state at 1/n_salts of that. Oracle = the
+    plain COUNT(DISTINCT) — salting is semantics-free."""
+    from mit_6_5840_mapreduce_spark.functions.skew import (
+        salted_count_distinct,
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return salted_count_distinct(ev, "event_type", "user_id")
+
+
 QUERIES = {
     "user_value_trend": user_value_trend,
     "events_value_bands": events_value_bands,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "user_type_count_map": user_type_count_map,
+    "skewsafe_type_user_counts": skewsafe_type_user_counts,
     "user_value_mad": user_value_mad,
     "events_props_stats": events_props_stats,
     "sessionize": sessionize,
@@ -314,6 +328,10 @@ QUERIES = {
 _BANDS_VALUES = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BANDS)
 
 ORACLES = {
+    "skewsafe_type_user_counts": """
+        SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY event_type
+    """,
     "user_type_count_map": """
         SELECT user_id,
                count(*) AS n_types,
