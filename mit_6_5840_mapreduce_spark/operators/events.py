@@ -297,6 +297,31 @@ def user_type_count_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: a dense (hour x event_type)
+    spine generated from the observed min/max hour, left-joined to the
+    hourly counts with zero-fill — the missing-interval densification
+    every downstream window/forecast op needs. The spine is generated
+    from a 1-row aggregate (sequence + explode), so its cost is the
+    output cardinality, never a scan."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                         "event_type")
+              .agg(F.count("*").alias("n_events")))
+    mm = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
+                F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = mm.select(F.explode(
+        F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour"))
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(types)
+        .join(hourly, ["hour", "event_type"], "left")
+        .select("hour", "event_type",
+                F.coalesce("n_events", F.lit(0).cast("bigint"))
+                 .alias("n_events"))
+    )
+
+
 def skewsafe_type_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(DISTINCT user_id) per event_type through the SALTED two-phase
     path (functions/skew.py): event_type has only 5 values, so the naive
@@ -316,6 +341,7 @@ QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "user_type_count_map": user_type_count_map,
     "skewsafe_type_user_counts": skewsafe_type_user_counts,
+    "events_hourly_gapfilled": events_hourly_gapfilled,
     "user_value_mad": user_value_mad,
     "events_props_stats": events_props_stats,
     "sessionize": sessionize,
@@ -331,6 +357,28 @@ ORACLES = {
     "skewsafe_type_user_counts": """
         SELECT event_type, count(DISTINCT user_id) AS n_distinct
         FROM events GROUP BY event_type
+    """,
+    "events_hourly_gapfilled": """
+        WITH mm AS (
+            SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+                   CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM mm
+        ),
+        hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT spine.hour, t.event_type,
+               coalesce(hourly.n_events, 0) AS n_events
+        FROM spine
+        CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        LEFT JOIN hourly ON hourly.hour = spine.hour
+                        AND hourly.event_type = t.event_type
     """,
     "user_type_count_map": """
         SELECT user_id,

@@ -456,6 +456,28 @@ _REVENUE_BY_SEGMENT_SQL = """
 """
 
 
+_GROUPING_SETS_SQL = """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           grouping(o_orderpriority) AS g_priority,
+           grouping(o_orderstatus) AS g_status,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+"""
+
+
+def sql_priority_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two disjoint single-column sets — the
+    shape neither ROLLUP nor CUBE expresses) with grouping() markers to
+    disambiguate coalesced NULLs; same ANSI string runs verbatim on
+    spark.sql and the DuckDB oracle."""
+    from mit_6_5840_mapreduce_spark.sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of orders: per-column null counts and
     numeric/temporal ranges in ONE scan (the pipeline-health primitive a
@@ -539,6 +561,7 @@ def events_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sql_revenue_by_segment": sql_revenue_by_segment,
+    "sql_priority_status_sets": sql_priority_status_sets,
     "table_profile": table_profile,
     "nation_customer_supplier_balance": nation_customer_supplier_balance,
     "user_event_pivot": user_event_pivot,
@@ -571,6 +594,7 @@ ORACLES = {
     # events_user_sketch: deliberately no oracle (approximate result)
     # sql_revenue_by_segment: the SAME SQL string is the oracle
     "sql_revenue_by_segment": _REVENUE_BY_SEGMENT_SQL,
+    "sql_priority_status_sets": _GROUPING_SETS_SQL,
     "table_profile": """
         SELECT count(*) AS n_rows,
                count(CASE WHEN o_custkey IS NULL THEN 1 END)
