@@ -1,0 +1,51 @@
+"""Plan audit: dump the executed plan of every registered query and
+flag scale anti-patterns (cartesian products, row-at-a-time Python,
+scans that read every column). Usage: python tools/explain_all.py
+[sf_dir] [out_path]."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mit_6_5840_mapreduce_spark.session import get_spark
+
+import __spark_entry__ as entrymod
+
+# deliberate exceptions, mirrored from tests/test_plans.py
+PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
+                  "media_features", "payload_thumbnail"}
+CARTESIAN_OK = {"embedding_neardup"}
+# executes a stream / an iterative loop when called — plan of the final
+# materialized result only
+MATERIALIZING = {"stream_hourly_counts", "stream_dedup_events",
+                 "stream_user_totals", "dedup_groups", "ivf_train"}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/plans.txt"
+    spark = get_spark("explain-all")
+    flags = []
+    with open(out_path, "w") as out:
+        for name, fn in entrymod.queries().items():
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            out.write(f"{'=' * 72}\n{name}\n{'=' * 72}\n{plan}\n")
+            if "CartesianProduct" in plan and name not in CARTESIAN_OK:
+                flags.append((name, "CartesianProduct"))
+            py = ("EvalPython" in plan or "MapInPandas" in plan
+                  or "FlatMapGroupsInPandas" in plan)
+            if py and name not in PYTHON_PATH_OK | MATERIALIZING:
+                flags.append((name, "python row path"))
+    for name, what in flags:
+        print(f"FLAG {name}: {what}")
+    print(f"{len(flags)} flags; plans -> {out_path}")
+    spark.stop()
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
