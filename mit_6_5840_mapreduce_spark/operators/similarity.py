@@ -169,6 +169,46 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rank") <= TOP_K))
 
 
+def embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Arrow variant of embedding_topk: the query block is
+    broadcast as plain Python lists and each Arrow batch is scored with
+    one numpy matmul (mapInPandas). ~100x fewer interpreter operations
+    per row than the fold path; the price is float-sum-order freedom, so
+    this variant is rows-only in the driver gate and pinned against the
+    JVM implementation by tests/test_pandas_topk.py (ranks agree except
+    at floor4 boundary ties)."""
+    import numpy as np
+    import pandas as pd
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = (emb.where(F.col("vec_id") < N_QUERY_VECS)
+              .orderBy("vec_id").collect())
+    q_ids = [r.vec_id for r in q_rows]
+    q_mat = [[float(x) for x in r.embedding] for r in q_rows]
+
+    def score(batches):
+        Q = np.array(q_mat)                        # (q, d)
+        Qn = np.linalg.norm(Q, axis=1)
+        for pdf in batches:
+            C = np.array(list(pdf["embedding"].map(np.asarray)),
+                         dtype=np.float64)          # (n, d)
+            Cn = np.linalg.norm(C, axis=1)
+            S = (C @ Q.T) / (Cn[:, None] * Qn[None, :])
+            out = pd.DataFrame({
+                "cand_id": np.repeat(pdf["vec_id"].to_numpy(), len(q_ids)),
+                "query_id": np.tile(q_ids, len(pdf)),
+                "cos_sim": np.floor(S.reshape(-1) * 10000) / 10000,
+            })
+            yield out[out["cand_id"] != out["query_id"]]
+
+    scored = fan_out(spark, emb).mapInPandas(
+        score, "cand_id BIGINT, query_id BIGINT, cos_sim DOUBLE")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id", "cos_sim", "rank"))
+
+
 KMEANS_ITERS = 5
 
 
@@ -407,6 +447,8 @@ QUERIES = {
     "ivf_assign": ivf_assign,
     "ivf_search": ivf_search,
     "ivf_train": ivf_train,   # iterative k-means: rows-only (no SQL oracle)
+    # Arrow/numpy scoring: rows-only (float-sum order differs from SQL)
+    "embedding_topk_pandas": embedding_topk_pandas,
     "embedding_neardup": embedding_neardup,
     "embedding_lsh_signatures": embedding_lsh_signatures,
     "embedding_neardup_lsh": embedding_neardup_lsh,

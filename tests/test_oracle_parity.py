@@ -34,7 +34,7 @@ def duck(sf_dir):
 # approximate-sketch queries are rows-only checked by design
 # approximate (HLL) or iterative (k-means) — rows-only in the driver
 # gate; k-means is pinned by tests/test_kmeans.py instead
-NO_ORACLE = {"events_user_sketch", "ivf_train"}
+NO_ORACLE = {"events_user_sketch", "ivf_train", "embedding_topk_pandas"}
 
 
 def test_every_query_has_an_oracle():

@@ -24,7 +24,8 @@ QUERIES = entrymod.queries()
 # queries that deliberately cross into Python (Arrow-batched mapInPandas
 # / grouped applyInPandas)
 PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
-                  "media_features", "payload_thumbnail"}
+                  "media_features", "payload_thumbnail",
+                  "embedding_topk_pandas"}
 # tiny-side cross joins (broadcast) are fine; a plain cartesian is not
 CARTESIAN_OK = {"embedding_neardup"}
 

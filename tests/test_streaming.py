@@ -116,3 +116,46 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     assert got.count() == want.count()
     assert got.select("event_id").distinct().count() == want.count()
     assert "batch_id" in got.columns
+
+
+def test_checkpoint_resume_processes_nothing_new(spark, sf_dir, tmp_path):
+    """Exactly-once resume: a second availableNow run against the SAME
+    checkpoint must find the source exhausted and append zero rows."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    from mit_6_5840_mapreduce_spark.streaming.jobs import read_events_stream
+
+    def run_once():
+        ev = read_events_stream(spark, sf_dir).select("event_id", "user_id")
+        q = (ev.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()
+    n2 = spark.read.parquet(out).count()
+    assert n1 > 0 and n2 == n1
+
+
+def test_sql_registered_pandas_udf(spark, sf_dir):
+    """spark.udf.register exposes a vectorized pandas UDF to the SQL
+    surface (the reference loads its UDFs from compiled plugins —
+    SURVEY §2.1 row 17; this is the engine's SQL-callable equivalent)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # this file uses `from __future__ import annotations`, which turns
+    # hints into strings pandas_udf can't infer — exec builds the fn
+    # with real annotation objects
+    ns: dict = {"pd": pd}
+    exec("def _tc(s: pd.Series) -> pd.Series:\n"
+         "    return s.str.count(r'[^\\W\\d_]+')", ns, ns)
+    token_count = pandas_udf(ns["_tc"], "long")
+    spark.udf.register("token_count", token_count)
+    from mit_6_5840_mapreduce_spark.sources.tables import register_views
+    register_views(spark, sf_dir)
+    got = spark.sql(
+        "SELECT sum(token_count(text)) AS total FROM documents").collect()
+    assert got[0].total > 0

@@ -16,7 +16,8 @@ import __spark_entry__ as entrymod
 
 # deliberate exceptions, mirrored from tests/test_plans.py
 PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
-                  "media_features", "payload_thumbnail"}
+                  "media_features", "payload_thumbnail",
+                  "embedding_topk_pandas"}
 CARTESIAN_OK = {"embedding_neardup"}
 # executes a stream / an iterative loop when called — plan of the final
 # materialized result only
