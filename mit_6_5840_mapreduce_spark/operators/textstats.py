@@ -188,6 +188,70 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_COS_THRESHOLD = 0.5
+TFIDF_W_SCALE = 1000
+DF_CAP_FRAC = 10        # keep terms with df <= N/DF_CAP_FRAC
+
+
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical similarity join: document pairs with TF-IDF cosine >=
+    TFIDF_COS_THRESHOLD over an inverted-index term join.
+
+    Numerics: weights are INTEGER-exact — iw = (tf·N·SCALE) div (len·df)
+    — so dot products and squared norms are exact BIGINT sums in any
+    order; floats appear only in the final sqrt/division, which both
+    engines compute identically from identical integers.
+
+    Scale: stopword-frequency terms (df > N/DF_CAP_FRAC) are dropped
+    BEFORE the self-join — they contribute negligible idf weight but
+    quadratic candidate pairs; with them gone the inverted index joins
+    only on discriminative terms (the same reason the Jaccard join works
+    on rare shingles)."""
+    from pyspark.sql.window import Window
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id",
+                       F.explode(tokenize(F.lower(F.col("text"))))
+                       .alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    tf = tf.withColumn(
+        "doc_len", F.sum("cnt").over(Window.partitionBy("doc_id")))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(broadcast(dfreq), "word")
+        .crossJoin(broadcast(total))
+        .where(F.col("df") * DF_CAP_FRAC <= F.col("n_docs"))
+        .select("doc_id", "word",
+                F.expr(f"(cnt * n_docs * {TFIDF_W_SCALE}) div "
+                       "(doc_len * df)").alias("iw"))
+        .where(F.col("iw") > 0)
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("iw") * F.col("iw"))
+                                    .alias("norm2"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "word",
+                 F.col("iw").alias("iwa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "word",
+                 F.col("iw").alias("iwb"))
+    dots = (
+        a.join(b, "word")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("iwa") * F.col("iwb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"),
+                      F.col("norm2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"),
+                      F.col("norm2").alias("nb2"))
+    return (
+        dots.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn("cos_sim",
+                    floor4(F.col("dot")
+                           / (F.sqrt("na2") * F.sqrt("nb2"))))
+        .where(F.col("cos_sim") >= TFIDF_COS_THRESHOLD)
+        .select("doc_a", "doc_b", "cos_sim")
+    )
+
+
 SPLIT_BUCKETS = 100
 TRAIN_PCT, VAL_PCT = 80, 10
 
@@ -211,6 +275,7 @@ def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
+    "tfidf_cosine_pairs": tfidf_cosine_pairs,
     "doc_split": doc_split,
     "doc_chunks": doc_chunks,
     "lang_id": lang_id,
@@ -235,6 +300,51 @@ ORACLES = {
                         AS BIGINT) % {SPLIT_BUCKETS} AS bucket
             FROM documents
         )
+    """,
+    "tfidf_cosine_pairs": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                       t -> t <> '')) AS word
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, word, count(*) AS cnt
+            FROM toks GROUP BY doc_id, word
+        ),
+        wl AS (
+            SELECT tf.*, sum(cnt) OVER (PARTITION BY doc_id) AS doc_len
+            FROM tf
+        ),
+        dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        total AS (SELECT count(*) AS n_docs FROM documents),
+        w AS (
+            SELECT doc_id, word,
+                   (cnt * n_docs * {TFIDF_W_SCALE})
+                       // (doc_len * df) AS iw
+            FROM wl JOIN dfreq USING (word) CROSS JOIN total
+            WHERE df * {DF_CAP_FRAC} <= n_docs
+              AND (cnt * n_docs * {TFIDF_W_SCALE}) // (doc_len * df) > 0
+        ),
+        norms AS (
+            SELECT doc_id, CAST(sum(iw * iw) AS BIGINT) AS norm2
+            FROM w GROUP BY doc_id
+        ),
+        dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(sum(a.iw * b.iw) AS BIGINT) AS dot
+            FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               floor(dot / (sqrt(na.norm2) * sqrt(nb.norm2)) * 10000)
+                   / 10000 AS cos_sim
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+        WHERE floor(dot / (sqrt(na.norm2) * sqrt(nb.norm2)) * 10000)
+              / 10000 >= {TFIDF_COS_THRESHOLD}
     """,
     "tfidf_top_terms": rf"""
         WITH toks AS (
