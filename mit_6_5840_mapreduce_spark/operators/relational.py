@@ -287,6 +287,25 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_value_percentiles_approx(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Approximate percentiles via approx_percentile (Greenwald-Khanna
+    sketch, single pass, mergeable partials — the 100 TB alternative to
+    the exact sort-based percentile). Rows-only in the gate (sketch
+    output is engine-specific); accuracy vs the exact percentiles is
+    pinned by tests/test_sketches.py."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), "
+               "10000)").alias("pcts"),
+        F.count("*").alias("n_orders"),
+    ).select(
+        F.round(F.col("pcts")[0], 2).alias("p50"),
+        F.round(F.col("pcts")[1], 2).alias("p90"),
+        F.round(F.col("pcts")[2], 2).alias("p99"),
+        "n_orders")
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: histogram of orders-per-customer (incl. zero)."""
     cust = _t(spark, sf_dir, "customer")
@@ -570,6 +589,7 @@ QUERIES = {
     "part_name_analysis": part_name_analysis,
     "orders_monthly_growth": orders_monthly_growth,
     "order_value_percentiles": order_value_percentiles,
+    "order_value_percentiles_approx": order_value_percentiles_approx,
     "customers_no_orders": customers_no_orders,
     "priority_status_cube": priority_status_cube,
     "q1_pricing_summary": q1_pricing_summary,

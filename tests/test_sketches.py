@@ -26,3 +26,15 @@ def test_sketch_within_rsd_bounds(spark, sf_dir):
 def test_sketch_has_no_oracle_on_purpose():
     assert "events_user_sketch" not in entrymod.oracle_sql()
     assert "events_user_sketch" in entrymod.queries()
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    row = entrymod.queries()["order_value_percentiles_approx"](
+        spark, sf_dir).collect()[0]
+    exact = load_table(spark, sf_dir, "orders").select(
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+        .alias("p")).collect()[0].p
+    for approx, true in zip((row.p50, row.p90, row.p99), exact):
+        # GK sketch at accuracy 10000 over this corpus: sub-percent error
+        assert abs(approx - true) <= max(1.0, 0.01 * true), (approx, true)
+    assert row.n_orders > 0
