@@ -265,10 +265,12 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n1.join(n2, "k").join(n3, "k")
         .select("n_view", "n_click", "n_purchase",
-                floor4(F.col("n_click").cast("double") / F.col("n_view"))
-                .alias("click_rate"),
-                floor4(F.col("n_purchase").cast("double") / F.col("n_click"))
-                .alias("purchase_rate"))
+                F.when(F.col("n_view") > 0,
+                       floor4(F.col("n_click").cast("double")
+                              / F.col("n_view"))).alias("click_rate"),
+                F.when(F.col("n_click") > 0,
+                       floor4(F.col("n_purchase").cast("double")
+                              / F.col("n_click"))).alias("purchase_rate"))
     )
 
 
@@ -411,12 +413,14 @@ ORACLES = {
         SELECT (SELECT count(*) FROM fv) AS n_view,
                (SELECT count(*) FROM fc) AS n_click,
                (SELECT count(*) FROM fp) AS n_purchase,
-               floor((SELECT count(*) FROM fc)::DOUBLE
-                     / (SELECT count(*) FROM fv) * 10000) / 10000
-                   AS click_rate,
-               floor((SELECT count(*) FROM fp)::DOUBLE
-                     / (SELECT count(*) FROM fc) * 10000) / 10000
-                   AS purchase_rate
+               CASE WHEN (SELECT count(*) FROM fv) > 0 THEN
+                   floor((SELECT count(*) FROM fc)::DOUBLE
+                         / (SELECT count(*) FROM fv) * 10000) / 10000
+               END AS click_rate,
+               CASE WHEN (SELECT count(*) FROM fc) > 0 THEN
+                   floor((SELECT count(*) FROM fp)::DOUBLE
+                         / (SELECT count(*) FROM fc) * 10000) / 10000
+               END AS purchase_rate
     """,
     "events_value_bands": f"""
         SELECT band_id, lo, hi,

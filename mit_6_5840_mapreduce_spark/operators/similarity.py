@@ -6,6 +6,11 @@ Cosine similarity is computed as an ordered left fold over the array
 DOUBLE accumulation, so both engines produce bit-identical sums and the
 4-dp rounding in results can never disagree.
 
+Zero-norm vectors: this corpus contains none (asserted against the
+testdata); a production deployment ingesting arbitrary embeddings should
+pre-filter ``norm > 0`` rows before these operators — under ANSI mode a
+zero norm raises DIVIDE_BY_ZERO rather than silently producing NaN.
+
 Scale design (100 TB of embeddings):
 - ``embedding_topk``: the query set is small by definition — broadcast it;
   the big side streams once. Per-query top-k via window rank on the rounded

@@ -1,0 +1,68 @@
+"""Empty-input robustness: representative operators from each family
+must return empty results (not crash) when the source tables have zero
+rows — the situation every partition-pruned scan produces at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+from mit_6_5840_mapreduce_spark.sources.tables import TABLES, load_table
+
+# one per family: MR surface, relational agg/join/window, events,
+# dedup (shingle + banding), similarity, text, multimodal, funnel
+REPRESENTATIVE = [
+    "mr_wc",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "top3_orders_per_customer",
+    "sessionize",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "embedding_topk",
+    "tfidf_cosine_pairs",
+    "lang_id",
+    "multimodal_meta",
+    "events_value_bands",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory):
+    """An sf dir with every table present but zero rows (schemas
+    preserved from the real testdata)."""
+    out = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        if t == "events":
+            # write the RAW schema (nanos stored as long) so load_table's
+            # normalization applies unchanged
+            import pyarrow.parquet as pq
+            import pyarrow as pa
+            src = pq.read_schema(os.path.join(sf_dir, "events.parquet"))
+            pq.write_table(pa.table({f.name: pa.array([], f.type)
+                                     for f in src}),
+                           os.path.join(str(out), "events.parquet"))
+            continue
+        df = load_table(spark, sf_dir, t)
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(str(out), f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_query_on_empty_tables_returns_empty(spark, empty_sf_dir, name):
+    df = entrymod.queries()[name](spark, empty_sf_dir)
+    assert df.count() == 0
+
+
+def test_global_aggregate_on_empty_tables_returns_zeros(spark,
+                                                        empty_sf_dir):
+    """Un-grouped aggregates legitimately return ONE summary row on
+    empty input — with zero counts."""
+    row = entrymod.queries()["funnel_view_click_purchase"](
+        spark, empty_sf_dir).collect()[0]
+    assert (row.n_view, row.n_click, row.n_purchase) == (0, 0, 0)
