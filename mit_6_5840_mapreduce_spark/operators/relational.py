@@ -306,6 +306,26 @@ def order_value_percentiles_approx(spark: SparkSession,
         "n_orders")
 
 
+def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family over per-customer lifetime spend: ntile
+    quartiles and percent_rank, ordered with a custkey tiebreak so both
+    engines rank identically even on equal spend. Spend in integer cents
+    (exact), one hash-agg then one global-window pass over the compact
+    per-customer aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    spend = (o.groupBy("o_custkey")
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                  .alias("cents"),
+                  F.count("*").alias("n_orders")))
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    return spend.select(
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("cents") / F.lit(100.0), 2).alias("total_spend"),
+        "n_orders",
+        F.ntile(4).over(w).alias("quartile"),
+        floor4(F.percent_rank().over(w)).alias("pct_rank"))
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: histogram of orders-per-customer (incl. zero)."""
     cust = _t(spark, sf_dir, "customer")
@@ -604,6 +624,7 @@ QUERIES = {
     "cohort_retention": cohort_retention,
     "q7_nation_volume": q7_nation_volume,
     "column_histogram": column_histogram,
+    "customer_value_quartiles": customer_value_quartiles,
     "top3_orders_per_customer": top3_orders_per_customer,
     "brand_price_stats": brand_price_stats,
     "repeat_customers": repeat_customers,
@@ -749,6 +770,21 @@ ORACLES = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY n_name
+    """,
+    "customer_value_quartiles": """
+        WITH spend AS (
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey AS custkey,
+               round(cents / 100.0, 2) AS total_spend,
+               n_orders,
+               ntile(4) OVER w AS quartile,
+               floor(percent_rank() OVER w * 10000) / 10000 AS pct_rank
+        FROM spend
+        WINDOW w AS (ORDER BY cents DESC, o_custkey)
     """,
     "q7_nation_volume": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -252,6 +252,61 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_ITERS = 10
+PAGERANK_DAMPING = 0.85
+
+
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the lexical similarity graph
+    (tfidf_cosine_pairs edges, cosine as edge weight) — document
+    centrality for corpus curation (a high-rank doc is 'representative',
+    a near-zero one an outlier). Pregel shape: per round one join of the
+    compact rank vector against the (persisted) edge list and one
+    hash-agg; ranks live only on graph nodes, never the full corpus.
+    Fixed PAGERANK_ITERS rounds; rows-only in the gate (float-order
+    freedom), pinned against numpy by tests/test_pagerank.py."""
+    pairs = tfidf_cosine_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst"),
+                     F.col("cos_sim").alias("w"))
+        .union(pairs.select(F.col("doc_b").alias("src"),
+                            F.col("doc_a").alias("dst"),
+                            F.col("cos_sim").alias("w")))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    trans = (edges.join(out_w, "src")
+             .select("src", "dst", (F.col("w") / F.col("out_w"))
+                     .alias("tw"))
+             .persist())
+    nodes = trans.select(F.col("src").alias("doc_id")).distinct()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        trans.unpersist()
+        return nodes.select("doc_id", F.lit(0.0).alias("rank"))
+    ranks = nodes.select(
+        "doc_id", F.lit(1.0 / n_nodes).alias("rank")) \
+        .localCheckpoint(eager=True)
+    base = (1.0 - PAGERANK_DAMPING) / n_nodes
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            trans.join(ranks.select(F.col("doc_id").alias("src"), "rank"),
+                       "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("tw")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.doc_id == contrib.dst, "left")
+            .select("doc_id",
+                    (F.lit(base)
+                     + PAGERANK_DAMPING * F.coalesce("c", F.lit(0.0)))
+                    .alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    trans.unpersist()
+    return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
+
+
 SPLIT_BUCKETS = 100
 TRAIN_PCT, VAL_PCT = 80, 10
 
@@ -276,6 +331,7 @@ def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "tfidf_cosine_pairs": tfidf_cosine_pairs,
+    "doc_pagerank": doc_pagerank,   # iterative: rows-only (no SQL oracle)
     "doc_split": doc_split,
     "doc_chunks": doc_chunks,
     "lang_id": lang_id,

@@ -22,7 +22,8 @@ CARTESIAN_OK = {"embedding_neardup"}
 # executes a stream / an iterative loop when called — plan of the final
 # materialized result only
 MATERIALIZING = {"stream_hourly_counts", "stream_dedup_events",
-                 "stream_user_totals", "dedup_groups", "ivf_train"}
+                 "stream_user_totals", "dedup_groups", "ivf_train",
+                 "doc_pagerank"}
 
 
 def main() -> int:
