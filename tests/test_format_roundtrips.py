@@ -1,0 +1,61 @@
+"""Source/sink format breadth: the same relation written to CSV, JSON
+lines, and ORC must read back value-identical (with explicit schemas
+where the format is untyped). The reference's only format is whole text
+files; a Spark-native engine speaks every columnar/text format the
+reader API does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_spark.sources.tables import load_table
+
+
+def _canon(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def _orders(spark, sf_dir):
+    # timestamps stringified for the text formats' round-trip stability
+    return (load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("o_orderdate")))
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    src = _orders(spark, sf_dir)
+    path = str(tmp_path / "orders_csv")
+    src.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(src.schema).option("header", True).csv(path)
+    assert _canon(back) == _canon(src)
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    src = _orders(spark, sf_dir)
+    path = str(tmp_path / "orders_jsonl")
+    src.write.mode("overwrite").json(path)
+    back = spark.read.schema(src.schema).json(path)
+    assert _canon(back) == _canon(src)
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert _canon(back) == _canon(src)
+
+
+def test_csv_schema_inference_matches_explicit(spark, sf_dir, tmp_path):
+    """inferSchema on the CSV round-trip recovers the numeric columns."""
+    src = _orders(spark, sf_dir)
+    path = str(tmp_path / "orders_csv2")
+    src.write.mode("overwrite").option("header", True).csv(path)
+    inferred = (spark.read.option("header", True)
+                .option("inferSchema", True).csv(path))
+    types = dict(inferred.dtypes)
+    assert types["o_orderkey"] in ("int", "bigint")
+    assert types["o_totalprice"] == "double"
