@@ -328,9 +328,41 @@ def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise("test").alias("split"))
 
 
+QUALITY_CUT = 0.5
+
+
+def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pipeline as ONE declarative
+    plan: exact-dedup survivors -> quality gate (doc_quality score >=
+    QUALITY_CUT) -> language ID -> deterministic holdout split, then
+    corpus accounting per (split, language). Composes the individual
+    operators' logic so Catalyst fuses the whole pipeline; per-group
+    stats use only counts, integer sums, and min/max (all
+    engine-order-independent)."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    survivors = (docs.select(F.md5("text").alias("h"), "doc_id")
+                 .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+                 .select("doc_id"))
+    from mit_6_5840_mapreduce_spark.operators import textstats as _self
+    quality = _self.doc_quality(spark, sf_dir).where(
+        F.col("quality_score") >= QUALITY_CUT)
+    lang = _self.lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    split = _self.doc_split(spark, sf_dir).select("doc_id", "split")
+    return (
+        survivors.join(quality, "doc_id")
+        .join(lang, "doc_id").join(split, "doc_id")
+        .groupBy("split", "pred_lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.min("quality_score").alias("min_quality"),
+             F.max("quality_score").alias("max_quality"))
+    )
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "tfidf_cosine_pairs": tfidf_cosine_pairs,
+    "curation_summary": curation_summary,
     "doc_pagerank": doc_pagerank,   # iterative: rows-only (no SQL oracle)
     "doc_split": doc_split,
     "doc_chunks": doc_chunks,
@@ -535,3 +567,25 @@ ORACLES = {
         FROM documents
     """,
 }
+
+# The capstone oracle composes the individual operators' oracle SQL as
+# CTEs — one source of truth per sub-pipeline.
+ORACLES["curation_summary"] = f"""
+    WITH dq AS ({ORACLES["doc_quality"]}),
+    lid AS ({ORACLES["lang_id"]}),
+    ds AS ({ORACLES["doc_split"]}),
+    survivors AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT ds.split, lid.pred_lang,
+           count(*) AS n_docs,
+           CAST(sum(dq.n_tokens) AS BIGINT) AS total_tokens,
+           min(dq.quality_score) AS min_quality,
+           max(dq.quality_score) AS max_quality
+    FROM survivors
+    JOIN dq USING (doc_id)
+    JOIN lid USING (doc_id)
+    JOIN ds USING (doc_id)
+    WHERE dq.quality_score >= {QUALITY_CUT}
+    GROUP BY ds.split, lid.pred_lang
+"""
