@@ -29,11 +29,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from mit_6_5840_mapreduce_spark.functions.numeric import floor4
-from mit_6_5840_mapreduce_spark.functions.text import TOKEN_SPLIT_RE, tokenize
+from mit_6_5840_mapreduce_spark.functions.text import tokenize
 from mit_6_5840_mapreduce_spark.sources.tables import fan_out, load_table
 
 # ---- MinHash parameters (shared with the oracle SQL) --------------------
