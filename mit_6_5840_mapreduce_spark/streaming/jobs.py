@@ -70,6 +70,22 @@ def windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows advancing hourly (each event lands in two
+    overlapping windows) — the third canonical window type next to
+    tumbling and session. State per (window x type), pruned by the
+    watermark as windows close."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"),
+                 "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type",
+                "n_events")
+    )
+
+
 def sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity gap) via
     session_window — the streaming form of operators/events.sessionize."""
@@ -272,6 +288,11 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, windowed_counts_stream(spark, sf_dir), _memq("hourly"))
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        spark, sliding_counts_stream(spark, sf_dir), _memq("sliding"))
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         spark, deduped_events_stream(spark, sf_dir), _memq("dedup"),
@@ -291,11 +312,28 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts,
+    "stream_sliding_counts": stream_sliding_counts,
     "stream_dedup_events": stream_dedup_events,
     "stream_user_totals": stream_user_totals,
 }
 
 ORACLES = {
+    # a 2h-wide window sliding by 1h: each event belongs to exactly two
+    # windows, starting at its hour and the hour before
+    "stream_sliding_counts": """
+        SELECT win_start, event_type, count(*) AS n_events
+        FROM (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+                   event_type
+            FROM events
+            UNION ALL
+            SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR
+                        AS TIMESTAMP) AS win_start,
+                   event_type
+            FROM events
+        )
+        GROUP BY win_start, event_type
+    """,
     "stream_hourly_counts": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
                count(*) AS n_events,
