@@ -324,6 +324,38 @@ def events_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key compaction (the upsert/CDC primitive): one row per
+    user — their most recent event, ties broken by event_id so the
+    survivor is engine-independent. Single window pass over one
+    shuffle-by-user."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                              F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_id", "ts", "event_type", "value"))
+
+
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type path (sequence-mining input):
+    collect_list is order-free, so the structs carry (ts, event_id) and
+    are array_sort'ed before projection — deterministic because
+    event_id is unique."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(
+                F.struct("ts", "event_id", "event_type"))).alias("evs"))
+        .select("user_id",
+                F.size("evs").alias("n_events"),
+                F.concat_ws(">", F.transform(
+                    F.col("evs"), lambda e: e["event_type"]))
+                 .alias("path"))
+    )
+
+
 def skewsafe_type_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(DISTINCT user_id) per event_type through the SALTED two-phase
     path (functions/skew.py): event_type has only 5 values, so the naive
@@ -344,6 +376,8 @@ QUERIES = {
     "user_type_count_map": user_type_count_map,
     "skewsafe_type_user_counts": skewsafe_type_user_counts,
     "events_hourly_gapfilled": events_hourly_gapfilled,
+    "latest_event_per_user": latest_event_per_user,
+    "user_event_sequences": user_event_sequences,
     "user_value_mad": user_value_mad,
     "events_props_stats": events_props_stats,
     "sessionize": sessionize,
@@ -356,6 +390,21 @@ QUERIES = {
 _BANDS_VALUES = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BANDS)
 
 ORACLES = {
+    "latest_event_per_user": """
+        SELECT user_id, event_id, ts, event_type, value
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "user_event_sequences": """
+        SELECT user_id,
+               count(*) AS n_events,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events
+        GROUP BY user_id
+    """,
     "skewsafe_type_user_counts": """
         SELECT event_type, count(DISTINCT user_id) AS n_distinct
         FROM events GROUP BY event_type
