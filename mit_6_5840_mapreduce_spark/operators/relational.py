@@ -306,6 +306,30 @@ def order_value_percentiles_approx(spark: SparkSession,
         "n_orders")
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 adapted: revenue lost to returned items per customer in
+    a quarter, top 20 by revenue (deterministic custkey tiebreak).
+    Per-item floor-to-cents revenue (small groups — see q7)."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg((F.sum(F.floor(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")) * 100))
+              / F.lit(100.0)).alias("revenue"),
+             F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function family over per-customer lifetime spend: ntile
     quartiles and percent_rank, ordered with a custkey tiebreak so both
@@ -625,6 +649,7 @@ QUERIES = {
     "q7_nation_volume": q7_nation_volume,
     "column_histogram": column_histogram,
     "customer_value_quartiles": customer_value_quartiles,
+    "q10_returned_items": q10_returned_items,
     "top3_orders_per_customer": top3_orders_per_customer,
     "brand_price_stats": brand_price_stats,
     "repeat_customers": repeat_customers,
@@ -770,6 +795,22 @@ ORACLES = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY n_name
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name, c_acctbal,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) / 100.0 AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, n_name, c_acctbal
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
     """,
     "customer_value_quartiles": """
         WITH spend AS (
