@@ -330,6 +330,29 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 adapted: promo revenue share for one month. Broadcast
+    part join; both numerator and denominator are exact integer-cent
+    sums, so the share is one division of identical integers."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.floor(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100)
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.sum(F.when(F.col("p_type") == "PROMO", cents)
+                   .otherwise(F.lit(0))).alias("promo_cents"),
+             F.sum(cents).alias("total_cents"))
+        .select(
+            (F.col("promo_cents") / F.lit(100.0)).alias("promo_revenue"),
+            (F.col("total_cents") / F.lit(100.0)).alias("total_revenue"),
+            floor4(F.col("promo_cents").cast("double")
+                   / F.col("total_cents")).alias("promo_share"))
+    )
+
+
 def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function family over per-customer lifetime spend: ntile
     quartiles and percent_rank, ordered with a custkey tiebreak so both
@@ -650,6 +673,7 @@ QUERIES = {
     "column_histogram": column_histogram,
     "customer_value_quartiles": customer_value_quartiles,
     "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
     "top3_orders_per_customer": top3_orders_per_customer,
     "brand_price_stats": brand_price_stats,
     "repeat_customers": repeat_customers,
@@ -795,6 +819,23 @@ ORACLES = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY n_name
+    """,
+    "q14_promo_revenue": """
+        SELECT promo_cents / 100.0 AS promo_revenue,
+               total_cents / 100.0 AS total_revenue,
+               floor(promo_cents::DOUBLE / total_cents * 10000) / 10000
+                   AS promo_share
+        FROM (
+            SELECT sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT) ELSE 0 END)
+                       AS promo_cents,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS total_cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate <  TIMESTAMP '1996-10-01'
+        )
     """,
     "q10_returned_items": """
         SELECT c_custkey, c_name, n_name, c_acctbal,
