@@ -1,0 +1,89 @@
+"""Scaling probe: run linear-path flagship operators on 1x / 4x / 16x
+replicas of the sf0.1 corpus and report wall-clock growth. Evidence for
+the 100 TB question: a healthy operator's time grows ~linearly with
+input (pairwise operators are excluded here because replicating content
+manufactures artificial near-dup pairs and quadratic candidates —
+their scale path is the banded equi-join, pinned by plan tests).
+
+Usage: python tools/scale_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_spark.operators import registry
+from mit_6_5840_mapreduce_spark.session import get_spark
+from mit_6_5840_mapreduce_spark.sources.tables import load_table
+
+PROBES = ("mr_wc", "simhash_docs", "minhash_signatures",
+          "tfidf_top_terms", "lang_id", "embedding_topk", "doc_chunks")
+FACTORS = (1, 4, 16)
+
+
+def replicate(spark, sf_dir, out_dir, table, id_col, factor):
+    src = load_table(spark, sf_dir, table)
+    parts = [src.withColumn(id_col, F.col(id_col) + F.lit(k * 10 ** 9))
+             for k in range(factor)]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionAll(p)
+    path = os.path.join(out_dir, f"{table}.parquet")
+    df.coalesce(max(factor // 2, 1)).write.mode("overwrite").parquet(path)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    queries, _ = registry()
+    spark = get_spark("scale-probe")
+    import tempfile
+    results: dict[str, dict[int, float]] = {q: {} for q in PROBES}
+    for factor in FACTORS:
+        work = os.path.join(tempfile.gettempdir(), f"scale_{factor}x")
+        for table, id_col in (("documents", "doc_id"),
+                              ("embeddings", "vec_id")):
+            replicate(spark, sf_dir, work, table, id_col, factor)
+        # non-replicated tables resolve from the original dir; probes
+        # below only touch documents/embeddings
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem"):
+            dst = os.path.join(work, f"{t}.parquet")
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
+        import shutil
+        src_ev = os.path.join(sf_dir, "events.parquet")
+        dst_ev = os.path.join(work, "events.parquet")
+        if not os.path.exists(dst_ev):
+            os.symlink(src_ev, dst_ev)
+        for name in PROBES:
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                queries[name](spark, work).write.mode("overwrite") \
+                    .format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            results[name][factor] = round(best, 2)
+    print(f"{'operator':24s}" + "".join(f"{f}x".rjust(9) for f in FACTORS)
+          + "   16x/1x")
+    worst = 0.0
+    for name, times in results.items():
+        ratio = times[FACTORS[-1]] / max(times[FACTORS[0]], 1e-9)
+        worst = max(worst, ratio)
+        print(f"{name:24s}"
+              + "".join(f"{times[f]:9.2f}" for f in FACTORS)
+              + f"   {ratio:6.1f}")
+    print(f"worst growth at 16x input: {worst:.1f}x wall "
+          f"({'OK — sub-linear per-row cost' if worst < 32 else 'REVIEW'})")
+    spark.stop()
+    return 0 if worst < 32 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
