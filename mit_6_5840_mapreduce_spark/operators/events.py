@@ -324,6 +324,39 @@ def events_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZSCORE_CUT = 3.0
+
+
+def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: events whose value is > ZSCORE_CUT standard
+    deviations from the user's mean. Sufficient statistics (n, sum,
+    sum-of-squares) are computed over integer CENTS, so they are exact
+    BIGINTs on any engine and partition order; the z-score is then a few
+    float ops on identical integers — deterministic without tolerance.
+    One hash-agg per user + one broadcast-back join; no window over the
+    raw stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"))
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"))
+    # var = (n*s2 - s1^2) / (n*(n-1)); z = (c - s1/n) / sqrt(var)
+    z = ((F.col("c") - F.col("s1") / F.col("n"))
+         / F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                  / (F.col("n") * (F.col("n") - 1))))
+    return (
+        ev.join(stats, "user_id")
+        .where(F.col("n") > 1)
+        .withColumn("z", z)
+        .where(F.abs("z") > ZSCORE_CUT)
+        .select("user_id", "event_id",
+                (F.col("c") / F.lit(100.0)).alias("value"),
+                floor4(F.col("z")).alias("zscore"))
+    )
+
+
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-per-key compaction (the upsert/CDC primitive): one row per
     user — their most recent event, ties broken by event_id so the
@@ -378,6 +411,7 @@ QUERIES = {
     "events_hourly_gapfilled": events_hourly_gapfilled,
     "latest_event_per_user": latest_event_per_user,
     "user_event_sequences": user_event_sequences,
+    "user_value_outliers": user_value_outliers,
     "user_value_mad": user_value_mad,
     "events_props_stats": events_props_stats,
     "sessionize": sessionize,
@@ -390,6 +424,30 @@ QUERIES = {
 _BANDS_VALUES = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BANDS)
 
 ORACLES = {
+    "user_value_outliers": f"""
+        WITH ev AS (
+            SELECT user_id, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        stats AS (
+            SELECT user_id, count(*) AS n,
+                   CAST(sum(c) AS BIGINT) AS s1,
+                   CAST(sum(c * c) AS BIGINT) AS s2
+            FROM ev GROUP BY user_id
+        )
+        SELECT user_id, event_id,
+               c / 100.0 AS value,
+               floor((c - s1 / n::DOUBLE)
+                     / sqrt((n * s2 - s1 * s1)
+                            / (n * (n - 1))::DOUBLE) * 10000) / 10000
+                   AS zscore
+        FROM ev JOIN stats USING (user_id)
+        WHERE n > 1
+          AND abs((c - s1 / n::DOUBLE)
+                  / sqrt((n * s2 - s1 * s1)
+                         / (n * (n - 1))::DOUBLE)) > {ZSCORE_CUT}
+    """,
     "latest_event_per_user": """
         SELECT user_id, event_id, ts, event_type, value
         FROM (
