@@ -324,6 +324,39 @@ def events_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BURST_RATIO = 1.5
+
+
+def hourly_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-burst detection: hours whose event count exceeds
+    BURST_RATIO x the trailing-24h hourly average. Counts are integers
+    and the baseline is one division of integer sums over a RANGE frame,
+    so flagging is deterministic; the window runs on the hourly rollup
+    (bounded cardinality), not the raw stream."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count("*").alias("n_events")))
+    w = (Window.orderBy(F.col("hour").cast("timestamp").cast("long"))
+         .rangeBetween(-24 * 3600, -1))
+    trailing_sum = F.sum("n_events").over(w)
+    trailing_cnt = F.count("*").over(w)
+    baseline = trailing_sum / trailing_cnt
+    return (
+        hourly
+        .withColumn("trailing_sum", trailing_sum)
+        .withColumn("trailing_hours", trailing_cnt)
+        .where(F.col("trailing_hours") > 0)
+        .where(F.col("n_events")
+               > F.lit(BURST_RATIO) * F.col("trailing_sum")
+               / F.col("trailing_hours"))
+        .select("hour", "n_events", "trailing_hours",
+                floor4(F.col("n_events")
+                       / (F.col("trailing_sum") / F.col("trailing_hours")))
+                .alias("burst_ratio"))
+    )
+
+
 ZSCORE_CUT = 3.0
 
 
@@ -412,6 +445,7 @@ QUERIES = {
     "latest_event_per_user": latest_event_per_user,
     "user_event_sequences": user_event_sequences,
     "user_value_outliers": user_value_outliers,
+    "hourly_burst_detection": hourly_burst_detection,
     "user_value_mad": user_value_mad,
     "events_props_stats": events_props_stats,
     "sessionize": sessionize,
@@ -424,6 +458,29 @@ QUERIES = {
 _BANDS_VALUES = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BANDS)
 
 ORACLES = {
+    "hourly_burst_detection": f"""
+        WITH hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        ),
+        t AS (
+            SELECT hour, n_events,
+                   CAST(sum(n_events) OVER w AS BIGINT) AS trailing_sum,
+                   count(*) OVER w AS trailing_hours
+            FROM hourly
+            WINDOW w AS (ORDER BY hour
+                         RANGE BETWEEN INTERVAL 24 HOUR PRECEDING
+                               AND INTERVAL 1 SECOND PRECEDING)
+        )
+        SELECT hour, n_events, trailing_hours,
+               floor(n_events / (trailing_sum::DOUBLE / trailing_hours)
+                     * 10000) / 10000 AS burst_ratio
+        FROM t
+        WHERE trailing_hours > 0
+          AND n_events > {BURST_RATIO} * trailing_sum::DOUBLE
+                         / trailing_hours
+    """,
     "user_value_outliers": f"""
         WITH ev AS (
             SELECT user_id, event_id,
