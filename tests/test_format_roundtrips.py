@@ -59,3 +59,19 @@ def test_csv_schema_inference_matches_explicit(spark, sf_dir, tmp_path):
     types = dict(inferred.dtypes)
     assert types["o_orderkey"] in ("int", "bigint")
     assert types["o_totalprice"] == "double"
+
+
+def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """mergeSchema unions evolving parquet schemas: files written before
+    a column existed read back with NULLs in that column."""
+    src = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_evolving")
+    src.select("o_orderkey", "o_custkey").limit(100) \
+       .write.mode("append").parquet(path)
+    src.select("o_orderkey", "o_custkey", "o_totalprice").limit(50) \
+       .write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"o_orderkey", "o_custkey",
+                                   "o_totalprice"}
+    assert merged.count() == 150
+    assert merged.where(F.col("o_totalprice").isNull()).count() == 100
