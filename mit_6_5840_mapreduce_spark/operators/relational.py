@@ -353,6 +353,55 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 adapted: supplier(s) with the maximum quarterly revenue
+    (ties all returned, like the spec's view-equality form). The max is
+    computed over exact integer cents, so the equality join cannot be
+    split by float noise."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(F.floor(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")) * 100))
+                .alias("cents")))
+    top = rev.agg(F.max("cents").alias("max_cents"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(broadcast(top), rev.cents == top.max_cents)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name",
+                (F.col("cents") / F.lit(100.0)).alias("total_revenue"))
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (corpus lacks phone country codes; grouped by
+    nation): customers with above-average positive balance and NO
+    recent (1999+) orders. The average-balance threshold is compared in
+    pure integer arithmetic (cents * n > total_cents) so no float
+    boundary can reclassify a customer on either engine. Anti join for
+    'no recent orders' (this corpus has no fully orderless customers)."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100).cast("bigint"))
+    pos = cust.where(F.col("bal_cents") > 0)
+    thresh = pos.agg(F.sum("bal_cents").alias("s"),
+                     F.count("*").alias("n"))
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    nation = broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        pos.crossJoin(broadcast(thresh))
+        .where(F.col("bal_cents") * F.col("n") > F.col("s"))
+        .join(orders, pos.c_custkey == orders.o_custkey, "left_anti")
+        .join(nation, F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_custs"),
+             (F.sum("bal_cents") / F.lit(100.0)).alias("total_acctbal"))
+    )
+
+
 def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function family over per-customer lifetime spend: ntile
     quartiles and percent_rank, ordered with a custkey tiebreak so both
@@ -674,6 +723,8 @@ QUERIES = {
     "customer_value_quartiles": customer_value_quartiles,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q22_idle_customers": q22_idle_customers,
     "top3_orders_per_customer": top3_orders_per_customer,
     "brand_price_stats": brand_price_stats,
     "repeat_customers": repeat_customers,
@@ -818,6 +869,42 @@ ORACLES = {
         WHERE r_name = 'ASIA'
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, cents / 100.0 AS total_revenue
+        FROM rev
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE cents = (SELECT max(cents) FROM rev)
+    """,
+    "q22_idle_customers": """
+        WITH pos AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+        ),
+        thresh AS (
+            SELECT CAST(sum(bal_cents) AS BIGINT) AS s, count(*) AS n
+            FROM pos
+        )
+        SELECT n_name,
+               count(*) AS n_custs,
+               CAST(sum(bal_cents) AS BIGINT) / 100.0 AS total_acctbal
+        FROM pos CROSS JOIN thresh
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE bal_cents * n > s
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY n_name
     """,
     "q14_promo_revenue": """
