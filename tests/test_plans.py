@@ -97,3 +97,27 @@ def test_scans_read_only_needed_document_columns(spark, sf_dir):
     schemas = read_schema(q(spark, sf_dir, "mr_wc"))
     joined = " ".join(schemas)
     assert "text" in joined and "lang" not in joined
+
+
+def test_q7_broadcasts_both_nation_lookups(spark, sf_dir):
+    plan = executed_plan(q(spark, sf_dir, "q7_nation_volume"))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q15_threshold_is_broadcast_not_shuffled(spark, sf_dir):
+    assert has_broadcast_join(q(spark, sf_dir, "q15_top_supplier"))
+
+
+def test_latest_event_per_user_is_single_shuffle(spark, sf_dir):
+    """Latest-per-key must be one shuffle by user + window, nothing
+    more (the fan_out repartition of heavy text ops doesn't apply to
+    events)."""
+    plan = executed_plan(q(spark, sf_dir, "latest_event_per_user"))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, plan
+
+
+def test_q6_pushes_filters_to_scan(spark, sf_dir):
+    filters = pushed_filters(q(spark, sf_dir, "q6_forecast_revenue"))
+    joined = " ".join(filters)
+    assert "l_shipdate" in joined and "l_quantity" in joined
