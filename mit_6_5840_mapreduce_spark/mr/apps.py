@@ -39,11 +39,15 @@ def indexer_reduce(key: str, values: list[str]) -> str:
 
 
 def docmeta_map(name: str, contents: str) -> list[tuple[str, str]]:
-    """src/mrapps/nocrash.go:26-36 (crash.go without fault injection)."""
+    """src/mrapps/nocrash.go:26-36 (crash.go without fault injection).
+
+    Go ``len(string)`` counts UTF-8 BYTES, not code points — encode
+    before len so non-ASCII inputs match the reference exactly.
+    """
     return [
         ("a", name),
-        ("b", str(len(name))),
-        ("c", str(len(contents))),
+        ("b", str(len(name.encode("utf-8")))),
+        ("c", str(len(contents.encode("utf-8")))),
         ("d", "xyzzy"),
     ]
 

@@ -114,17 +114,33 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
+                        max_df: int | None = None) -> DataFrame:
     """Exact word-3-gram Jaccard similarity join (pairs >= MIN_JACCARD).
 
     Inverted-index join on shingle -> per-pair intersection counts ->
     Jaccard from per-doc set sizes. One shuffle keyed by shingle, one by
     pair; never a cross join.
+
+    ``max_df``: the hot-shingle cap — drop shingles appearing in more
+    than ``max_df`` documents BEFORE the self-join (from both the index
+    and the set sizes, so Jaccard stays well-defined over the pruned
+    universe). A single corpus-wide stop-shingle otherwise contributes
+    O(n_docs^2) candidate pairs; the cap bounds per-shingle fan-out at
+    max_df^2 — the difference between a bounded shuffle and a quadratic
+    one at 100 TB. Default off: the uncapped form is the oracle-exact
+    textbook Jaccard. ``dedup_ngram_jaccard_capped`` is the gate entry
+    with the cap on (its DuckDB oracle applies the identical filter).
     """
     # cache: the shingle set feeds four consumers (a-side, b-side, two
     # size lookups); without it Catalyst re-derives the whole
     # scan+explode+distinct subtree per consumer
-    sh = _doc_shingles(spark, sf_dir).cache()
+    sh = _doc_shingles(spark, sf_dir)
+    if max_df is not None:
+        keep = (sh.groupBy("hs").agg(F.count("*").alias("df"))
+                .where(F.col("df") <= max_df).select("hs"))
+        sh = sh.join(keep, "hs")
+    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "hs")
     b = sh.select(F.col("doc_id").alias("doc_b"), "hs")
@@ -225,6 +241,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CAP_MAX_DF = 50
+
+
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_ngram_jaccard`` with the hot-shingle cap engaged
+    (max_df=CAP_MAX_DF) — the form a 100 TB pipeline runs. Oracle applies
+    the identical doc-frequency filter, so this is value-checked, not
+    just bounded."""
+    return dedup_ngram_jaccard(spark, sf_dir, max_df=CAP_MAX_DF)
+
+
 CC_MAX_ITERS = 20
 
 
@@ -258,6 +285,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .select("doc_id", F.col("doc_id").alias("label"))
               .localCheckpoint(eager=True))
+    changed = 0
     for _ in range(CC_MAX_ITERS):
         nb = (
             edges.join(labels.select(F.col("doc_id").alias("src"), "label"),
@@ -281,6 +309,13 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # a component with diameter > CC_MAX_ITERS would be silently
+        # split into multiple groups — surface it instead of guessing
+        raise RuntimeError(
+            f"dedup_groups: min-label propagation did not converge in "
+            f"{CC_MAX_ITERS} rounds ({changed} labels still changing); "
+            f"raise CC_MAX_ITERS for this corpus")
     w = Window.partitionBy("group_id")
     return (
         docs.join(labels, "doc_id", "left")
@@ -352,6 +387,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_groups": dedup_groups,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -408,6 +444,29 @@ ORACLES = {
     """,
     "dedup_ngram_jaccard": f"""
         WITH sh AS ({_DUCK_SHINGLES}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_common,
+               floor(n_common / (sa.n + sb.n - n_common) * 10000) / 10000
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE floor(n_common / (sa.n + sb.n - n_common) * 10000) / 10000
+              >= {MIN_JACCARD}
+    """,
+    "dedup_ngram_jaccard_capped": f"""
+        WITH sh0 AS ({_DUCK_SHINGLES}),
+        keep AS (
+            SELECT shingle FROM sh0
+            GROUP BY shingle HAVING count(*) <= {CAP_MAX_DF}
+        ),
+        sh AS (SELECT sh0.doc_id, sh0.shingle
+               FROM sh0 JOIN keep USING (shingle)),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common

@@ -218,6 +218,26 @@ def user_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad_value DOUBLE")
 
 
+def user_value_mad_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM twin of ``user_value_mad``: median absolute deviation entirely
+    with the built-in exact ``percentile`` aggregate — two hash-aggs and
+    one join co-partitioned on user_id, zero Python in the plan (the
+    whole pipeline stays inside whole-stage codegen). ``user_value_mad``
+    keeps the Arrow grouped-map formulation as the pinned comparison;
+    this is the operator a user should reach for first."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.5)).alias("median_value"))
+    return (
+        ev.join(med, "user_id")
+        .groupBy("user_id", "median_value")
+        .agg(F.count("*").alias("n_events"),
+             F.percentile(F.abs(F.col("value") - F.col("median_value")),
+                          F.lit(0.5)).alias("mad_value"))
+        .select("user_id", "n_events", "median_value", "mad_value")
+    )
+
+
 VALUE_BANDS = [(0, 0.0, 10.0), (1, 10.0, 50.0), (2, 50.0, 100.0),
                (3, 100.0, 250.0), (4, 250.0, 1000.0)]
 
@@ -435,7 +455,18 @@ def skewsafe_type_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count_distinct(ev, "event_type", "user_id")
 
 
+# Dict order matters: the driver's CORRECTNESS gate checks the first 50
+# registry entries, and this module straddles the boundary — the queries
+# with no round-1 driver row come first (see operators/__init__.py).
 QUERIES = {
+    "sessionize": sessionize,
+    "events_hourly": events_hourly,
+    "asof_join_orders": asof_join_orders,
+    "user_stats": user_stats,
+    "event_transitions": event_transitions,
+    "events_props_stats": events_props_stats,
+    "user_value_mad_sql": user_value_mad_sql,
+    "user_value_mad": user_value_mad,
     "user_value_trend": user_value_trend,
     "events_value_bands": events_value_bands,
     "funnel_view_click_purchase": funnel_view_click_purchase,
@@ -446,16 +477,23 @@ QUERIES = {
     "user_event_sequences": user_event_sequences,
     "user_value_outliers": user_value_outliers,
     "hourly_burst_detection": hourly_burst_detection,
-    "user_value_mad": user_value_mad,
-    "events_props_stats": events_props_stats,
-    "sessionize": sessionize,
-    "events_hourly": events_hourly,
-    "asof_join_orders": asof_join_orders,
-    "user_stats": user_stats,
-    "event_transitions": event_transitions,
 }
 
 _BANDS_VALUES = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BANDS)
+
+# Shared by the pandas and JVM MAD twins: medians are order statistics
+# (or the midpoint of two stored doubles), so all three formulations —
+# np.median, Spark percentile(0.5), DuckDB median — are bit-identical.
+_MAD_ORACLE = """
+        SELECT user_id,
+               count(*) AS n_events,
+               median(value) AS median_value,
+               median(abs(value - med)) AS mad_value
+        FROM (SELECT user_id, value,
+                     median(value) OVER (PARTITION BY user_id) AS med
+              FROM events)
+        GROUP BY user_id
+    """
 
 ORACLES = {
     "hourly_burst_detection": f"""
@@ -606,16 +644,8 @@ ORACLES = {
                    / 10000 AS intercept
         FROM events GROUP BY user_id
     """,
-    "user_value_mad": """
-        SELECT user_id,
-               count(*) AS n_events,
-               median(value) AS median_value,
-               median(abs(value - med)) AS mad_value
-        FROM (SELECT user_id, value,
-                     median(value) OVER (PARTITION BY user_id) AS med
-              FROM events)
-        GROUP BY user_id
-    """,
+    "user_value_mad": _MAD_ORACLE,
+    "user_value_mad_sql": _MAD_ORACLE,
     "events_props_stats": """
         SELECT k_bucket,
                count(*) AS n_events,

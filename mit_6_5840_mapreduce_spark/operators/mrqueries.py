@@ -62,7 +62,8 @@ def mr_docmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """crash/nocrash query: each doc emits 4 KV rows
     ("a", doc_id) ("b", len(doc_id)) ("c", len(text)) ("d", "xyzzy");
     per key, values sorted lexicographically and space-joined
-    (``src/mrapps/nocrash.go:26-47``).
+    (``src/mrapps/nocrash.go:26-47``). Go ``len(string)`` is UTF-8
+    BYTES — octet_length, not length, for non-ASCII parity.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("name"), "text")
@@ -70,8 +71,8 @@ def mr_docmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "stack(4, "
             " 'a', name,"
-            " 'b', cast(length(name) as string),"
-            " 'c', cast(length(text) as string),"
+            " 'b', cast(octet_length(name) as string),"
+            " 'c', cast(octet_length(text) as string),"
             " 'd', 'xyzzy') as (key, value)"
         )
     )
@@ -106,10 +107,31 @@ def mr_wc_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(parsed, "word STRING, cnt BIGINT")
 
 
+def mr_indexer_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index through the MR-compat RDD layer (second app
+    certifying mr/api.mr_run end-to-end in the driver gate alongside
+    ``mr_wc_rdd``): flatMap indexer_map, FNV-hash shuffle, groupByKey,
+    indexer_reduce. Output line ``"word n doc1,doc2,..."`` parsed back
+    into the same schema as the DataFrame twin ``mr_indexer``."""
+    from mit_6_5840_mapreduce_spark.mr.api import mr_run
+    from mit_6_5840_mapreduce_spark.mr.apps import (indexer_map,
+                                                    indexer_reduce)
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select(F.col("doc_id").cast("string"), "text")
+    pairs = docs.rdd.map(lambda r: (r[0], r[1]))
+    lines = mr_run(spark, indexer_map, indexer_reduce, pairs, n_reduce=10)
+    parsed = lines.map(lambda line: line.split(" ", 2)) \
+                  .map(lambda p: (p[0], int(p[1]), p[2]))
+    return spark.createDataFrame(
+        parsed, "word STRING, doc_count BIGINT, docs STRING")
+
+
 QUERIES = {
     "mr_wc": mr_wc,
     "mr_wc_rdd": mr_wc_rdd,
     "mr_indexer": mr_indexer,
+    "mr_indexer_rdd": mr_indexer_rdd,
     "mr_docmeta": mr_docmeta,
     "mr_doccount": mr_doccount,
 }
@@ -122,16 +144,7 @@ _WC_ORACLE = r"""
         GROUP BY word
 """
 
-ORACLES = {
-    "mr_wc_rdd": _WC_ORACLE,
-    "mr_wc": r"""
-        SELECT word, count(*) AS cnt
-        FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
-              FROM documents)
-        WHERE word <> ''
-        GROUP BY word
-    """,
-    "mr_indexer": r"""
+_INDEXER_ORACLE = r"""
         WITH tok AS (
             SELECT DISTINCT word, doc
             FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word,
@@ -143,14 +156,20 @@ ORACLES = {
                count(doc) AS doc_count,
                array_to_string(list_sort(list(doc)), ',') AS docs
         FROM tok GROUP BY word
-    """,
+"""
+
+ORACLES = {
+    "mr_wc_rdd": _WC_ORACLE,
+    "mr_wc": _WC_ORACLE,
+    "mr_indexer": _INDEXER_ORACLE,
+    "mr_indexer_rdd": _INDEXER_ORACLE,
     "mr_docmeta": r"""
         WITH kv AS (
             SELECT 'a' AS key, CAST(doc_id AS VARCHAR) AS value FROM documents
             UNION ALL
-            SELECT 'b', CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) FROM documents
+            SELECT 'b', CAST(strlen(CAST(doc_id AS VARCHAR)) AS VARCHAR) FROM documents
             UNION ALL
-            SELECT 'c', CAST(length(text) AS VARCHAR) FROM documents
+            SELECT 'c', CAST(strlen(text) AS VARCHAR) FROM documents
             UNION ALL
             SELECT 'd', 'xyzzy' FROM documents
         )

@@ -255,10 +255,14 @@ def column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.max("o_totalprice").alias("hi")).withColumn("k", F.lit(1))
     binned = (
         o.withColumn("k", F.lit(1)).join(broadcast(mm), "k")
-        .select(F.least(
-            F.floor((F.col("o_totalprice") - F.col("lo"))
-                    / ((F.col("hi") - F.col("lo")) / N_BINS)),
-            F.lit(N_BINS - 1)).cast("int").alias("bin"))
+        # hi == lo (all values equal) would divide by zero — an ANSI-mode
+        # error in Spark 4; degenerate corpus collapses to bin 0
+        .select(F.when(F.col("hi") > F.col("lo"),
+                       F.least(
+                           F.floor((F.col("o_totalprice") - F.col("lo"))
+                                   / ((F.col("hi") - F.col("lo")) / N_BINS)),
+                           F.lit(N_BINS - 1)))
+                .otherwise(F.lit(0)).cast("int").alias("bin"))
     )
     return (binned.groupBy("bin")
             .agg(F.count("*").alias("n_orders")))
@@ -977,8 +981,10 @@ ORACLES = {
             SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
             FROM orders
         )
-        SELECT CAST(least(floor((o_totalprice - lo)
-                                / ((hi - lo) / 20)), 19) AS INT) AS bin,
+        SELECT CAST(CASE WHEN hi > lo THEN
+                   least(floor((o_totalprice - lo)
+                               / ((hi - lo) / 20)), 19)
+               ELSE 0 END AS INT) AS bin,
                count(*) AS n_orders
         FROM orders CROSS JOIN mm
         GROUP BY 1

@@ -303,8 +303,11 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= NEARDUP_COS, exact."""
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= NEARDUP_COS — the EXACT
+    all-pairs baseline (a deliberate cartesian, whitelisted in
+    tests/test_plans.py). Never the scale path: reach for
+    ``embedding_neardup_lsh`` first; this exists to pin its recall."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = _with_norm(emb, "vec_a", "ea", "na")
     b = _with_norm(emb, "vec_b", "eb", "nb")
@@ -454,7 +457,9 @@ QUERIES = {
     "ivf_train": ivf_train,   # iterative k-means: rows-only (no SQL oracle)
     # Arrow/numpy scoring: rows-only (float-sum order differs from SQL)
     "embedding_topk_pandas": embedding_topk_pandas,
-    "embedding_neardup": embedding_neardup,
+    "embedding_neardup_exact": embedding_neardup_exact,
+    # "embedding_neardup" survives as a legacy alias appended at the END
+    # of operators.registry() so it doesn't consume a driver-window slot
     "embedding_lsh_signatures": embedding_lsh_signatures,
     "embedding_neardup_lsh": embedding_neardup_lsh,
 }
@@ -517,6 +522,13 @@ _D_LSH_PAIRS = f"""
         JOIN embeddings a ON a.vec_id = vec_a
         JOIN embeddings b ON b.vec_id = vec_b
         WHERE floor({{cos}} * 10000) / 10000 >= {NEARDUP_COS}
+"""
+
+_D_NEARDUP_EXACT = f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               floor({_d_cos('a.embedding', 'b.embedding')} * 10000) / 10000 AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE floor({_d_cos('a.embedding', 'b.embedding')} * 10000) / 10000 >= {NEARDUP_COS}
 """
 
 ORACLES = {
@@ -591,10 +603,5 @@ ORACLES = {
                       JOIN embeddings b ON b.vec_id = cand_id
         ) WHERE rank <= {TOP_K}
     """,
-    "embedding_neardup": f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               floor({_d_cos('a.embedding', 'b.embedding')} * 10000) / 10000 AS cos_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE floor({_d_cos('a.embedding', 'b.embedding')} * 10000) / 10000 >= {NEARDUP_COS}
-    """,
+    "embedding_neardup_exact": _D_NEARDUP_EXACT,
 }

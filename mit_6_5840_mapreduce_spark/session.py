@@ -20,7 +20,7 @@ import zipfile
 
 from pyspark.sql import SparkSession
 
-_ATTACHED_SESSIONS: set[int] = set()
+_ATTACHED_SESSIONS: set[str] = set()
 
 
 def attach_package(spark: SparkSession) -> None:
@@ -29,9 +29,11 @@ def attach_package(spark: SparkSession) -> None:
     RDD closures and mapInPandas functions reference this module by name;
     cloudpickle serializes them by reference, so Python workers must be
     able to import the package regardless of the driver's cwd/sys.path.
-    Idempotent per session.
+    Idempotent per session — keyed on applicationId, which is stable for
+    a context's lifetime and never reused the way id(spark) can be after
+    a stopped session is garbage-collected.
     """
-    if id(spark) in _ATTACHED_SESSIONS:
+    if spark.sparkContext.applicationId in _ATTACHED_SESSIONS:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
@@ -49,7 +51,7 @@ def attach_package(spark: SparkSession) -> None:
                         zf.write(full, arc)
         os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
-    _ATTACHED_SESSIONS.add(id(spark))
+    _ATTACHED_SESSIONS.add(spark.sparkContext.applicationId)
 
 
 def default_parallelism() -> int:

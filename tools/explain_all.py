@@ -18,7 +18,7 @@ import __spark_entry__ as entrymod
 PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
                   "media_features", "payload_thumbnail",
                   "embedding_topk_pandas"}
-CARTESIAN_OK = {"embedding_neardup"}
+CARTESIAN_OK = {"embedding_neardup_exact", "embedding_neardup"}
 # executes a stream / an iterative loop when called — plan of the final
 # materialized result only
 MATERIALIZING = {"stream_hourly_counts", "stream_dedup_events",
