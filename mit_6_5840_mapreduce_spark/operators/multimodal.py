@@ -1,11 +1,16 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
 processed through Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked stub (``decode_image_stub``) — but the Spark-side plumbing
-(schema, batch shape, partitioning, UDF signature) is real and oracle-
-checked: payload bytes are derived deterministically from ``documents.text``
-(UTF-8 encoding) so DuckDB can verify byte lengths and hex prefixes.
+The decode step is REAL for the formats pure Python can decode — BMP
+and P6 PPM via ``functions/imaging.py`` (header parse, row flip,
+padding, BGR swap), exercised end-to-end by ``image_decode_stats``.
+JPEG/PNG/audio/video need codec libraries this container doesn't ship,
+so those paths stay behind ``decode_image``'s explicit ValueError and
+the encoder stages (``media_features``) use a deterministic stand-in —
+the Spark-side plumbing (schema, batch shape, partitioning, UDF
+signature) is identical either way and oracle-checked: payload bytes
+derive deterministically from ``documents.text`` (UTF-8 encoding) so
+DuckDB can verify values.
 
 Scale design: mapInPandas streams Arrow batches; payloads never pass
 through the driver, and the metadata projection prunes the binary column
@@ -25,17 +30,6 @@ from mit_6_5840_mapreduce_spark.sources.tables import load_table
 
 META_SCHEMA = ("doc_id BIGINT, n_bytes BIGINT, header_hex STRING, "
                "media_type STRING")
-
-
-def decode_image_stub(payload: bytes) -> None:
-    """Placeholder for a real image decode (PIL/libvips not installed).
-
-    The production implementation would return (height, width, channels,
-    pixel array); pipelines in this container must not call it.
-    """
-    raise NotImplementedError(
-        "image decode requires a codec library not present in this "
-        "container; see module docstring")
 
 
 def _extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -155,8 +149,63 @@ def payload_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         _thumbnail, "doc_id BIGINT, thumb_hex STRING, stride BIGINT")
 
 
+PIX_W = 4                       # pixels per BMP row in image_decode_stats
+_ROW_BYTES = PIX_W * 3
+
+
+def _decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Wrap payload bytes in a REAL 24-bit BMP container, decode it back
+    through functions/imaging.py, and compute channel statistics from
+    the DECODED pixels. The encode->decode round trip exercises header
+    construction/parsing, the bottom-up row flip, per-row padding, and
+    the BGR<->RGB swap — everything a real decoder does short of
+    entropy coding."""
+    import numpy as np
+
+    from mit_6_5840_mapreduce_spark.functions.imaging import (
+        decode_image, encode_bmp)
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "width", "height", "n_pixels",
+            "mean_r", "mean_g", "mean_b")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            k = (len(payload) // _ROW_BYTES) * _ROW_BYTES
+            if k == 0:
+                continue            # payload too small for one pixel row
+            height = k // _ROW_BYTES
+            width, height, rgb = decode_image(
+                encode_bmp(payload[:k], PIX_W, height))
+            arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+            n_px = arr.shape[0]
+            out["doc_id"].append(doc_id)
+            out["width"].append(width)
+            out["height"].append(height)
+            out["n_pixels"].append(n_px)
+            # exact integer sums -> one double division -> floor4:
+            # bit-identical on any engine (see functions/numeric.py)
+            for name, ch in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+                s = int(arr[:, ch].sum(dtype=np.int64))
+                out[name].append(
+                    np.floor(s / n_px * 10000) / 10000)
+        yield pd.DataFrame(out)
+
+
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document pixel statistics computed from DECODED image bytes
+    (real BMP codec path; see _decode_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return with_payload.mapInPandas(
+        _decode_stats,
+        "doc_id BIGINT, width INT, height INT, n_pixels BIGINT, "
+        "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE")
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
+    "image_decode_stats": image_decode_stats,
     "frame_sample": frame_sample,
     "media_features": media_features,
     "payload_thumbnail": payload_thumbnail,
@@ -174,7 +223,41 @@ _THUMB_PIECES = " || ".join(
     f"substring(h, {i} * stride * 2 + 1, 2) ELSE '' END)"
     for i in range(THUMB_SAMPLES))
 
+def _d_mean(ch: int) -> str:
+    return (f"floor(CAST(sum(CASE WHEN i % 3 = {ch} THEN v END) AS BIGINT)"
+            f" / (k // 3)::DOUBLE * 10000) / 10000")
+
+
+# decode(encode_bmp(x)) == x, so the decoded channel sums equal sums over
+# payload byte positions i % 3 == channel — directly expressible on the
+# hex expansion of the same UTF-8 bytes
+_DECODE_STATS_ORACLE = f"""
+        WITH b AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   (octet_length(encode(text)) // {_ROW_BYTES})
+                       * {_ROW_BYTES} AS k
+            FROM documents
+        ),
+        vals AS (
+            SELECT doc_id, k, i,
+                   CAST(concat('0x', substring(hx, CAST(i * 2 + 1 AS INT), 2))
+                        AS INT) AS v
+            FROM (SELECT doc_id, k, hx, unnest(range(0, k)) AS i
+                  FROM b WHERE k > 0)
+        )
+        SELECT doc_id,
+               CAST({PIX_W} AS INT) AS width,
+               CAST(k // {_ROW_BYTES} AS INT) AS height,
+               CAST(k // 3 AS BIGINT) AS n_pixels,
+               {_d_mean(0)} AS mean_r,
+               {_d_mean(1)} AS mean_g,
+               {_d_mean(2)} AS mean_b
+        FROM vals
+        GROUP BY doc_id, k
+"""
+
 ORACLES = {
+    "image_decode_stats": _DECODE_STATS_ORACLE,
     "media_features": f"""
         SELECT doc_id, {_FEATURE_COLS} FROM documents
     """,

@@ -32,8 +32,8 @@ MUST_BE_IN_WINDOW = {
     "doc_pagerank", "doc_split", "doc_chunks", "lang_id", "doc_quality",
     "token_stats", "doc_fingerprint",
     # multimodal
-    "multimodal_meta", "frame_sample", "media_features",
-    "payload_thumbnail",
+    "multimodal_meta", "image_decode_stats", "frame_sample",
+    "media_features", "payload_thumbnail",
     # streaming
     "stream_hourly_counts", "stream_sliding_counts",
     "stream_dedup_events", "stream_user_totals",
