@@ -328,6 +328,77 @@ def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise("test").alias("split"))
 
 
+# Per-language sampling targets in per-mille (upsample nothing, just
+# deterministic downsampling); languages not listed fall back to DEFAULT.
+SAMPLE_RATES: dict[str, int] = {"en": 500, "de": 350, "es": 350,
+                                "fr": 350, "zh": 250}
+SAMPLE_DEFAULT = 200
+SAMPLE_BUCKETS = 1000
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-LANGUAGE fraction of
+    documents, selected by md5 bucket of a salted doc_id ('sample:' salt
+    keeps this independent of doc_split's buckets). No RNG, no state —
+    the sample is identical on any engine, cluster size, or partition
+    layout, which is what corpus-mixing recipes need (a seeded sample()
+    changes with partitioning). Rates ride a broadcast constant dim, so
+    the plan is scan -> broadcast join -> filter: one pass, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % SAMPLE_BUCKETS)
+    rates = spark.createDataFrame(
+        sorted(SAMPLE_RATES.items()), "lang STRING, rate_per_mille INT")
+    return (
+        docs.select("doc_id", "lang", bucket.alias("sample_bucket"))
+        .join(broadcast(rates), "lang", "left")
+        .withColumn("rate_per_mille",
+                    F.coalesce("rate_per_mille", F.lit(SAMPLE_DEFAULT)))
+        .where(F.col("sample_bucket") < F.col("rate_per_mille"))
+        .select("doc_id", "lang", "sample_bucket", "rate_per_mille")
+    )
+
+
+SOURCE_QUOTA = 15
+N_QUOTA_SALTS = 32
+
+
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (anti-domination): keep at most
+    SOURCE_QUOTA documents per source, chosen by deterministic
+    md5-priority order (salted hash, tiebreak doc_id) so the survivors
+    are partition-independent — the "no single crawl domain dominates
+    the mix" primitive.
+
+    Salted two-phase top-K (same pattern as functions/skew.py): a
+    single window over (source) would sort EVERY row of a hot source in
+    one task at 100 TB; instead phase 1 takes top-K within
+    (source, salt) — bounding any task at ~1/N_QUOTA_SALTS of the
+    hottest source — and phase 2 re-ranks the surviving
+    K x N_QUOTA_SALTS rows per source. Dropping a row ranked > K inside
+    its salt can never drop a global top-K row, so the result is
+    IDENTICAL to the one-window form (the oracle is that form)."""
+    from pyspark.sql.window import Window
+    docs = load_table(spark, sf_dir, "documents")
+    pri = F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(N_QUOTA_SALTS))
+    w1 = Window.partitionBy("source", "salt").orderBy("pri", "doc_id")
+    cand = (
+        docs.select("doc_id", "source", pri.alias("pri"),
+                    salt.alias("salt"))
+        .withColumn("rk1", F.row_number().over(w1))
+        .where(F.col("rk1") <= SOURCE_QUOTA)
+    )
+    w2 = Window.partitionBy("source").orderBy("pri", "doc_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= SOURCE_QUOTA)
+        .select("doc_id", "source", "rk")
+    )
+
+
 QUALITY_CUT = 0.5
 
 
@@ -365,6 +436,8 @@ QUERIES = {
     "curation_summary": curation_summary,
     "doc_pagerank": doc_pagerank,   # iterative: rows-only (no SQL oracle)
     "doc_split": doc_split,
+    "stratified_sample": stratified_sample,
+    "source_quota_cap": source_quota_cap,
     "doc_chunks": doc_chunks,
     "lang_id": lang_id,
     "doc_quality": doc_quality,
@@ -375,7 +448,37 @@ QUERIES = {
 _LEX_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang, words in LEXICONS.items() for w in words)
 
+_RATE_VALUES = ", ".join(
+    f"('{lang}', {rate})" for lang, rate in sorted(SAMPLE_RATES.items()))
+
 ORACLES = {
+    "stratified_sample": f"""
+        WITH rates(lang, rate_per_mille) AS (VALUES {_RATE_VALUES}),
+        b AS (
+            SELECT doc_id, lang,
+                   CAST(concat('0x', substring(
+                        md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {SAMPLE_BUCKETS} AS sample_bucket
+            FROM documents
+        )
+        SELECT doc_id, b.lang, sample_bucket,
+               CAST(coalesce(rate_per_mille, {SAMPLE_DEFAULT}) AS INT)
+                   AS rate_per_mille
+        FROM b LEFT JOIN rates ON rates.lang = b.lang
+        WHERE sample_bucket < coalesce(rate_per_mille, {SAMPLE_DEFAULT})
+    """,
+    "source_quota_cap": f"""
+        SELECT doc_id, source, CAST(rk AS INT) AS rk
+        FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rk
+            FROM documents
+        )
+        WHERE rk <= {SOURCE_QUOTA}
+    """,
     "doc_split": f"""
         SELECT doc_id, bucket,
                CASE WHEN bucket < {TRAIN_PCT} THEN 'train'

@@ -19,13 +19,25 @@ from mit_6_5840_mapreduce_spark.operators.dedup import dedup_ngram_jaccard
 N_DOCS = 60
 
 
+def _tok(i: int) -> str:
+    """Unique LETTER-ONLY token (the tokenizer keeps only letter runs —
+    digits are delimiters, so 'u1' would collapse to 'u')."""
+    i += 1
+    s = ""
+    while i:
+        s += chr(ord("a") + i % 26)
+        i //= 26
+    return "x" + s
+
+
 @pytest.fixture(scope="module")
 def stop_shingle_dir(tmp_path_factory):
     """Every document: 3x 'stop' then two unique tokens — so all docs
     share exactly the one shingle 'stop stop stop' (df = N_DOCS) and
     nothing else. 3 shingles/doc => pairwise jaccard 1/5 = 0.2, above
     the 0.1 output threshold."""
-    texts = [f"stop stop stop unique{i}a unique{i}b" for i in range(N_DOCS)]
+    texts = [f"stop stop stop {_tok(2 * i)} {_tok(2 * i + 1)}"
+             for i in range(N_DOCS)]
     d = tmp_path_factory.mktemp("stop_shingle_sf")
     table = pa.table({
         "doc_id": pa.array(range(N_DOCS), pa.int64()),
@@ -48,9 +60,47 @@ def test_cap_removes_hot_shingle_blowup(spark, stop_shingle_dir):
                             max_df=N_DOCS - 1).count()
     assert n == 0                               # only the stop shingle joined
 
+def _chain_corpus_dir(tmp_path_factory, n_docs: int):
+    """Documents forming a PATH graph in near-dup space: doc_i overlaps
+    only doc_{i-1} and doc_{i+1} (6-token stride over a shared token
+    stream), so component diameter = n_docs - 1."""
+    stream = [_tok(1000 + j) for j in range(6 * n_docs + 6)]
+    texts = [" ".join(stream[6 * i:6 * i + 12]) for i in range(n_docs)]
+    d = tmp_path_factory.mktemp("chain_sf")
+    table = pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n_docs, pa.string()),
+        "source": pa.array(["synthetic"] * n_docs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(table, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_dedup_groups_raises_at_iteration_cap(spark, tmp_path_factory,
+                                              monkeypatch):
+    """A component whose diameter exceeds CC_MAX_ITERS must raise, not
+    silently split into multiple groups (ADVICE round 1)."""
+    from mit_6_5840_mapreduce_spark.operators import dedup as dmod
+    d = _chain_corpus_dir(tmp_path_factory, 8)      # diameter 7
+    monkeypatch.setattr(dmod, "CC_MAX_ITERS", 2)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dmod.dedup_groups(spark, d).collect()
+
+
+def test_dedup_groups_converges_on_chain(spark, tmp_path_factory):
+    from mit_6_5840_mapreduce_spark.operators import dedup as dmod
+    d = _chain_corpus_dir(tmp_path_factory, 8)
+    rows = dmod.dedup_groups(spark, d).collect()
+    assert {r.group_id for r in rows} == {0}        # one component
+    assert all(r.group_size == 8 for r in rows)
+
+
 def test_cap_keeps_legit_pairs(spark, stop_shingle_dir, tmp_path_factory):
     """A pair sharing a RARE shingle survives the cap."""
-    texts = [f"stop stop stop unique{i}a unique{i}b" for i in range(20)]
+    texts = [f"stop stop stop {_tok(2 * i)} {_tok(2 * i + 1)}"
+             for i in range(20)]
     # docs 20/21 share a rare 5-token run => 3 shared rare shingles
     texts += ["stop stop stop rare one two three four",
               "stop stop stop rare one two three five"]

@@ -108,6 +108,23 @@ def test_q15_threshold_is_broadcast_not_shuffled(spark, sf_dir):
     assert has_broadcast_join(q(spark, sf_dir, "q15_top_supplier"))
 
 
+def test_stratified_sample_is_broadcast_no_shuffle(spark, sf_dir):
+    """Rates ride a broadcast dim: scan -> broadcast join -> filter,
+    zero data shuffles."""
+    df = q(spark, sf_dir, "stratified_sample")
+    assert has_broadcast_join(df)
+    plan = executed_plan(df)
+    assert plan.count("Exchange") == plan.count("BroadcastExchange"), plan
+
+
+def test_source_quota_cap_is_two_phase_topk(spark, sf_dir):
+    """Salted phase-1 + re-rank phase-2: exactly two data shuffles
+    ((source, salt) then (source)) and no global sort."""
+    plan = executed_plan(q(spark, sf_dir, "source_quota_cap"))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 2, plan
+
+
 def test_latest_event_per_user_is_single_shuffle(spark, sf_dir):
     """Latest-per-key must be one shuffle by user + window, nothing
     more (the fan_out repartition of heavy text ops doesn't apply to

@@ -27,10 +27,11 @@ MUST_BE_IN_WINDOW = {
     "embedding_topk", "embedding_topk_pandas", "ivf_assign", "ivf_search",
     "ivf_train", "embedding_neardup_exact", "embedding_lsh_signatures",
     "embedding_neardup_lsh",
-    # text analysis
+    # text analysis / curation
     "tfidf_top_terms", "tfidf_cosine_pairs", "curation_summary",
-    "doc_pagerank", "doc_split", "doc_chunks", "lang_id", "doc_quality",
-    "token_stats", "doc_fingerprint",
+    "doc_pagerank", "doc_split", "stratified_sample", "source_quota_cap",
+    "doc_chunks", "lang_id", "doc_quality", "token_stats",
+    "doc_fingerprint",
     # multimodal
     "multimodal_meta", "image_decode_stats", "frame_sample",
     "media_features", "payload_thumbnail",
