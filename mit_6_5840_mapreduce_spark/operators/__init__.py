@@ -30,6 +30,7 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
                         dict[str, str]]:
     from mit_6_5840_mapreduce_spark.operators import (
+        corpus,
         dedup,
         events,
         mrqueries,
@@ -46,7 +47,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
     # driver-certified in round 1). tests/test_registry_window.py pins
     # the first-50 contents.
     modules = (mrqueries, dedup, similarity, textstats, multimodal,
-               streaming_jobs, events, relational)
+               streaming_jobs, events, corpus, relational)
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for m in modules:

@@ -1,0 +1,187 @@
+"""Corpus-level analysis operators — the cross-document checks a
+training-data pipeline runs before shipping a corpus (nothing in the
+reference implements these; north-star extension surface like
+operators/dedup.py).
+
+- ``contamination_check``: train/test overlap audit — for every TEST
+  document, how many of its word-3-gram shingles also occur anywhere in
+  the TRAIN split (the standard benchmark-contamination screen).
+- ``bigram_pmi``: collocation mining — pointwise-mutual-information
+  ratio for frequent bigrams. The PMI is reported as the raw
+  probability ratio p(xy)/(p(x)p(y)) rather than its log: log is
+  monotone (identical ranking) and libm logs are not bit-identical
+  across engines, while the ratio is a deterministic chain of IEEE
+  mult/div on exact integer counts.
+
+Scale design (100 TB):
+- contamination joins on the 60-bit shingle hash (fixed-width ints,
+  uniform), never on text; the train side is a distinct-hash set, the
+  test side streams through one equi-join + one count-agg per doc.
+- bigram counting is two hash-aggs (bigram, unigram) with map-side
+  partial aggregation; the join of bigram counts to the two unigram
+  count sides shuffles only the (already aggregated) vocabulary, not
+  the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_spark.functions.numeric import floor4
+from mit_6_5840_mapreduce_spark.functions.text import tokenize
+from mit_6_5840_mapreduce_spark.operators.dedup import (
+    _DUCK_SHINGLES,
+    _doc_shingles,
+)
+from mit_6_5840_mapreduce_spark.operators.textstats import (
+    SPLIT_BUCKETS,
+    TRAIN_PCT,
+    VAL_PCT,
+    doc_split,
+)
+from mit_6_5840_mapreduce_spark.sources.tables import fan_out, load_table
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per TEST-split document: total distinct shingles, how many occur
+    in ANY train-split document, and the contaminated fraction. A test
+    doc with a high fraction is (near-)duplicated in training data —
+    exactly what eval-set hygiene must catch. Uses the same
+    deterministic md5-bucket split as ``doc_split``."""
+    sh = (_doc_shingles(spark, sf_dir)
+          .join(doc_split(spark, sf_dir).select("doc_id", "split"),
+                "doc_id")
+          .cache())
+    train_hs = (sh.where(F.col("split") == "train")
+                .select("hs").distinct())
+    test_sh = sh.where(F.col("split") == "test").select("doc_id", "hs")
+    totals = test_sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"))
+    shared = (test_sh.join(train_hs, "hs")
+              .groupBy("doc_id").agg(F.count("*").alias("n_shared")))
+    return (
+        totals.join(shared, "doc_id", "left")
+        .select(
+            "doc_id", "n_shingles",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            floor4(F.coalesce("n_shared", F.lit(0))
+                   / F.col("n_shingles")).alias("contaminated_frac"))
+    )
+
+
+MIN_BIGRAM_COUNT = 5
+
+
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ratio collocations over lowercased letter tokens: bigrams
+    with count >= MIN_BIGRAM_COUNT scored by
+    p(xy) / (p(x) p(y)) = (c_xy/N_bi) / ((c_x/N_uni)(c_y/N_uni)).
+    The arithmetic is a fixed-order chain of IEEE double mult/div on
+    exact BIGINT counts — both engines produce the identical double, so
+    floor4 cannot diverge."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", tokenize(F.lower(F.col("text"))).alias("toks"))
+    bigrams = (
+        toks.where(F.size("toks") >= 2)
+        .select(F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("w1"),
+                F.element_at(F.col("toks"), i + 1).alias("w2")))).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    uni = docs.select(F.explode(tokenize(F.lower(F.col("text"))))
+                      .alias("w"))
+    c_uni = uni.groupBy("w").agg(F.count("*").alias("c"))
+    n_uni = uni.count()
+    n_bi = bigrams.count()
+    c_bi = (bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+            .where(F.col("c_xy") >= MIN_BIGRAM_COUNT))
+    cx = c_uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    cy = c_uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    # fixed-order double chain: ((c_xy * nu) * nu) / ((nb * c_x) * c_y)
+    ratio = ((F.col("c_xy").cast("double") * n_uni * n_uni)
+             / (F.lit(float(n_bi)) * F.col("c_x") * F.col("c_y")))
+    return (
+        c_bi.join(cx, "w1").join(cy, "w2")
+        .select("w1", "w2", "c_xy", "c_x", "c_y",
+                floor4(ratio).alias("pmi_ratio"))
+    )
+
+
+QUERIES = {
+    "contamination_check": contamination_check,
+    "bigram_pmi": bigram_pmi,
+}
+
+_SPLIT_SQL = f"""
+        SELECT doc_id,
+               CASE WHEN b < {TRAIN_PCT} THEN 'train'
+                    WHEN b < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(concat('0x',
+                          substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % {SPLIT_BUCKETS} AS b
+              FROM documents)
+"""
+
+ORACLES = {
+    "contamination_check": f"""
+        WITH sh AS ({_DUCK_SHINGLES}),
+        split AS ({_SPLIT_SQL}),
+        tagged AS (SELECT sh.doc_id, sh.shingle, split.split
+                   FROM sh JOIN split USING (doc_id)),
+        train_sh AS (SELECT DISTINCT shingle FROM tagged
+                     WHERE split = 'train'),
+        test_sh AS (SELECT doc_id, shingle FROM tagged
+                    WHERE split = 'test'),
+        totals AS (SELECT doc_id, count(*) AS n_shingles
+                   FROM test_sh GROUP BY doc_id),
+        shared AS (SELECT doc_id, count(*) AS n_shared
+                   FROM test_sh JOIN train_sh USING (shingle)
+                   GROUP BY doc_id)
+        SELECT doc_id, n_shingles,
+               coalesce(n_shared, 0) AS n_shared,
+               floor(coalesce(n_shared, 0) / n_shingles::DOUBLE * 10000)
+                   / 10000 AS contaminated_frac
+        FROM totals LEFT JOIN shared USING (doc_id)
+    """,
+    "bigram_pmi": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^\p{{L}}]+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ),
+        bi AS (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM toks WHERE len(toks) >= 2
+        ),
+        uni AS (SELECT unnest(toks) AS w FROM toks),
+        c_uni AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        n_uni AS (SELECT count(*) AS nu FROM uni),
+        n_bi AS (SELECT count(*) AS nb FROM bi),
+        c_bi AS (
+            SELECT split_part(bg, ' ', 1) AS w1,
+                   split_part(bg, ' ', 2) AS w2,
+                   count(*) AS c_xy
+            FROM bi GROUP BY bg
+            HAVING count(*) >= {MIN_BIGRAM_COUNT}
+        )
+        SELECT w1, w2, c_xy,
+               CAST(cx.c AS BIGINT) AS c_x,
+               CAST(cy.c AS BIGINT) AS c_y,
+               floor(((c_xy::DOUBLE * nu) * nu)
+                     / ((nb::DOUBLE * cx.c) * cy.c) * 10000) / 10000
+                   AS pmi_ratio
+        FROM c_bi
+        JOIN c_uni cx ON cx.w = w1
+        JOIN c_uni cy ON cy.w = w2
+        CROSS JOIN n_uni CROSS JOIN n_bi
+    """,
+}

@@ -27,7 +27,12 @@ REPRESENTATIVE = [
     "tfidf_cosine_pairs",
     "lang_id",
     "multimodal_meta",
+    "image_decode_stats",
     "events_value_bands",
+    "stratified_sample",
+    "source_quota_cap",
+    "contamination_check",
+    "bigram_pmi",
 ]
 
 
