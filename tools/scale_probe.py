@@ -23,7 +23,9 @@ from mit_6_5840_mapreduce_spark.session import get_spark
 from mit_6_5840_mapreduce_spark.sources.tables import load_table
 
 PROBES = ("mr_wc", "simhash_docs", "minhash_signatures",
-          "tfidf_top_terms", "lang_id", "embedding_topk", "doc_chunks")
+          "tfidf_top_terms", "lang_id", "embedding_topk", "doc_chunks",
+          "image_decode_stats", "stratified_sample", "source_quota_cap",
+          "bigram_pmi")
 FACTORS = (1, 4, 16)
 
 
