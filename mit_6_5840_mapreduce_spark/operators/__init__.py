@@ -46,8 +46,13 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
     # streaming) registers before the relational suite (fully
     # driver-certified in round 1). tests/test_registry_window.py pins
     # the first-50 contents.
+    # streaming's LATE entries register after the window on purpose —
+    # they must not displace the four required in-window stream gates
+    from types import SimpleNamespace
+    streaming_late = SimpleNamespace(QUERIES=streaming_jobs.LATE_QUERIES,
+                                     ORACLES=streaming_jobs.LATE_ORACLES)
     modules = (mrqueries, dedup, similarity, textstats, multimodal,
-               streaming_jobs, events, corpus, relational)
+               streaming_jobs, events, corpus, streaming_late, relational)
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for m in modules:

@@ -70,6 +70,29 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score (the Gopher/C4-style quality
+    rule): fraction of a doc's word-3-gram shingles that are repeats of
+    an earlier shingle in the SAME doc — high values flag boilerplate /
+    template spam. Entirely per-row array arithmetic (no explode, no
+    shuffle): size(shingles) vs size(array_distinct(shingles)), scored
+    as a single division of exact ints."""
+    from mit_6_5840_mapreduce_spark.operators.dedup import _shingles
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("toks"))
+    sh = staged.select("doc_id", _shingles(F.col("toks")).alias("sh"))
+    total = F.size("sh")
+    distinct = F.size(F.array_distinct("sh"))
+    return (
+        sh.where(total > 0)
+        .select("doc_id",
+                total.cast("bigint").alias("n_shingles"),
+                distinct.cast("bigint").alias("n_distinct"),
+                floor4((total - distinct) / total).alias("repetition_frac"))
+    )
+
+
 MIN_BIGRAM_COUNT = 5
 
 
@@ -113,6 +136,7 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "contamination_check": contamination_check,
+    "doc_repetition": doc_repetition,
     "bigram_pmi": bigram_pmi,
 }
 
@@ -129,6 +153,28 @@ _SPLIT_SQL = f"""
 """
 
 ORACLES = {
+    "doc_repetition": rf"""
+        SELECT doc_id,
+               len(sh) AS n_shingles,
+               len(list_distinct(sh)) AS n_distinct,
+               floor((len(sh) - len(list_distinct(sh)))
+                     / len(sh)::DOUBLE * 10000) / 10000 AS repetition_frac
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(
+                                 range(1, len(toks) - 1),
+                                 i -> concat_ws(' ', toks[i], toks[i+1],
+                                                toks[i+2]))
+                        ELSE [] END AS sh
+            FROM (SELECT doc_id,
+                         list_filter(
+                             regexp_split_to_array(text, '[^\p{{L}}]+'),
+                             t -> t <> '') AS toks
+                  FROM documents)
+        )
+        WHERE len(sh) > 0
+    """,
     "contamination_check": f"""
         WITH sh AS ({_DUCK_SHINGLES}),
         split AS ({_SPLIT_SQL}),

@@ -327,11 +327,39 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total_value_cents").alias("total_value_cents"))
 
 
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via session_window, materialized
+    availableNow — the streaming twin of operators/events.sessionize.
+    Boundary semantics: session_window treats an event arriving EXACTLY
+    at the gap boundary as a new session (windows are half-open), so
+    the oracle splits on gap >= 30 min, where the batch twin (which
+    flags gap > 30 min) differs only on exact-boundary gaps."""
+    return run_stream_to_memory(
+        spark, sessionized_stream(spark, sf_dir), _memq("sess"))
+
+
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase <- same-user clicks in the
+    preceding hour) materialized availableNow; dual watermarks bound the
+    join state. Oracle = the same interval join in plain SQL."""
+    return run_stream_to_memory(
+        spark, click_purchase_attribution_stream(spark, sf_dir),
+        _memq("attr"), output_mode="append")
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_dedup_events": stream_dedup_events,
     "stream_user_totals": stream_user_totals,
+}
+
+# Registered AFTER the driver's 50-query window (operators/__init__.py):
+# the four gates above are required in-window; these two are additional
+# oracle-checked streaming coverage that must not displace them.
+LATE_QUERIES = {
+    "stream_sessionize": stream_sessionize,
+    "stream_attribution": stream_attribution,
 }
 
 ORACLES = {
@@ -369,5 +397,47 @@ ORACLES = {
         SELECT user_id, count(*) AS n_events,
                CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
         FROM events GROUP BY user_id
+    """,
+}
+
+LATE_ORACLES = {
+    # gap >= 30 min starts a new session (session_window's half-open
+    # boundary; see stream_sessionize docstring)
+    "stream_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), with_id AS (
+            SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id
+                                                  ROWS UNBOUNDED PRECEDING)
+                           AS BIGINT) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM with_id
+        GROUP BY user_id, session_seq
+    """,
+    "stream_attribution": """
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               p.ts AS purchase_ts,
+               c.event_id AS click_id,
+               c.ts AS click_ts,
+               p.value AS purchase_value
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 60 MINUTE
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     """,
 }
