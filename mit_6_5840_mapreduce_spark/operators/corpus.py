@@ -117,11 +117,17 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = docs.select(F.explode(tokenize(F.lower(F.col("text"))))
                       .alias("w"))
-    c_uni = uni.groupBy("w").agg(F.count("*").alias("c"))
-    n_uni = uni.count()
-    n_bi = bigrams.count()
-    c_bi = (bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
-            .where(F.col("c_xy") >= MIN_BIGRAM_COUNT))
+    # totals come from summing the ALREADY-AGGREGATED count tables (a
+    # vocabulary-sized scan), not extra full-corpus count() passes —
+    # one corpus pass per n-gram order total
+    c_uni = uni.groupBy("w").agg(F.count("*").alias("c")).cache()
+    c_bi_all = (bigrams.groupBy("w1", "w2")
+                .agg(F.count("*").alias("c_xy")).cache())
+    # sum() over an empty aggregate is NULL -> 0 (empty corpus yields
+    # zero bigram rows, so the ratio below never evaluates)
+    n_uni = c_uni.agg(F.sum("c")).collect()[0][0] or 0
+    n_bi = c_bi_all.agg(F.sum("c_xy")).collect()[0][0] or 0
+    c_bi = c_bi_all.where(F.col("c_xy") >= MIN_BIGRAM_COUNT)
     cx = c_uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
     cy = c_uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
     # fixed-order double chain: ((c_xy * nu) * nu) / ((nb * c_x) * c_y)
