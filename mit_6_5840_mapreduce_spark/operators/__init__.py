@@ -46,13 +46,16 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
     # streaming) registers before the relational suite (fully
     # driver-certified in round 1). tests/test_registry_window.py pins
     # the first-50 contents.
-    # streaming's LATE entries register after the window on purpose —
-    # they must not displace the four required in-window stream gates
+    # LATE entries register after the window on purpose — they must not
+    # displace the required in-window gates of their home modules
     from types import SimpleNamespace
     streaming_late = SimpleNamespace(QUERIES=streaming_jobs.LATE_QUERIES,
                                      ORACLES=streaming_jobs.LATE_ORACLES)
+    multimodal_late = SimpleNamespace(QUERIES=multimodal.LATE_QUERIES,
+                                      ORACLES=multimodal.LATE_ORACLES)
     modules = (mrqueries, dedup, similarity, textstats, multimodal,
-               streaming_jobs, events, corpus, streaming_late, relational)
+               streaming_jobs, events, corpus, streaming_late,
+               multimodal_late, relational)
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for m in modules:

@@ -203,12 +203,64 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE")
 
 
+AUDIO_SR = 16000
+
+
+def _audio_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Wrap payload bytes in a REAL RIFF/WAVE container, decode it back
+    through functions/audio.py (chunk walk, fmt parse), and compute
+    signal statistics from the DECODED 16-bit samples. Integer sums are
+    exact and sqrt is IEEE-correctly-rounded, so floor4 of the stats is
+    engine-independent."""
+    import numpy as np
+
+    from mit_6_5840_mapreduce_spark.functions.audio import (
+        decode_wav, encode_wav)
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "sample_rate", "n_samples", "mean_amp", "rms")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            k = len(payload) & ~1                # 2 bytes per sample
+            if k == 0:
+                continue
+            sr, _nch, samples = decode_wav(encode_wav(payload[:k],
+                                                      AUDIO_SR))
+            n = samples.shape[0]
+            s1 = int(samples.sum(dtype=np.int64))
+            s2 = int((samples.astype(np.int64) ** 2).sum())
+            out["doc_id"].append(doc_id)
+            out["sample_rate"].append(sr)
+            out["n_samples"].append(n)
+            out["mean_amp"].append(np.floor(s1 / n * 10000) / 10000)
+            out["rms"].append(np.floor(np.sqrt(s2 / n) * 10000) / 10000)
+        yield pd.DataFrame(out)
+
+
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document signal statistics computed from DECODED 16-bit PCM
+    (real WAV codec path; see _audio_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return with_payload.mapInPandas(
+        _audio_stats,
+        "doc_id BIGINT, sample_rate INT, n_samples BIGINT, "
+        "mean_amp DOUBLE, rms DOUBLE")
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "image_decode_stats": image_decode_stats,
     "frame_sample": frame_sample,
     "media_features": media_features,
     "payload_thumbnail": payload_thumbnail,
+}
+
+# registered after the driver window (operators/__init__.py LATE list):
+# keeps the five required multimodal gates in their slots
+LATE_QUERIES = {
+    "audio_decode_stats": audio_decode_stats,
 }
 
 # md5(text) == md5 of the payload: the payload IS text's UTF-8 bytes,
@@ -255,6 +307,42 @@ _DECODE_STATS_ORACLE = f"""
         FROM vals
         GROUP BY doc_id, k
 """
+
+# 16-bit LE sample i = byte[2i] + 256*byte[2i+1] (two's complement):
+# hi hex pair sits at 1-based position 4i+3, lo at 4i+1
+_AUDIO_STATS_ORACLE = f"""
+        WITH b AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   (octet_length(encode(text)) // 2) * 2 AS k
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, k,
+                   CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+            FROM (
+                SELECT doc_id, k,
+                       CAST(concat('0x',
+                            substring(hx, CAST(i * 4 + 3 AS INT), 2),
+                            substring(hx, CAST(i * 4 + 1 AS INT), 2))
+                            AS INT) AS u
+                FROM (SELECT doc_id, k, hx, unnest(range(0, k // 2)) AS i
+                      FROM b WHERE k > 0)
+            )
+        )
+        SELECT doc_id,
+               CAST({AUDIO_SR} AS INT) AS sample_rate,
+               CAST(k // 2 AS BIGINT) AS n_samples,
+               floor(CAST(sum(v) AS BIGINT) / (k // 2)::DOUBLE * 10000)
+                   / 10000 AS mean_amp,
+               floor(sqrt(CAST(sum(v * v) AS BIGINT) / (k // 2)::DOUBLE)
+                     * 10000) / 10000 AS rms
+        FROM s
+        GROUP BY doc_id, k
+"""
+
+LATE_ORACLES = {
+    "audio_decode_stats": _AUDIO_STATS_ORACLE,
+}
 
 ORACLES = {
     "image_decode_stats": _DECODE_STATS_ORACLE,

@@ -28,6 +28,7 @@ REPRESENTATIVE = [
     "lang_id",
     "multimodal_meta",
     "image_decode_stats",
+    "audio_decode_stats",
     "events_value_bands",
     "stratified_sample",
     "source_quota_cap",
