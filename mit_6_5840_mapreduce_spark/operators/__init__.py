@@ -17,12 +17,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _with_package(fn: Callable[[SparkSession, str], DataFrame]
                   ) -> Callable[[SparkSession, str], DataFrame]:
-    """Ensure executors can import this package even when the caller built
-    its own SparkSession from an arbitrary cwd (the driver does)."""
+    """Harden registered queries against the CALLER's session config:
+    ensure executors can import this package (the driver builds its own
+    SparkSession from an arbitrary cwd) and pin the session timezone to
+    UTC — the events nanos->NTZ conversion renders instants through the
+    session TZ, so a non-UTC caller would silently shift every event
+    timestamp relative to the DuckDB oracle."""
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         from mit_6_5840_mapreduce_spark.session import attach_package
         attach_package(spark)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return fn(spark, sf_dir)
     return wrapped
 

@@ -51,6 +51,21 @@ def test_first_window_contains_north_star_surface():
     assert not missing, f"outside driver window: {sorted(missing)}"
 
 
+def test_registry_queries_pin_utc_timezone(spark, sf_dir):
+    """A caller with a non-UTC session must get identical results: the
+    registry wrapper pins the session TZ before running (the events
+    nanos->NTZ conversion renders instants through the session TZ)."""
+    import __spark_entry__ as entrymod
+    q = entrymod.queries()["latest_event_per_user"]
+    baseline = {(r.user_id, r.ts) for r in q(spark, sf_dir).collect()}
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = {(r.user_id, r.ts) for r in q(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert got == baseline
+
+
 def test_aliases_register_after_window():
     queries, oracles = registry()
     names = list(queries)
