@@ -698,6 +698,118 @@ def events_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 adapted (corpus value domains): NATION_3's share of
+    ECONOMY-part revenue sold to ASIA customers, by order year. Two
+    independent nation lookups (customer side for the region filter,
+    supplier side for the share flag) — both broadcast. Revenue in
+    exact integer cents; the share is one division, floor4'd."""
+    nation_c = _t(spark, sf_dir, "nation").alias("nc")
+    nation_s = _t(spark, sf_dir, "nation").alias("ns")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    cents = F.floor(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("bigint")
+    vol = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation_c),
+              cust.c_nationkey == F.col("nc.n_nationkey"))
+        .join(broadcast(region),
+              F.col("nc.n_regionkey") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation_s),
+              supp.s_nationkey == F.col("ns.n_nationkey"))
+        .select(F.year("o_orderdate").alias("o_year"),
+                cents.alias("cents"),
+                F.col("ns.n_name").alias("supp_nation"))
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg((F.sum("cents") / F.lit(100.0)).alias("total_revenue"),
+             floor4(F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                                 F.col("cents")).otherwise(F.lit(0)))
+                    / F.sum("cents")).alias("mkt_share"))
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 adapted (corpus has no p_container): average yearly
+    revenue lost if small-quantity orders for Brand#1 parts were not
+    taken — lineitems with quantity below 0.2x the part's average.
+    The correlated scalar subquery decorrelates into a per-part
+    aggregate joined back; the cutoff 0.2*(sum/cnt) is the identical
+    fixed-order double chain on both engines (quantities are
+    integer-valued, so the sums are exact in any order)."""
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#1").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    li_b = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    cutoff = (li_b.groupBy(F.col("l_partkey").alias("ck_partkey"))
+              .agg((F.lit(0.2) * (F.sum("l_quantity") / F.count("*")))
+                   .alias("qty_cutoff")))
+    return (
+        li_b.join(cutoff, li_b.l_partkey == cutoff.ck_partkey)
+        .where(F.col("l_quantity") < F.col("qty_cutoff"))
+        .agg(floor4(F.round(F.sum("l_extendedprice"), 2) / F.lit(7.0))
+             .alias("avg_yearly"))
+    )
+
+
+LATE_DAYS = 60
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (corpus lacks commit/receipt dates — 'late' =
+    shipped > LATE_DAYS after the order date, as in Q4's adaptation):
+    suppliers whose lineitem was late on a finished multi-supplier
+    order where EVERY other supplier was on time. The classic
+    exists/not-exists pair becomes a semi join plus an anti join on
+    (orderkey, supplier != supplier). Top 100 by wait count, name
+    tiebreak — fully deterministic."""
+    orders_f = (_t(spark, sf_dir, "orders")
+                .where(F.col("o_orderstatus") == "F")
+                .select("o_orderkey", "o_orderdate"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+    is_late = (F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS"))
+    all_su = lo.select("l_orderkey", "l_suppkey").distinct()
+    late_su = (lo.where(is_late)
+               .select("l_orderkey", "l_suppkey").distinct())
+    w = late_su.alias("w")
+    other = all_su.alias("o")
+    other_late = late_su.alias("ol")
+    waiting = (
+        w.join(other,
+               (F.col("w.l_orderkey") == F.col("o.l_orderkey"))
+               & (F.col("w.l_suppkey") != F.col("o.l_suppkey")),
+               "leftsemi")
+        .alias("w")
+        .join(other_late,
+              (F.col("w.l_orderkey") == F.col("ol.l_orderkey"))
+              & (F.col("w.l_suppkey") != F.col("ol.l_suppkey")),
+              "leftanti")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "sql_revenue_by_segment": sql_revenue_by_segment,
     "sql_priority_status_sets": sql_priority_status_sets,
@@ -733,9 +845,78 @@ QUERIES = {
     "brand_price_stats": brand_price_stats,
     "repeat_customers": repeat_customers,
     "sales_rollup": sales_rollup,
+    "q8_market_share": q8_market_share,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
 }
 
 ORACLES = {
+    "q8_market_share": """
+        WITH vol AS (
+            SELECT year(o_orderdate) AS o_year,
+                   CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS cents,
+                   ns.n_name AS supp_nation
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+            JOIN orders ON l_orderkey = o_orderkey
+             AND o_orderdate >= TIMESTAMP '1995-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            JOIN region ON nc.n_regionkey = r_regionkey
+             AND r_name = 'ASIA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+        )
+        SELECT o_year,
+               CAST(sum(cents) AS BIGINT) / 100.0 AS total_revenue,
+               floor(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                   THEN cents ELSE 0 END) AS BIGINT)
+                     / CAST(sum(cents) AS BIGINT)::DOUBLE * 10000) / 10000
+                   AS mkt_share
+        FROM vol GROUP BY o_year
+    """,
+    "q17_small_quantity_revenue": """
+        WITH li_b AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#1'
+        ),
+        cutoff AS (
+            SELECT l_partkey,
+                   0.2 * (sum(l_quantity) / count(*)) AS qty_cutoff
+            FROM li_b GROUP BY l_partkey
+        )
+        SELECT floor(round(sum(l_extendedprice), 2) / 7.0 * 10000) / 10000
+                   AS avg_yearly
+        FROM li_b JOIN cutoff USING (l_partkey)
+        WHERE l_quantity < qty_cutoff
+    """,
+    "q21_suppliers_kept_waiting": f"""
+        WITH lo AS (
+            SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        all_su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo),
+        late_su AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lo
+            WHERE l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM late_su w
+        JOIN supplier ON w.l_suppkey = s_suppkey
+        WHERE EXISTS (SELECT 1 FROM all_su o
+                      WHERE o.l_orderkey = w.l_orderkey
+                        AND o.l_suppkey <> w.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late_su ol
+                          WHERE ol.l_orderkey = w.l_orderkey
+                            AND ol.l_suppkey <> w.l_suppkey)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
     # events_user_sketch: deliberately no oracle (approximate result)
     # sql_revenue_by_segment: the SAME SQL string is the oracle
     "sql_revenue_by_segment": _REVENUE_BY_SEGMENT_SQL,
