@@ -257,10 +257,57 @@ QUERIES = {
     "payload_thumbnail": payload_thumbnail,
 }
 
+GIF_W = 16
+
+
+def _gif_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Wrap payload bytes (as palette indices on a grayscale table) in a
+    REAL GIF container with genuine LZW compression, decode it back —
+    header, color table, sub-block reassembly, and the variable-width
+    LZW dictionary rebuild all run for every row — and compute
+    luminance statistics from the DECODED pixels."""
+    import numpy as np
+
+    from mit_6_5840_mapreduce_spark.functions.gif import (
+        GRAYSCALE_PALETTE, decode_gif, encode_gif)
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "width", "height", "n_pixels", "mean_lum")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            k = (len(payload) // GIF_W) * GIF_W
+            if k == 0:
+                continue
+            w, h, rgb = decode_gif(encode_gif(
+                payload[:k], GIF_W, k // GIF_W, GRAYSCALE_PALETTE))
+            lum = np.frombuffer(rgb, dtype=np.uint8)[::3]  # r == index
+            n = lum.shape[0]
+            s1 = int(lum.sum(dtype=np.int64))
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_pixels"].append(n)
+            out["mean_lum"].append(np.floor(s1 / n * 10000) / 10000)
+        yield pd.DataFrame(out)
+
+
+def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document luminance statistics computed from pixels decoded
+    through a real LZW-compressed GIF (see _gif_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return with_payload.mapInPandas(
+        _gif_stats,
+        "doc_id BIGINT, width INT, height INT, n_pixels BIGINT, "
+        "mean_lum DOUBLE")
+
+
 # registered after the driver window (operators/__init__.py LATE list):
 # keeps the five required multimodal gates in their slots
 LATE_QUERIES = {
     "audio_decode_stats": audio_decode_stats,
+    "gif_decode_stats": gif_decode_stats,
 }
 
 # md5(text) == md5 of the payload: the payload IS text's UTF-8 bytes,
@@ -340,8 +387,35 @@ _AUDIO_STATS_ORACLE = f"""
         GROUP BY doc_id, k
 """
 
+# decode(encode(x)) == x through the GIF/LZW round trip, and the
+# grayscale palette makes luminance == the original byte — so the
+# decoded stats equal direct byte statistics over the same UTF-8 bytes
+_GIF_STATS_ORACLE = f"""
+        WITH b AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   (octet_length(encode(text)) // {GIF_W}) * {GIF_W} AS k
+            FROM documents
+        ),
+        vals AS (
+            SELECT doc_id, k,
+                   CAST(concat('0x', substring(hx, CAST(i * 2 + 1 AS INT), 2))
+                        AS INT) AS v
+            FROM (SELECT doc_id, k, hx, unnest(range(0, k)) AS i
+                  FROM b WHERE k > 0)
+        )
+        SELECT doc_id,
+               CAST({GIF_W} AS INT) AS width,
+               CAST(k // {GIF_W} AS INT) AS height,
+               CAST(k AS BIGINT) AS n_pixels,
+               floor(CAST(sum(v) AS BIGINT) / k::DOUBLE * 10000) / 10000
+                   AS mean_lum
+        FROM vals
+        GROUP BY doc_id, k
+"""
+
 LATE_ORACLES = {
     "audio_decode_stats": _AUDIO_STATS_ORACLE,
+    "gif_decode_stats": _GIF_STATS_ORACLE,
 }
 
 ORACLES = {

@@ -29,6 +29,7 @@ REPRESENTATIVE = [
     "multimodal_meta",
     "image_decode_stats",
     "audio_decode_stats",
+    "gif_decode_stats",
     "events_value_bands",
     "stratified_sample",
     "source_quota_cap",
