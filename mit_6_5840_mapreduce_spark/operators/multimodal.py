@@ -303,11 +303,60 @@ def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_lum DOUBLE")
 
 
+VID_W, VID_H = 4, 4
+VID_FRAME_BYTES = VID_W * VID_H * 3
+FRAME_STRIDE = 2                      # keep every 2nd frame
+
+
+def _video_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Wrap payload bytes in a REAL AVI container (nested RIFF lists,
+    avih header, per-frame DIB chunks), decode it back, keyframe-sample
+    every FRAME_STRIDE-th DECODED frame, and compute per-frame pixel
+    means — the real-container version of frame_sample's byte-slice
+    stand-in."""
+    import numpy as np
+
+    from mit_6_5840_mapreduce_spark.functions.video import (
+        decode_avi, encode_avi)
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "frame_idx", "n_frames", "mean_px")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            k = (len(payload) // VID_FRAME_BYTES) * VID_FRAME_BYTES
+            if k == 0:
+                continue
+            frames = [payload[i:i + VID_FRAME_BYTES]
+                      for i in range(0, k, VID_FRAME_BYTES)]
+            _w, _h, decoded = decode_avi(encode_avi(frames, VID_W, VID_H))
+            for idx in range(0, len(decoded), FRAME_STRIDE):
+                px = np.frombuffer(decoded[idx], dtype=np.uint8)
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["n_frames"].append(len(decoded))
+                out["mean_px"].append(
+                    np.floor(int(px.sum(dtype=np.int64))
+                             / VID_FRAME_BYTES * 10000) / 10000)
+        yield pd.DataFrame(out)
+
+
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe statistics from frames decoded out of a real AVI
+    container (see _video_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return with_payload.mapInPandas(
+        _video_stats,
+        "doc_id BIGINT, frame_idx INT, n_frames INT, mean_px DOUBLE")
+
+
 # registered after the driver window (operators/__init__.py LATE list):
 # keeps the five required multimodal gates in their slots
 LATE_QUERIES = {
     "audio_decode_stats": audio_decode_stats,
     "gif_decode_stats": gif_decode_stats,
+    "video_frame_stats": video_frame_stats,
 }
 
 # md5(text) == md5 of the payload: the payload IS text's UTF-8 bytes,
@@ -413,9 +462,37 @@ _GIF_STATS_ORACLE = f"""
         GROUP BY doc_id, k
 """
 
+# decode(encode(frames)) == frames through the AVI round trip, so each
+# sampled frame's pixel mean equals the mean over that frame's byte
+# range of the same UTF-8 payload
+_VIDEO_STATS_ORACLE = f"""
+        WITH b AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   (octet_length(encode(text)) // {VID_FRAME_BYTES})
+                       * {VID_FRAME_BYTES} AS k
+            FROM documents
+        ),
+        vals AS (
+            SELECT doc_id, k, i // {VID_FRAME_BYTES} AS frame_idx,
+                   CAST(concat('0x', substring(hx, CAST(i * 2 + 1 AS INT), 2))
+                        AS INT) AS v
+            FROM (SELECT doc_id, k, hx, unnest(range(0, k)) AS i
+                  FROM b WHERE k > 0)
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST(k // {VID_FRAME_BYTES} AS INT) AS n_frames,
+               floor(CAST(sum(v) AS BIGINT) / {VID_FRAME_BYTES}.0
+                     * 10000) / 10000 AS mean_px
+        FROM vals
+        WHERE frame_idx % {FRAME_STRIDE} = 0
+        GROUP BY doc_id, k, frame_idx
+"""
+
 LATE_ORACLES = {
     "audio_decode_stats": _AUDIO_STATS_ORACLE,
     "gif_decode_stats": _GIF_STATS_ORACLE,
+    "video_frame_stats": _VIDEO_STATS_ORACLE,
 }
 
 ORACLES = {

@@ -30,6 +30,7 @@ REPRESENTATIVE = [
     "image_decode_stats",
     "audio_decode_stats",
     "gif_decode_stats",
+    "video_frame_stats",
     "events_value_bands",
     "stratified_sample",
     "source_quota_cap",

@@ -17,7 +17,7 @@ import __spark_entry__ as entrymod
 # deliberate exceptions, mirrored from tests/test_plans.py
 PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
                   "image_decode_stats", "audio_decode_stats",
-                  "gif_decode_stats",
+                  "gif_decode_stats", "video_frame_stats",
                   "media_features", "payload_thumbnail",
                   "embedding_topk_pandas"}
 CARTESIAN_OK = {"embedding_neardup_exact", "embedding_neardup"}
