@@ -74,22 +74,29 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition score (the Gopher/C4-style quality
     rule): fraction of a doc's word-3-gram shingles that are repeats of
     an earlier shingle in the SAME doc — high values flag boilerplate /
-    template spam. Entirely per-row array arithmetic (no explode, no
-    shuffle): size(shingles) vs size(array_distinct(shingles)), scored
-    as a single division of exact ints."""
+    template spam. One explode + hash-agg keyed by doc_id, scored as a
+    single division of exact ints.
+
+    Deliberately NOT the shuffle-free array form
+    (size/array_distinct over a staged array): Catalyst's projection
+    collapse re-inlines the shingle-construction expression once per
+    array reference, tripling the dominant per-row cost — measured 8x
+    slower than this explode+agg at sf0.1. The explode has exactly one
+    consumer of the expression; docs too short for any shingle simply
+    produce no rows (same contract as the array form's size > 0)."""
     from mit_6_5840_mapreduce_spark.operators.dedup import _shingles
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     staged = docs.select(
         "doc_id", tokenize(F.col("text")).alias("toks"))
-    sh = staged.select("doc_id", _shingles(F.col("toks")).alias("sh"))
-    total = F.size("sh")
-    distinct = F.size(F.array_distinct("sh"))
+    sh = staged.select("doc_id",
+                       F.explode(_shingles(F.col("toks"))).alias("s"))
+    total = F.count("*")
+    distinct = F.count_distinct("s")
     return (
-        sh.where(total > 0)
-        .select("doc_id",
-                total.cast("bigint").alias("n_shingles"),
-                distinct.cast("bigint").alias("n_distinct"),
-                floor4((total - distinct) / total).alias("repetition_frac"))
+        sh.groupBy("doc_id")
+        .agg(total.alias("n_shingles"),
+             distinct.alias("n_distinct"),
+             floor4((total - distinct) / total).alias("repetition_frac"))
     )
 
 
