@@ -238,6 +238,26 @@ def user_value_mad_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event cadence per user: gap count, median and max gap in
+    microseconds. Gaps are exact BIGINT differences of epoch-micros
+    (one lag over the user-partitioned sort), and the median of exact
+    integers interpolates to an exact .0/.5 double on any engine — no
+    float-order hazard anywhere."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (ev.withColumn("gap_us", ts_us - F.lag(ts_us).over(by_user))
+            .where(F.col("gap_us").isNotNull()))
+    return (
+        gaps.groupBy("user_id")
+        .agg(F.count("*").alias("n_gaps"),
+             F.percentile("gap_us", F.lit(0.5)).alias("median_gap_us"),
+             F.max("gap_us").alias("max_gap_us"))
+    )
+
+
 VALUE_BANDS = [(0, 0.0, 10.0), (1, 10.0, 50.0), (2, 50.0, 100.0),
                (3, 100.0, 250.0), (4, 250.0, 1000.0)]
 
@@ -477,6 +497,7 @@ QUERIES = {
     "user_event_sequences": user_event_sequences,
     "user_value_outliers": user_value_outliers,
     "hourly_burst_detection": hourly_burst_detection,
+    "user_gap_stats": user_gap_stats,   # appended: outside the window
 }
 
 _BANDS_VALUES = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BANDS)
@@ -646,6 +667,21 @@ ORACLES = {
     """,
     "user_value_mad": _MAD_ORACLE,
     "user_value_mad_sql": _MAD_ORACLE,
+    "user_gap_stats": """
+        SELECT user_id,
+               count(*) AS n_gaps,
+               median(gap_us) AS median_gap_us,
+               max(gap_us) AS max_gap_us
+        FROM (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS gap_us
+            FROM events
+        )
+        WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+    """,
     "events_props_stats": """
         SELECT k_bucket,
                count(*) AS n_events,
