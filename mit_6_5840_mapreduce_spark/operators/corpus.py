@@ -111,8 +111,12 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINT counts — both engines produce the identical double, so
     floor4 cannot diverge."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    # tokenize the corpus ONCE: the staged token arrays are persisted
+    # (memory-and-disk, so the cache degrades gracefully at scale) and
+    # BOTH n-gram orders read the materialized arrays — previously the
+    # unigram pass re-ran the full scan + tokenize
     toks = docs.select(
-        "doc_id", tokenize(F.lower(F.col("text"))).alias("toks"))
+        "doc_id", tokenize(F.lower(F.col("text"))).alias("toks")).persist()
     bigrams = (
         toks.where(F.size("toks") >= 2)
         .select(F.explode(F.transform(
@@ -122,11 +126,10 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at(F.col("toks"), i + 1).alias("w2")))).alias("b"))
         .select("b.w1", "b.w2")
     )
-    uni = docs.select(F.explode(tokenize(F.lower(F.col("text"))))
-                      .alias("w"))
+    uni = toks.select(F.explode("toks").alias("w"))
     # totals come from summing the ALREADY-AGGREGATED count tables (a
     # vocabulary-sized scan), not extra full-corpus count() passes —
-    # one corpus pass per n-gram order total
+    # one tokenize pass total, one cache read per n-gram order
     c_uni = uni.groupBy("w").agg(F.count("*").alias("c")).cache()
     c_bi_all = (bigrams.groupBy("w1", "w2")
                 .agg(F.count("*").alias("c_xy")).cache())
@@ -134,6 +137,9 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero bigram rows, so the ratio below never evaluates)
     n_uni = c_uni.agg(F.sum("c")).collect()[0][0] or 0
     n_bi = c_bi_all.agg(F.sum("c_xy")).collect()[0][0] or 0
+    # both count tables are materialized by the collects above; the
+    # staged token arrays are no longer needed downstream
+    toks.unpersist()
     c_bi = c_bi_all.where(F.col("c_xy") >= MIN_BIGRAM_COUNT)
     cx = c_uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
     cy = c_uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))

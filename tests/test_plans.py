@@ -136,3 +136,22 @@ def test_latest_event_per_user_is_single_shuffle(spark, sf_dir):
     assert shuffles == 1, plan
 
 
+
+
+def test_bigram_pmi_tokenizes_corpus_once(spark, sf_dir, monkeypatch):
+    """Both n-gram orders must derive from ONE staged (persisted)
+    tokenize projection — the unigram pass previously re-ran the full
+    scan + tokenize. tokenize() is a plan-build-time Column constructor,
+    so counting its invocations pins the number of tokenize subtrees."""
+    from mit_6_5840_mapreduce_spark.operators import corpus
+
+    calls = {"n": 0}
+    real = corpus.tokenize
+
+    def counting(col):
+        calls["n"] += 1
+        return real(col)
+
+    monkeypatch.setattr(corpus, "tokenize", counting)
+    corpus.bigram_pmi(spark, sf_dir)
+    assert calls["n"] == 1, f"tokenize built {calls['n']} subtrees"
