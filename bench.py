@@ -5,6 +5,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with the noop sink (full physical
 execution, no driver-side result transfer skewing the number).
+
+Contention hardening (wall-clock on this host swings ~2x with co-tenant
+load): per-query times are the MEDIAN of $SPARK_GRAFT_BENCH_REPEAT runs
+(default 3), the JSON carries os.getloadavg() markers taken before and
+after the run, and a per-query ratio table against the frozen round-1
+baseline (BASELINE.md / BENCH_r01.json) so a single noisy run is
+distinguishable from a plan regression: uniform ratio inflation = host
+load; one query moving alone = that query regressed.
 """
 
 from __future__ import annotations
@@ -12,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -47,6 +56,22 @@ HEADLINE = (
     "q7_nation_volume",
 )
 
+# Frozen round-1 per-query seconds (idle host, BENCH_r01.json) — the
+# cross-round contract. Compare ratios, not totals: a uniform shift is
+# host contention, a lone mover is a regression.
+BASELINE_R1 = {
+    "mr_wc": 0.815, "mr_indexer": 1.304, "q1_pricing_summary": 0.65,
+    "q3_shipping_priority": 1.054, "q5_local_supplier_volume": 1.019,
+    "q6_forecast_revenue": 0.29, "q13_customer_distribution": 0.521,
+    "top3_orders_per_customer": 0.548, "user_event_pivot": 0.431,
+    "sessionize": 0.515, "events_hourly": 0.54, "asof_join_orders": 0.696,
+    "dedup_exact": 0.226, "dedup_ngram_jaccard": 2.2,
+    "dedup_minhash_lsh": 2.009, "dedup_simhash": 1.5, "dedup_groups": 4.459,
+    "embedding_topk": 0.674, "embedding_neardup_lsh": 2.371,
+    "ivf_search": 1.102, "doc_chunks": 0.338, "lang_id": 1.276,
+    "tfidf_top_terms": 1.132, "q7_nation_volume": 0.99,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,31 +79,43 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     queries, _ = registry()
 
+    load_before = os.getloadavg()
     spark = get_spark("bench")
     # JVM/codegen warm-up so the first measured query isn't paying JIT
     # cost (a NON-headline query, so no measured entry gets extra warming)
     queries["q4_order_priority"](spark, sf_dir).write.mode(
         "overwrite").format("noop").save()
 
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
+        runs = []
         for _ in range(repeat):
             spark.catalog.clearCache()   # operators may cache() internally
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.mode("overwrite") \
                 .format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+    load_after = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
+    ratios = {name: round(timings[name] / BASELINE_R1[name], 2)
+              for name in HEADLINE if name in BASELINE_R1}
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "notes": {
+            "per_query_stat": f"median_of_{repeat}",
+            "loadavg_before": [round(x, 2) for x in load_before],
+            "loadavg_after": [round(x, 2) for x in load_after],
+            "ratio_vs_baseline_r1": ratios,
+            "ratio_median": round(statistics.median(ratios.values()), 2),
+            "ratio_max": round(max(ratios.values()), 2),
+        },
     }))
     spark.stop()
 

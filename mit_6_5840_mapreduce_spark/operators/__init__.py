@@ -32,6 +32,45 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
     return wrapped
 
 
+# The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
+# each round, so window composition is an explicit, reviewed list rather
+# than an accident of module ordering. Round-3 window: the 12 queries
+# that had never had a driver row (TPC-H Q8/Q17/Q21, the corpus trio,
+# audio/gif/video decode stats, the late stream gates, user_gap_stats),
+# a sentinel set kept in-window EVERY round to catch regressions
+# (mr_wc, mr_wc_rdd, dedup_exact, stream_hourly_counts), every query
+# whose implementation changed this round (multimodal_meta,
+# frame_sample, dedup_groups, doc_pagerank), and relational re-certs
+# filling the remainder. tests/test_registry_window.py pins this.
+WINDOW_SIZE = 50
+
+WINDOW_FIRST: tuple[str, ...] = (
+    # sentinels (every round)
+    "mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts",
+    # the 12 never-driver-certified queries (round-2 VERDICT item 1)
+    "user_gap_stats", "contamination_check", "doc_repetition",
+    "bigram_pmi", "stream_sessionize", "stream_attribution",
+    "audio_decode_stats", "gif_decode_stats", "video_frame_stats",
+    "q8_market_share", "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
+    # changed this round -> need re-certification
+    "doc_pagerank", "multimodal_meta", "frame_sample", "dedup_groups",
+    # relational / events re-certs (round-1 rows, re-verified here)
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
+    "q10_returned_items", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q18_large_orders", "q19_discounted_revenue",
+    "q22_idle_customers", "sql_revenue_by_segment",
+    "sql_priority_status_sets", "table_profile",
+    "nation_customer_supplier_balance", "user_event_pivot",
+    "orders_dow_stats", "part_name_analysis", "orders_monthly_growth",
+    "order_value_percentiles", "customers_no_orders",
+    "priority_status_cube", "daily_revenue_trailing", "cohort_retention",
+    "column_histogram", "customer_value_quartiles",
+    "top3_orders_per_customer", "repeat_customers",
+)
+
+
 def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
                         dict[str, str]]:
     from mit_6_5840_mapreduce_spark.operators import (
@@ -45,14 +84,6 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
         textstats,
     )
     from mit_6_5840_mapreduce_spark.streaming import jobs as streaming_jobs
-    # Registration order is load-bearing: the driver's CORRECTNESS gate
-    # verifies the FIRST 50 registry entries each round, so the
-    # LLM-pipeline surface (dedup/similarity/textstats/multimodal/
-    # streaming) registers before the relational suite (fully
-    # driver-certified in round 1). tests/test_registry_window.py pins
-    # the first-50 contents.
-    # LATE entries register after the window on purpose — they must not
-    # displace the required in-window gates of their home modules
     from types import SimpleNamespace
     streaming_late = SimpleNamespace(QUERIES=streaming_jobs.LATE_QUERIES,
                                      ORACLES=streaming_jobs.LATE_ORACLES)
@@ -70,6 +101,18 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
         queries.update({name: _with_package(fn)
                         for name, fn in m.QUERIES.items()})
         oracles.update(m.ORACLES)
+    # reorder so WINDOW_FIRST occupies the driver's certification window,
+    # everything else follows in module order
+    missing = [n for n in WINDOW_FIRST if n not in queries]
+    if missing:
+        raise ValueError(f"WINDOW_FIRST names not registered: {missing}")
+    if len(set(WINDOW_FIRST)) != WINDOW_SIZE:
+        raise ValueError(
+            f"WINDOW_FIRST must hold exactly {WINDOW_SIZE} distinct names, "
+            f"got {len(set(WINDOW_FIRST))}")
+    ordered = {n: queries[n] for n in WINDOW_FIRST}
+    ordered.update((n, fn) for n, fn in queries.items() if n not in ordered)
+    queries = ordered
     # legacy aliases (post-rename names kept for gate continuity),
     # appended LAST so they never consume a driver-window slot
     for alias, target in (("embedding_neardup", "embedding_neardup_exact"),):

@@ -1,16 +1,22 @@
-"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata,
 processed through Arrow-batched ``mapInPandas``.
 
-The decode step is REAL for the formats pure Python can decode — BMP
-and P6 PPM via ``functions/imaging.py`` (header parse, row flip,
-padding, BGR swap), exercised end-to-end by ``image_decode_stats``.
-JPEG/PNG/audio/video need codec libraries this container doesn't ship,
-so those paths stay behind ``decode_image``'s explicit ValueError and
-the encoder stages (``media_features``) use a deterministic stand-in —
-the Spark-side plumbing (schema, batch shape, partitioning, UDF
-signature) is identical either way and oracle-checked: payload bytes
-derive deterministically from ``documents.text`` (UTF-8 encoding) so
-DuckDB can verify values.
+The container layer is REAL for every format pure Python can handle:
+BMP/PPM (``functions/imaging.py``), RIFF/WAVE PCM
+(``functions/audio.py``), GIF with genuine LZW entropy decoding
+(``functions/gif.py``), and AVI (``functions/video.py``).
+``multimodal_meta`` sniffs media types from MAGIC BYTES over a corpus of
+real containers; ``frame_sample`` and the ``*_decode_stats`` queries
+compute their outputs from DECODED pixels/samples/frames. Only the
+learned-encoder stage (``media_features``) uses a deterministic
+stand-in — CLIP/wav2vec-class models are genuinely out of scope for
+this container; the Arrow batch shape and schema are exactly what the
+real encoder stage has (see docs/MULTIMODAL_CODECS.md for the native
+codec swap point).
+
+Everything is oracle-checked: payload bytes derive deterministically
+from ``documents.text`` (UTF-8 encoding) and the codecs round-trip
+losslessly, so DuckDB can verify decoded values byte-for-byte.
 
 Scale design: mapInPandas streams Arrow batches; payloads never pass
 through the driver, and the metadata projection prunes the binary column
@@ -31,22 +37,61 @@ from mit_6_5840_mapreduce_spark.sources.tables import load_table
 META_SCHEMA = ("doc_id BIGINT, n_bytes BIGINT, header_hex STRING, "
                "media_type STRING")
 
+PIX_W = 4                       # pixels per BMP row in image_decode_stats
+_ROW_BYTES = PIX_W * 3
+AUDIO_SR = 16000
+VID_W, VID_H = 4, 4
+VID_FRAME_BYTES = VID_W * VID_H * 3
+
+
+def _wrap_payload(doc_id: int, raw: bytes) -> bytes:
+    """Deterministically wrap a raw payload in a REAL media container by
+    doc_id % 4 (0: BMP, 1: WAV, 2: AVI, 3: raw text), so the corpus
+    carries a mix of genuinely-sniffable binary formats. Payloads too
+    small for one unit of their container fall back to raw text."""
+    from mit_6_5840_mapreduce_spark.functions.audio import encode_wav
+    from mit_6_5840_mapreduce_spark.functions.imaging import encode_bmp
+    from mit_6_5840_mapreduce_spark.functions.video import encode_avi
+    mod = doc_id % 4
+    if mod == 0:
+        k = (len(raw) // _ROW_BYTES) * _ROW_BYTES
+        if k:
+            return encode_bmp(raw[:k], PIX_W, k // _ROW_BYTES)
+    elif mod == 1:
+        k = len(raw) & ~1
+        if k:
+            return encode_wav(raw[:k], AUDIO_SR)
+    elif mod == 2:
+        k = (len(raw) // VID_FRAME_BYTES) * VID_FRAME_BYTES
+        if k:
+            frames = [raw[i:i + VID_FRAME_BYTES]
+                      for i in range(0, k, VID_FRAME_BYTES)]
+            return encode_avi(frames, VID_W, VID_H)
+    return raw
+
 
 def _extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched metadata extraction over binary payloads."""
+    """Arrow-batched metadata extraction: wrap each payload in its real
+    container (see _wrap_payload), then sniff media_type from MAGIC
+    BYTES (functions/sniff.py) — not from any out-of-band hint — and
+    report the container's true size and 8-byte header."""
+    from mit_6_5840_mapreduce_spark.functions.sniff import sniff_media_type
     for pdf in batches:
-        payloads = pdf["payload"]
-        yield pd.DataFrame({
-            "doc_id": pdf["doc_id"],
-            "n_bytes": payloads.map(len).astype("int64"),
-            "header_hex": payloads.map(lambda b: b[:8].hex().upper()),
-            "media_type": "text/plain",   # stubbed sniffing
-        })
+        out: dict[str, list] = {"doc_id": [], "n_bytes": [],
+                                "header_hex": [], "media_type": []}
+        for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+            blob = _wrap_payload(doc_id, raw)
+            out["doc_id"].append(doc_id)
+            out["n_bytes"].append(len(blob))
+            out["header_hex"].append(blob[:8].hex().upper())
+            out["media_type"].append(sniff_media_type(blob))
+        yield pd.DataFrame(out)
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column metadata extraction via mapInPandas (real Arrow path,
-    deterministic payloads = UTF-8 bytes of documents.text)."""
+    """Binary-column metadata extraction via mapInPandas over a corpus of
+    real BMP/WAV/AVI containers (built from documents.text bytes), with
+    media_type detected from magic bytes by functions/sniff.py."""
     docs = load_table(spark, sf_dir, "documents")
     with_payload = docs.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload"))
@@ -54,21 +99,26 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_FRAMES = 4
-FRAME_BYTES = 16
 
 
 def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic frame sampling stub: up to N_FRAMES slices of
-    FRAME_BYTES each from the head of the payload (a real video pipeline
-    would decode and sample keyframes here — same batch shape)."""
+    """REAL frame sampling: build an AVI container from the payload's
+    frames, decode it back through functions/video.py (nested RIFF walk,
+    avih parse, per-frame DIB decode with row flip + BGR swap), and emit
+    the first N_FRAMES DECODED frames."""
+    from mit_6_5840_mapreduce_spark.functions.video import (
+        decode_avi, encode_avi)
     for pdf in batches:
         out: dict[str, list] = {"doc_id": [], "frame_idx": [],
                                 "frame_hex": [], "frame_bytes": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            for i in range(N_FRAMES):
-                frame = payload[i * FRAME_BYTES:(i + 1) * FRAME_BYTES]
-                if not frame:
-                    break
+            k = (len(payload) // VID_FRAME_BYTES) * VID_FRAME_BYTES
+            if k == 0:
+                continue            # payload too small for one frame
+            frames = [payload[i:i + VID_FRAME_BYTES]
+                      for i in range(0, k, VID_FRAME_BYTES)]
+            _w, _h, decoded = decode_avi(encode_avi(frames, VID_W, VID_H))
+            for i, frame in enumerate(decoded[:N_FRAMES]):
                 out["doc_id"].append(doc_id)
                 out["frame_idx"].append(i)
                 out["frame_hex"].append(frame.hex().upper())
@@ -77,8 +127,8 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing over binary payloads via mapInPandas
-    (decode stubbed; schema/batching/partitioning real)."""
+    """Frame sampling over binary payloads via mapInPandas, routed
+    through the real AVI encode->decode path (see _sample_frames)."""
     docs = load_table(spark, sf_dir, "documents")
     with_payload = docs.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload"))
@@ -149,10 +199,6 @@ def payload_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         _thumbnail, "doc_id BIGINT, thumb_hex STRING, stride BIGINT")
 
 
-PIX_W = 4                       # pixels per BMP row in image_decode_stats
-_ROW_BYTES = PIX_W * 3
-
-
 def _decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Wrap payload bytes in a REAL 24-bit BMP container, decode it back
     through functions/imaging.py, and compute channel statistics from
@@ -201,9 +247,6 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_stats,
         "doc_id BIGINT, width INT, height INT, n_pixels BIGINT, "
         "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE")
-
-
-AUDIO_SR = 16000
 
 
 def _audio_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -303,8 +346,6 @@ def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_lum DOUBLE")
 
 
-VID_W, VID_H = 4, 4
-VID_FRAME_BYTES = VID_W * VID_H * 3
 FRAME_STRIDE = 2                      # keep every 2nd frame
 
 
@@ -495,6 +536,62 @@ LATE_ORACLES = {
     "video_frame_stats": _VIDEO_STATS_ORACLE,
 }
 
+def _le32(expr: str) -> str:
+    """Little-endian u32 rendered as 8 uppercase hex chars (the wire
+    layout of RIFF/BMP size fields), for the DuckDB oracle."""
+    return (f"printf('%02X%02X%02X%02X', ({expr}) & 255, "
+            f"(({expr}) >> 8) & 255, (({expr}) >> 16) & 255, "
+            f"(({expr}) >> 24) & 255)")
+
+
+# Mirrors _wrap_payload + sniff_media_type byte-exactly: container sizes
+# are closed-form in the raw length (BMP: 54 + k with the 4px row already
+# 4-byte-aligned; WAV: 44-byte canonical header + k; AVI with 4x4 frames:
+# 228 + 56 per frame), and the 8-byte headers are magic + little-endian
+# size fields. The ELSE branch re-runs the same magic sniff on raw text
+# so a text document that happens to start with a container signature
+# matches the Spark side.
+_MULTIMODAL_META_ORACLE = f"""
+        WITH b AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n,
+                   doc_id % 4 AS m
+            FROM documents
+        ),
+        sz AS (
+            SELECT doc_id, hx, n, m,
+                   (n // {_ROW_BYTES}) * {_ROW_BYTES} AS kb,
+                   (n // 2) * 2 AS kw,
+                   n // {VID_FRAME_BYTES} AS nf
+            FROM b
+        )
+        SELECT doc_id,
+               CASE WHEN m = 0 AND kb > 0 THEN 54 + kb
+                    WHEN m = 1 AND kw > 0 THEN 44 + kw
+                    WHEN m = 2 AND nf > 0 THEN 228 + 56 * nf
+                    ELSE n END AS n_bytes,
+               CASE WHEN m = 0 AND kb > 0
+                        THEN concat('424D', {_le32('54 + kb')}, '0000')
+                    WHEN m = 1 AND kw > 0
+                        THEN concat('52494646', {_le32('36 + kw')})
+                    WHEN m = 2 AND nf > 0
+                        THEN concat('52494646', {_le32('220 + 56 * nf')})
+                    ELSE substring(hx, 1, 16) END AS header_hex,
+               CASE WHEN m = 0 AND kb > 0 THEN 'image/bmp'
+                    WHEN m = 1 AND kw > 0 THEN 'audio/x-wav'
+                    WHEN m = 2 AND nf > 0 THEN 'video/avi'
+                    WHEN substring(hx, 1, 4) = '424D' THEN 'image/bmp'
+                    WHEN substring(hx, 1, 8) = '47494638' THEN 'image/gif'
+                    WHEN substring(hx, 1, 8) = '52494646'
+                         AND substring(hx, 17, 8) = '57415645'
+                        THEN 'audio/x-wav'
+                    WHEN substring(hx, 1, 8) = '52494646'
+                         AND substring(hx, 17, 8) = '41564920'
+                        THEN 'video/avi'
+                    ELSE 'text/plain' END AS media_type
+        FROM sz
+"""
+
 ORACLES = {
     "image_decode_stats": _DECODE_STATS_ORACLE,
     "media_features": f"""
@@ -510,23 +607,16 @@ ORACLES = {
             FROM documents
         )
     """,
-    "multimodal_meta": """
-        SELECT doc_id,
-               octet_length(encode(text)) AS n_bytes,
-               substring(hex(encode(text)), 1, 16) AS header_hex,
-               'text/plain' AS media_type
-        FROM documents
-    """,
+    "multimodal_meta": _MULTIMODAL_META_ORACLE,
     "frame_sample": f"""
         SELECT doc_id,
                CAST(i AS INT) AS frame_idx,
-               substring(hex(encode(text)), i * {FRAME_BYTES} * 2 + 1,
-                         {FRAME_BYTES} * 2) AS frame_hex,
-               CAST(least({FRAME_BYTES},
-                    octet_length(encode(text)) - i * {FRAME_BYTES})
-                    AS BIGINT) AS frame_bytes
+               substring(hex(encode(text)),
+                         CAST(i * {VID_FRAME_BYTES} * 2 + 1 AS INT),
+                         {VID_FRAME_BYTES} * 2) AS frame_hex,
+               CAST({VID_FRAME_BYTES} AS BIGINT) AS frame_bytes
         FROM documents
         CROSS JOIN (SELECT unnest(range(0, {N_FRAMES})) AS i)
-        WHERE octet_length(encode(text)) > i * {FRAME_BYTES}
+        WHERE (octet_length(encode(text)) // {VID_FRAME_BYTES}) > i
     """,
 }

@@ -253,7 +253,9 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PAGERANK_ITERS = 10
-PAGERANK_DAMPING = 0.85
+PAGERANK_DAMPING = 0.85          # = PR_D_NUM / PR_D_DEN exactly
+PR_D_NUM, PR_D_DEN = 17, 20
+PR_SCALE = 10 ** 12              # fixed-point rank resolution
 
 
 def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,48 +265,55 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     a near-zero one an outlier). Pregel shape: per round one join of the
     compact rank vector against the (persisted) edge list and one
     hash-agg; ranks live only on graph nodes, never the full corpus.
-    Fixed PAGERANK_ITERS rounds; rows-only in the gate (float-order
-    freedom), pinned against numpy by tests/test_pagerank.py."""
+
+    Numerics: ranks are FIXED-POINT BIGINTs at PR_SCALE resolution and
+    every per-round operation is integer (per-edge contribution
+    ``(r * w) div out_w``, damping ``(17 * c) div 20``), so the result
+    is EXACT in any summation order and on any engine — the DuckDB
+    oracle unrolls the same PAGERANK_ITERS rounds as chained CTEs and
+    hash-matches. Truncation bias per round is < n_edges / PR_SCALE,
+    ~1e-9 at any plausible graph size (pinned vs float numpy within
+    1e-5 by tests/test_pagerank.py)."""
     pairs = tfidf_cosine_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst"),
-                     F.col("cos_sim").alias("w"))
+                     F.round(F.col("cos_sim") * 10000)
+                     .cast("bigint").alias("w"))
         .union(pairs.select(F.col("doc_b").alias("src"),
                             F.col("doc_a").alias("dst"),
-                            F.col("cos_sim").alias("w")))
+                            F.round(F.col("cos_sim") * 10000)
+                            .cast("bigint").alias("w")))
     )
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    trans = (edges.join(out_w, "src")
-             .select("src", "dst", (F.col("w") / F.col("out_w"))
-                     .alias("tw"))
-             .persist())
+    trans = edges.join(out_w, "src").persist()
     nodes = trans.select(F.col("src").alias("doc_id")).distinct()
     n_nodes = nodes.count()
     if n_nodes == 0:
         trans.unpersist()
         return nodes.select("doc_id", F.lit(0.0).alias("rank"))
+    r0 = PR_SCALE // n_nodes
+    base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // (PR_D_DEN * n_nodes)
     ranks = nodes.select(
-        "doc_id", F.lit(1.0 / n_nodes).alias("rank")) \
+        "doc_id", F.lit(r0).cast("bigint").alias("r")) \
         .localCheckpoint(eager=True)
-    base = (1.0 - PAGERANK_DAMPING) / n_nodes
     for _ in range(PAGERANK_ITERS):
         contrib = (
-            trans.join(ranks.select(F.col("doc_id").alias("src"), "rank"),
+            trans.join(ranks.select(F.col("doc_id").alias("src"), "r"),
                        "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("tw")).alias("c"))
+            .agg(F.sum(F.expr("(r * w) div out_w")).alias("c"))
         )
         ranks = (
             nodes.join(contrib, nodes.doc_id == contrib.dst, "left")
             .select("doc_id",
-                    (F.lit(base)
-                     + PAGERANK_DAMPING * F.coalesce("c", F.lit(0.0)))
-                    .alias("rank"))
+                    F.expr(f"CAST({base} + ({PR_D_NUM} * coalesce(c, 0)) "
+                           f"div {PR_D_DEN} AS BIGINT)").alias("r"))
             .localCheckpoint(eager=True)
         )
     trans.unpersist()
-    return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
+    return ranks.select(
+        "doc_id", (F.col("r") / F.lit(float(PR_SCALE))).alias("rank"))
 
 
 SPLIT_BUCKETS = 100
@@ -434,7 +443,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "tfidf_cosine_pairs": tfidf_cosine_pairs,
     "curation_summary": curation_summary,
-    "doc_pagerank": doc_pagerank,   # iterative: rows-only (no SQL oracle)
+    "doc_pagerank": doc_pagerank,   # fixed-point integer PageRank
     "doc_split": doc_split,
     "stratified_sample": stratified_sample,
     "source_quota_cap": source_quota_cap,
@@ -670,6 +679,56 @@ ORACLES = {
         FROM documents
     """,
 }
+
+# doc_pagerank is a FIXED iteration count of integer-exact operations
+# (see its docstring), so the oracle unrolls the power iteration as
+# chained CTEs: c{{i}} = per-node contribution sums, r{{i}} = damped
+# update, repeated PAGERANK_ITERS times over the same edge list the
+# Spark side uses (the tfidf_cosine_pairs oracle, composed as a CTE).
+def _pagerank_oracle() -> str:
+    steps = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        steps.append(f"""
+    c{i} AS (
+        SELECT t.dst, sum((r.r * t.w) // t.out_w) AS c
+        FROM trans t JOIN r{i - 1} r ON r.doc_id = t.src
+        GROUP BY t.dst
+    ),
+    r{i} AS (
+        SELECT n.doc_id,
+               (SELECT base FROM consts)
+               + ({PR_D_NUM} * coalesce(c.c, 0)) // {PR_D_DEN} AS r
+        FROM nodes n LEFT JOIN c{i} c ON n.doc_id = c.dst
+    )""")
+    return f"""
+    WITH pairs AS ({ORACLES["tfidf_cosine_pairs"]}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst,
+               CAST(round(cos_sim * 10000) AS BIGINT) AS w FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst,
+               CAST(round(cos_sim * 10000) AS BIGINT) AS w FROM pairs
+    ),
+    outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+    trans AS (
+        SELECT e.src, e.dst, e.w, o.out_w
+        FROM edges e JOIN outw o USING (src)
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM trans),
+    consts AS (
+        SELECT {PR_SCALE} // count(*) AS init_r,
+               {(PR_D_DEN - PR_D_NUM) * PR_SCALE}
+                   // ({PR_D_DEN} * count(*)) AS base
+        FROM nodes
+    ),
+    r0 AS (SELECT doc_id, (SELECT init_r FROM consts) AS r FROM nodes),
+    {",".join(steps)}
+    SELECT doc_id, r / {float(PR_SCALE)} AS rank
+    FROM r{PAGERANK_ITERS}
+    """
+
+
+ORACLES["doc_pagerank"] = _pagerank_oracle()
 
 # The capstone oracle composes the individual operators' oracle SQL as
 # CTEs — one source of truth per sub-pipeline.

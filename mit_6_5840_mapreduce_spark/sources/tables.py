@@ -24,21 +24,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_SAFE = ("region", "nation")
 
 
+def normalize_event_ts(df: DataFrame, target: str = "timestamp_ntz"
+                       ) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS). Spark <= 4.0 rejects it
+    unless spark.sql.legacy.parquet.nanosAsLong is set, which then yields
+    BIGINT nanos; Spark >= 4.1 reads it natively as TIMESTAMP_NTZ at
+    microsecond precision and ignores the legacy conf. The corpus has
+    microsecond precision, so both paths are lossless and identical.
+    Handle whichever type the reader produced."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+    if isinstance(df.schema["ts"].dataType, LongType):
+        ts = F.expr("timestamp_micros(ts div 1000)")
+    else:
+        ts = F.col("ts")
+    return df.withColumn("ts", ts.cast(target))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read nanos as long and convert to microsecond
-        # TIMESTAMP_NTZ (the corpus has microsecond precision, so the
-        # `div 1000` is lossless).
+        # no-op on Spark >= 4.1 (see normalize_event_ts); required before
+        # the read on <= 4.0
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-        return df.withColumn(
-            "ts",
-            F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

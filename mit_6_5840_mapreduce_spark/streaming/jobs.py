@@ -53,8 +53,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # TIMESTAMP (ltz), not NTZ: watermarks require it; session TZ is UTC
     # so values align with the batch layer's TIMESTAMP_NTZ.
-    return stream.withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)"))
+    from mit_6_5840_mapreduce_spark.sources.tables import normalize_event_ts
+    return normalize_event_ts(stream, target="timestamp")
 
 
 def windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,11 +306,11 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(src, os.path.join(tmp, "events_a.parquet"))
     shutil.copy(src, os.path.join(tmp, "events_b.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from mit_6_5840_mapreduce_spark.sources.tables import normalize_event_ts
     raw_schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(raw_schema).parquet(tmp)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(tmp),
+        target="timestamp")
     return run_stream_to_memory(
         spark, _dedup_within_watermark(stream), _memq("dedup"),
         output_mode="append")

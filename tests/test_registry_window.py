@@ -1,54 +1,51 @@
 """Pin the registry's first-50 window composition.
 
 The driver's CORRECTNESS gate verifies only the FIRST 50 registry
-entries per round. Round 1 certified the relational suite; this round
-the LLM-pipeline surface (dedup / similarity / textstats / multimodal /
-streaming) plus the previously-unwindowed events queries must occupy
-the window. This test fails loudly if a future registration reorders
-them out.
+entries per round. Round 3 rotates in the 12 queries that never had a
+driver row (TPC-H Q8/Q17/Q21, the corpus-analysis trio, the three
+late multimodal decode gates, the two late stream gates, and
+user_gap_stats), keeps a sentinel set in-window every round, and
+re-certifies every query whose implementation changed this round.
+This test fails loudly if a future registration reorders them out.
 """
 
 from __future__ import annotations
 
-from mit_6_5840_mapreduce_spark.operators import registry
+from mit_6_5840_mapreduce_spark.operators import (
+    WINDOW_FIRST, WINDOW_SIZE, registry,
+)
 
-WINDOW = 50
+# regression sentinels: in-window EVERY round
+SENTINELS = {"mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts"}
 
-# every query that must land a driver CORRECTNESS row this round
-MUST_BE_IN_WINDOW = {
-    # MR apps incl. both RDD compat-layer entries
-    "mr_wc", "mr_wc_rdd", "mr_indexer", "mr_indexer_rdd",
-    "mr_docmeta", "mr_doccount",
-    # dedup family
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
-    "dedup_groups", "minhash_signatures", "dedup_minhash_lsh",
-    "simhash_docs", "dedup_simhash",
-    # similarity / ANN
-    "embedding_topk", "embedding_topk_pandas", "ivf_assign", "ivf_search",
-    "ivf_train", "embedding_neardup_exact", "embedding_lsh_signatures",
-    "embedding_neardup_lsh",
-    # text analysis / curation
-    "tfidf_top_terms", "tfidf_cosine_pairs", "curation_summary",
-    "doc_pagerank", "doc_split", "stratified_sample", "source_quota_cap",
-    "doc_chunks", "lang_id", "doc_quality", "token_stats",
-    "doc_fingerprint",
-    # multimodal
-    "multimodal_meta", "image_decode_stats", "frame_sample",
-    "media_features", "payload_thumbnail",
-    # streaming
-    "stream_hourly_counts", "stream_sliding_counts",
-    "stream_dedup_events", "stream_user_totals",
-    # events queries with no round-1 driver row + the new MAD twin
-    "sessionize", "events_hourly", "asof_join_orders", "user_stats",
-    "event_transitions", "events_props_stats", "user_value_mad_sql",
+# the 12 queries with no driver CORRECTNESS row in rounds 1-2
+NEVER_CERTIFIED = {
+    "q8_market_share", "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
+    "contamination_check", "doc_repetition", "bigram_pmi",
+    "audio_decode_stats", "gif_decode_stats", "video_frame_stats",
+    "stream_sessionize", "stream_attribution",
+    "user_gap_stats",
 }
 
+# implementation changed in round 3 -> must be re-certified
+CHANGED_THIS_ROUND = {
+    "doc_pagerank", "multimodal_meta", "frame_sample", "dedup_groups",
+}
 
-def test_first_window_contains_north_star_surface():
+MUST_BE_IN_WINDOW = SENTINELS | NEVER_CERTIFIED | CHANGED_THIS_ROUND
+
+
+def test_first_window_contains_round3_surface():
     queries, _ = registry()
-    window = list(queries)[:WINDOW]
+    window = list(queries)[:WINDOW_SIZE]
     missing = MUST_BE_IN_WINDOW - set(window)
     assert not missing, f"outside driver window: {sorted(missing)}"
+
+
+def test_window_list_matches_registry_order():
+    queries, _ = registry()
+    assert list(queries)[:WINDOW_SIZE] == list(WINDOW_FIRST)
 
 
 def test_registry_queries_pin_utc_timezone(spark, sf_dir):
@@ -69,7 +66,7 @@ def test_registry_queries_pin_utc_timezone(spark, sf_dir):
 def test_aliases_register_after_window():
     queries, oracles = registry()
     names = list(queries)
-    assert names.index("embedding_neardup") >= WINDOW
+    assert names.index("embedding_neardup") >= WINDOW_SIZE
     # alias resolves to the same callable and oracle as its target
     assert queries["embedding_neardup"] is queries["embedding_neardup_exact"]
     assert oracles["embedding_neardup"] == oracles["embedding_neardup_exact"]
