@@ -253,6 +253,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CC_MAX_ITERS = 20
+CC_EDGES_PER_PARTITION = 100_000
 
 
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,28 +264,36 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pairwise output alone can't answer transitive duplication:
     A~B, B~C => {A,B,C} even when A!~C).
 
-    Pregel-style iterative min-label propagation: each round is one
-    shuffle keyed by doc_id; lineage is cut per round with
-    localCheckpoint so plans stay flat. Rounds needed = component
-    diameter (near-dup clusters are shallow; hard cap CC_MAX_ITERS).
-    The per-round driver action reads ONE aggregated count — no row data
+    Pregel-style iterative min-label propagation, iterating ONLY over
+    the pair subgraph (docs with no near-dup edge are singletons by
+    definition and rejoin at the end). The hot loop is sized to its
+    actual data, not the corpus: the edge list is hash-partitioned by
+    ``src`` into |edges|/CC_EDGES_PER_PARTITION partitions and cached in
+    that layout, so each round reshuffles only the compact label vector
+    against stationary edges (or broadcasts it while it fits), and the
+    per-round overhead doesn't scale with spark.sql.shuffle.partitions.
+    Convergence is detected from the label frame itself (old vs new
+    label on the checkpointed result — one count per round, no extra
+    join); rounds needed = component diameter (near-dup clusters are
+    shallow; hard cap CC_MAX_ITERS, loud failure past it). No row data
     ever reaches the driver, so the loop is cluster-safe at any scale.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = (
+    edges_raw = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"),
                             F.col("doc_a").alias("dst")))
         .persist()
     )
-    # iterate ONLY over the pair subgraph: docs with no near-dup edge are
-    # singletons by definition and rejoin at the end — at scale the hot
-    # set is a tiny fraction of the corpus, so each round touches
-    # |edge endpoints| rows, not |corpus|
+    n_edges = edges_raw.count()      # materializes the pair join ONCE
+    n_parts = max(2, min(spark.sparkContext.defaultParallelism,
+                         1 + n_edges // CC_EDGES_PER_PARTITION))
+    edges = edges_raw.repartition(n_parts, "src").persist()
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .select("doc_id", F.col("doc_id").alias("label"))
               .localCheckpoint(eager=True))
+    edges_raw.unpersist()
     changed = 0
     for _ in range(CC_MAX_ITERS):
         nb = (
@@ -295,17 +304,14 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels = (
             labels.join(nb, labels.doc_id == nb.dst, "left")
             .select("doc_id",
+                    F.col("label").alias("old_label"),
                     F.least(F.col("label"),
                             F.coalesce("nb_label", "label")).alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.select("doc_id", F.col("label").alias("new_label"))
-            .join(labels, "doc_id")
-            .where(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(
+            F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
     edges.unpersist()
