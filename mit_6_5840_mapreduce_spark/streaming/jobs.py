@@ -86,10 +86,9 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity gap) via
-    session_window — the streaming form of operators/events.sessionize."""
-    ev = read_events_stream(spark, sf_dir)
+def sessionized_from_events(ev: DataFrame) -> DataFrame:
+    """Gap-based sessionization transform shared by the query and the
+    state-metrics tests (which feed a multi-micro-batch source)."""
     return (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "30 minutes").alias("win"),
@@ -101,6 +100,12 @@ def sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "session_end",
                 "n_events", "sum_value")
     )
+
+
+def sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) via
+    session_window — the streaming form of operators/events.sessionize."""
+    return sessionized_from_events(read_events_stream(spark, sf_dir))
 
 
 _TOTALS_SCHEMA = StructType([
@@ -175,14 +180,9 @@ def deduped_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 ATTRIBUTION_WINDOW_MIN = 60
 
 
-def click_purchase_attribution_stream(spark: SparkSession,
-                                      sf_dir: str) -> DataFrame:
-    """Stream-stream interval join: each purchase joined to the same
-    user's clicks within the preceding hour. Watermarks on BOTH sides
-    bound the join state (clicks older than purchase-watermark minus the
-    interval are dropped from state) — the canonical attribution join at
-    unbounded scale."""
-    ev = read_events_stream(spark, sf_dir)
+def attribution_from_events(ev: DataFrame) -> DataFrame:
+    """Stream-stream interval-join transform shared by the query and the
+    state-metrics tests (which feed a multi-micro-batch source)."""
     clicks = (
         ev.where(F.col("event_type") == "click")
         .select(F.col("user_id").alias("c_user"),
@@ -207,6 +207,16 @@ def click_purchase_attribution_stream(spark: SparkSession,
         """),
     ).select("purchase_id", F.col("p_user").alias("user_id"),
              "purchase_ts", "click_id", "click_ts", "purchase_value")
+
+
+def click_purchase_attribution_stream(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks within the preceding hour. Watermarks on BOTH sides
+    bound the join state (clicks older than purchase-watermark minus the
+    interval are dropped from state) — the canonical attribution join at
+    unbounded scale."""
+    return attribution_from_events(read_events_stream(spark, sf_dir))
 
 
 def click_purchase_attribution_batch(spark: SparkSession,

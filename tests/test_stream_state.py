@@ -1,0 +1,112 @@
+"""Watermarks must actually BOUND streaming state.
+
+The 100 TB failure mode for stream-stream joins and session windows is
+unbounded state growth; nothing else in the suite pins it (the gate
+queries run availableNow over ONE file = one micro-batch, where state
+is never pruned). Here the events table is split into chronological
+files processed one per micro-batch, so the watermark advances between
+batches and StreamingQueryProgress.stateOperators must show rows being
+REMOVED and total state staying well below the stream's row count.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_spark.sources.tables import load_table
+from mit_6_5840_mapreduce_spark.streaming.jobs import (
+    attribution_from_events, sessionized_from_events,
+)
+
+N_SPLITS = 6
+
+
+@pytest.fixture(scope="module")
+def split_src(spark, sf_dir, tmp_path_factory):
+    """events split into N_SPLITS chronological parquet files with
+    ascending mtimes, so the file source (maxFilesPerTrigger=1,
+    latestFirst=false) feeds them as ordered micro-batches. Written by
+    Spark so timestamps stay microsecond TIMESTAMP (the streaming file
+    source mis-scales nanosecond columns)."""
+    out = str(tmp_path_factory.mktemp("stream_state_src"))
+    from pyspark.sql.window import Window
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("ts", F.col("ts").cast("timestamp"))
+          .withColumn("rn", F.row_number().over(
+              Window.orderBy("ts", "event_id")) - 1))
+    n_events = ev.count()
+    chunk = (n_events + N_SPLITS - 1) // N_SPLITS
+    for i in range(N_SPLITS):
+        part = ev.where(F.col("rn").between(i * chunk,
+                                            (i + 1) * chunk - 1)).drop("rn")
+        tmp_dir = os.path.join(out, f"_tmp_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        (src_file,) = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))
+        dst = os.path.join(out, f"part_{i:02d}.parquet")
+        shutil.move(src_file, dst)
+        shutil.rmtree(tmp_dir)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return out, n_events
+
+
+def _run_batched(spark, src_dir, transform, name):
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return [p for p in q.recentProgress if p.get("stateOperators")]
+
+
+def _state_totals(progresses):
+    rows_total = [sum(op["numRowsTotal"] for op in p["stateOperators"])
+                  for p in progresses]
+    rows_removed = sum(sum(op.get("numRowsRemoved", 0)
+                           for op in p["stateOperators"])
+                       for p in progresses)
+    return rows_total, rows_removed
+
+
+def test_attribution_join_state_is_watermark_bounded(spark, split_src):
+    src_dir, _n_events = split_src
+    progresses = _run_batched(spark, src_dir, attribution_from_events,
+                              "state_attr")
+    assert len(progresses) >= N_SPLITS - 1, "expected one batch per file"
+    rows_total, rows_removed = _state_totals(progresses)
+    # watermark eviction actually fired...
+    assert rows_removed > 0, f"join state never pruned: {rows_total}"
+    # ...and end-of-stream state holds only the watermark-recent slice,
+    # not the whole history of clicks+purchases
+    n_join_input = sum(rows_total[:1])  # batch-1 state = one file's slice
+    assert rows_total[-1] <= 3 * n_join_input, (
+        f"final join state {rows_total[-1]} vs first-batch {n_join_input}: "
+        f"state grows with stream length, watermark not bounding it")
+
+
+def test_session_window_state_is_watermark_bounded(spark, split_src):
+    src_dir, n_events = split_src
+    progresses = _run_batched(spark, src_dir, sessionized_from_events,
+                              "state_sess")
+    assert len(progresses) >= N_SPLITS - 1
+    rows_total, rows_removed = _state_totals(progresses)
+    assert rows_removed > 0, f"session state never pruned: {rows_total}"
+    # open-session state must stay far below the total event count
+    assert rows_total[-1] < n_events / 2, (
+        f"final session state {rows_total[-1]} of {n_events} events: "
+        f"closed sessions are not being evicted")
