@@ -55,6 +55,9 @@ WINDOW_FIRST: tuple[str, ...] = (
     "q21_suppliers_kept_waiting",
     # changed this round -> need re-certification
     "doc_pagerank", "multimodal_meta", "frame_sample", "dedup_groups",
+    # new round-3 operators (first driver certification)
+    "pii_scrub", "url_domain_stats", "curation_funnel",
+    "token_length_histogram", "dedup_keep_best", "embedding_quantize",
     # relational / events re-certs (round-1 rows, re-verified here)
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
@@ -63,11 +66,9 @@ WINDOW_FIRST: tuple[str, ...] = (
     "q22_idle_customers", "sql_revenue_by_segment",
     "sql_priority_status_sets", "table_profile",
     "nation_customer_supplier_balance", "user_event_pivot",
-    "orders_dow_stats", "part_name_analysis", "orders_monthly_growth",
-    "order_value_percentiles", "customers_no_orders",
+    "orders_monthly_growth", "order_value_percentiles",
     "priority_status_cube", "daily_revenue_trailing", "cohort_retention",
-    "column_histogram", "customer_value_quartiles",
-    "top3_orders_per_customer", "repeat_customers",
+    "top3_orders_per_customer",
 )
 
 
@@ -80,6 +81,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
         mrqueries,
         multimodal,
         relational,
+        scrub,
         similarity,
         textstats,
     )
@@ -89,7 +91,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
                                      ORACLES=streaming_jobs.LATE_ORACLES)
     multimodal_late = SimpleNamespace(QUERIES=multimodal.LATE_QUERIES,
                                       ORACLES=multimodal.LATE_ORACLES)
-    modules = (mrqueries, dedup, similarity, textstats, multimodal,
+    modules = (mrqueries, dedup, similarity, textstats, scrub, multimodal,
                streaming_jobs, events, corpus, streaming_late,
                multimodal_late, relational)
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -390,11 +390,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship selection: within each near-dup group
+    (dedup_groups), keep the highest-quality document — quality score
+    from operators/textstats.doc_quality, ties broken by doc_id so the
+    survivor is engine-independent. This is the step that turns a dedup
+    CLUSTERING into a dedup DECISION; 'keep lowest doc_id' (dedup_exact)
+    discards better-written near-duplicates.
+
+    One window pass over the group labeling; the quality join is
+    doc_id-equi and pre-aggregated per doc."""
+    from pyspark.sql.window import Window as W
+
+    from mit_6_5840_mapreduce_spark.operators.textstats import doc_quality
+    groups = dedup_groups(spark, sf_dir)
+    quality = doc_quality(spark, sf_dir).select("doc_id", "quality_score")
+    w = W.partitionBy("group_id").orderBy(F.desc("quality_score"),
+                                          F.asc("doc_id"))
+    return (
+        groups.join(quality, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "group_id", "group_size", "quality_score",
+                (F.col("rk") == 1).cast("int").alias("is_survivor"))
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_groups": dedup_groups,
+    "dedup_keep_best": dedup_keep_best,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_docs": simhash_docs,
@@ -525,6 +551,7 @@ ORACLES = {
                count(*) OVER (PARTITION BY group_id) AS group_size
         FROM grp
     """,
+    "dedup_keep_best": "__built_below__",
     "minhash_signatures": f"""
         SELECT doc_id,
                string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm_i)
@@ -563,3 +590,25 @@ ORACLES = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     """,
 }
+
+
+def _keep_best_oracle() -> str:
+    # composed from the dedup_groups CC oracle + the doc_quality oracle
+    # (one source of truth per sub-pipeline, same pattern as
+    # textstats.curation_summary)
+    from mit_6_5840_mapreduce_spark.operators.textstats import (
+        ORACLES as TS_ORACLES,
+    )
+    return f"""
+        WITH g AS ({ORACLES["dedup_groups"]}),
+        dq AS ({TS_ORACLES["doc_quality"]})
+        SELECT g.doc_id, g.group_id, g.group_size, dq.quality_score,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY g.group_id
+                        ORDER BY dq.quality_score DESC, g.doc_id) = 1
+                    THEN 1 ELSE 0 END AS is_survivor
+        FROM g JOIN dq ON dq.doc_id = g.doc_id
+    """
+
+
+ORACLES["dedup_keep_best"] = _keep_best_oracle()

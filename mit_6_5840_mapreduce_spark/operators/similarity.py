@@ -450,8 +450,50 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q_LEVELS = 127                     # symmetric int8 quantization range
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the storage/serving compression step of an ANN pipeline (4x smaller
+    vectors, SIMD-friendly dot products). scale = 127/max|x| per vector;
+    q_i = floor(x_i * scale + 0.5).
+
+    Numerics are cross-engine exact: float->double widening, abs, max,
+    one division, one multiply-add, floor — all IEEE-determined
+    elementwise ops with no reordering freedom — and the per-vector
+    summaries over the integer codes (sum/min/max/levels) are exact
+    integer aggregates. Fully JVM-side via array higher-order functions
+    (transform/aggregate), no Python in the plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    staged = emb.select("vec_id", "embedding", absmax.alias("absmax"))
+    scale = F.when(F.col("absmax") > 0,
+                   F.lit(float(Q_LEVELS)) / F.col("absmax")) \
+        .otherwise(F.lit(0.0))
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5))
+        .cast("int"))
+    return (
+        staged.withColumn("scale", scale)
+        .withColumn("q", q)
+        .select(
+            "vec_id",
+            floor4(F.col("scale")).alias("qscale"),
+            F.aggregate("q", F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x).alias("q_sum"),
+            F.array_min("q").alias("q_min"),
+            F.array_max("q").alias("q_max"),
+            F.size(F.array_distinct("q")).alias("n_levels"),
+        )
+    )
+
+
 QUERIES = {
     "embedding_topk": embedding_topk,
+    "embedding_quantize": embedding_quantize,
     "ivf_assign": ivf_assign,
     "ivf_search": ivf_search,
     "ivf_train": ivf_train,   # iterative k-means: rows-only (no SQL oracle)
@@ -532,6 +574,34 @@ _D_NEARDUP_EXACT = f"""
 """
 
 ORACLES = {
+    "embedding_quantize": f"""
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(
+                       embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax
+            FROM embeddings
+        ),
+        sc AS (
+            SELECT vec_id, embedding,
+                   CASE WHEN absmax > 0 THEN {float(Q_LEVELS)} / absmax
+                        ELSE 0.0 END AS scale
+            FROM s
+        ),
+        q AS (
+            SELECT vec_id, scale,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5)
+                                 AS INT)) AS qv
+            FROM sc
+        )
+        SELECT vec_id,
+               floor(scale * 10000) / 10000 AS qscale,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               list_min(qv) AS q_min,
+               list_max(qv) AS q_max,
+               CAST(len(list_distinct(qv)) AS INT) AS n_levels
+        FROM q
+    """,
     "embedding_lsh_signatures": f"""
         SELECT vec_id, {_D_SIG} AS lsh_sig FROM embeddings
     """,
