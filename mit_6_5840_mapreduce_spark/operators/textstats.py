@@ -286,9 +286,18 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                             .cast("bigint").alias("w")))
     )
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    trans = edges.join(out_w, "src").persist()
+    trans_raw = edges.join(out_w, "src").persist()
+    # size the iteration to the similarity graph, not the corpus: edges
+    # are hash-partitioned by src into |edges|/100k partitions and cached
+    # in that layout, so each round reshuffles only the rank vector (same
+    # pattern as dedup.dedup_groups)
+    n_edges = trans_raw.count()
+    n_parts = max(2, min(spark.sparkContext.defaultParallelism,
+                         1 + n_edges // 100_000))
+    trans = trans_raw.repartition(n_parts, "src").persist()
     nodes = trans.select(F.col("src").alias("doc_id")).distinct()
     n_nodes = nodes.count()
+    trans_raw.unpersist()
     if n_nodes == 0:
         trans.unpersist()
         return nodes.select("doc_id", F.lit(0.0).alias("rank"))
