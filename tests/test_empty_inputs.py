@@ -36,6 +36,12 @@ REPRESENTATIVE = [
     "source_quota_cap",
     "contamination_check",
     "bigram_pmi",
+    "pii_scrub",
+    "url_domain_stats",
+    "token_length_histogram",
+    "dedup_keep_best",
+    "embedding_quantize",
+    "doc_pagerank",
 ]
 
 
@@ -74,3 +80,13 @@ def test_global_aggregate_on_empty_tables_returns_zeros(spark,
     row = entrymod.queries()["funnel_view_click_purchase"](
         spark, empty_sf_dir).collect()[0]
     assert (row.n_view, row.n_click, row.n_purchase) == (0, 0, 0)
+
+
+def test_curation_funnel_on_empty_tables_reports_zero_stages(spark,
+                                                             empty_sf_dir):
+    """The funnel audit keeps its 4 stage rows on an empty corpus, each
+    reporting zero survivors."""
+    rows = entrymod.queries()["curation_funnel"](
+        spark, empty_sf_dir).collect()
+    assert len(rows) == 4
+    assert all(r.n_docs == 0 for r in rows)
