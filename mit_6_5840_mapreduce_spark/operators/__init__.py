@@ -58,6 +58,8 @@ WINDOW_FIRST: tuple[str, ...] = (
     # new round-3 operators (first driver certification)
     "pii_scrub", "url_domain_stats", "curation_funnel",
     "token_length_histogram", "dedup_keep_best", "embedding_quantize",
+    "shingle_containment", "jsonl_roundtrip_stats", "csv_roundtrip_stats",
+    "orc_roundtrip_stats",
     # relational / events re-certs (round-1 rows, re-verified here)
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
@@ -66,9 +68,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "q22_idle_customers", "sql_revenue_by_segment",
     "sql_priority_status_sets", "table_profile",
     "nation_customer_supplier_balance", "user_event_pivot",
-    "orders_monthly_growth", "order_value_percentiles",
-    "priority_status_cube", "daily_revenue_trailing", "cohort_retention",
-    "top3_orders_per_customer",
+    "priority_status_cube", "top3_orders_per_customer",
 )
 
 
@@ -78,6 +78,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
         corpus,
         dedup,
         events,
+        formats,
         mrqueries,
         multimodal,
         relational,
@@ -91,8 +92,8 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
                                      ORACLES=streaming_jobs.LATE_ORACLES)
     multimodal_late = SimpleNamespace(QUERIES=multimodal.LATE_QUERIES,
                                       ORACLES=multimodal.LATE_ORACLES)
-    modules = (mrqueries, dedup, similarity, textstats, scrub, multimodal,
-               streaming_jobs, events, corpus, streaming_late,
+    modules = (mrqueries, dedup, similarity, textstats, scrub, formats,
+               multimodal, streaming_jobs, events, corpus, streaming_late,
                multimodal_late, relational)
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}

@@ -390,6 +390,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_MIN = 0.5
+
+
+def shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment C(A,B) = |S(A) n S(B)| / |S(A)|: how much
+    of document A's shingle set appears in B. Catches what symmetric
+    Jaccard misses — a short excerpt quoted inside a long document
+    scores near-zero Jaccard but containment ~1, which is exactly the
+    train/test contamination and quote-dedup case.
+
+    Same inverted-index join shape as dedup_ngram_jaccard (shuffle keyed
+    by shingle hash, never a cross join); the hot-shingle cap knob
+    documented there applies identically at scale."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "hs")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "hs")
+    inter = (
+        a.join(b, "hs")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    containment = floor4(F.col("n_common") / F.col("n"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), "n"),
+                   "doc_a")
+        .withColumn("containment", containment)
+        .where(F.col("containment") >= CONTAINMENT_MIN)
+        .select("doc_a", "doc_b", "n_common", "containment")
+    )
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship selection: within each near-dup group
     (dedup_groups), keep the highest-quality document — quality score
@@ -421,6 +454,7 @@ QUERIES = {
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_groups": dedup_groups,
     "dedup_keep_best": dedup_keep_best,
+    "shingle_containment": shingle_containment,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_docs": simhash_docs,
@@ -552,6 +586,21 @@ ORACLES = {
         FROM grp
     """,
     "dedup_keep_best": "__built_below__",
+    "shingle_containment": f"""
+        WITH sh AS ({_DUCK_SHINGLES}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               floor(n_common / sa.n * 10000) / 10000 AS containment
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        WHERE floor(n_common / sa.n * 10000) / 10000 >= {CONTAINMENT_MIN}
+    """,
     "minhash_signatures": f"""
         SELECT doc_id,
                string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm_i)

@@ -1,0 +1,92 @@
+"""Driver-certifiable format round trips.
+
+The CSV/JSONL/ORC readers and writers are exercised by
+tests/test_format_roundtrips.py locally, but nothing put them through
+the driver's DuckDB differential gate. These queries close that gap:
+write the documents table through a non-parquet format, read it back,
+and aggregate — the result only hash-matches the oracle (which reads
+the original parquet) if the round trip preserved every row and every
+character.
+
+Scale note: the round trip here is the certification VEHICLE, not a
+recommended pipeline step; the aggregate shape (groupBy on a
+low-cardinality key) is the standard post-ingest profile query.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_spark.sources.tables import load_table
+
+
+def _roundtrip_stats(df: DataFrame) -> DataFrame:
+    # 32-bit md5 prefix as the per-doc checksum (the repo's standard
+    # cross-engine hash); the SUM only matches if every text survived
+    h32 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    return (
+        df.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.length("text")).alias("total_chars"),
+             F.countDistinct("source").alias("n_sources"),
+             F.sum(h32).alias("text_hash_sum"))
+    )
+
+
+_STATS_ORACLE_BODY = """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           count(DISTINCT source) AS n_sources,
+           CAST(sum(CAST(concat('0x', substring(md5(text), 1, 8))
+                         AS BIGINT)) AS BIGINT) AS text_hash_sum
+    FROM documents
+    GROUP BY lang
+"""
+
+
+def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> JSON Lines -> read back -> per-language profile.
+    CRC32-of-text sums make any encoding/escaping loss visible."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="fmt_jsonl_"), "docs")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(docs.schema).json(out)
+    return _roundtrip_stats(back)
+
+
+def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> quoted CSV -> read back -> per-language profile."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="fmt_csv_"), "docs")
+    docs.write.mode("overwrite").option("header", "true") \
+        .option("escape", '"').csv(out)
+    back = (spark.read.schema(docs.schema)
+            .option("header", "true").option("escape", '"').csv(out))
+    return _roundtrip_stats(back)
+
+
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> ORC -> read back -> per-language profile."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="fmt_orc_"), "docs")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.schema(docs.schema).orc(out)
+    return _roundtrip_stats(back)
+
+
+QUERIES = {
+    "jsonl_roundtrip_stats": jsonl_roundtrip_stats,
+    "csv_roundtrip_stats": csv_roundtrip_stats,
+    "orc_roundtrip_stats": orc_roundtrip_stats,
+}
+
+ORACLES = {
+    "jsonl_roundtrip_stats": _STATS_ORACLE_BODY,
+    "csv_roundtrip_stats": _STATS_ORACLE_BODY,
+    "orc_roundtrip_stats": _STATS_ORACLE_BODY,
+}
