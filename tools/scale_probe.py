@@ -25,7 +25,9 @@ from mit_6_5840_mapreduce_spark.sources.tables import load_table
 PROBES = ("mr_wc", "simhash_docs", "minhash_signatures",
           "tfidf_top_terms", "lang_id", "embedding_topk", "doc_chunks",
           "image_decode_stats", "stratified_sample", "source_quota_cap",
-          "bigram_pmi")
+          "bigram_pmi", "pii_scrub", "url_domain_stats",
+          "token_length_histogram", "embedding_quantize",
+          "multimodal_meta")
 FACTORS = (1, 4, 16)
 
 
