@@ -148,6 +148,43 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class _ChunkDocsUDTF:
+    """Python UDTF twin of doc_chunks (Spark 4 table-function API) —
+    the reference's ``Map: (k, v) -> []KeyValue`` is exactly a UDTF
+    (src/mr/worker.go:123-124), and this exercises the native
+    ``LATERAL``-join surface the RDD compat layer approximates with
+    flatMap. Tokenization uses str.isalpha, the Python mirror of Go
+    ``unicode.IsLetter`` / regex ``\\p{L}`` (parity pinned by
+    tests/test_tokenizer_parity.py)."""
+
+    def eval(self, doc_id, text):  # noqa: ANN001 — UDTF contract
+        import itertools
+        toks = ["".join(g)
+                for alpha, g in itertools.groupby(text, key=str.isalpha)
+                if alpha]
+        for ci, start in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+            window = toks[start:start + CHUNK_TOKENS]
+            yield doc_id, ci, len(window), " ".join(window)
+
+
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_chunks through a registered Python UDTF + LATERAL join —
+    same output contract as the JVM form (shared oracle), kept OUT of
+    the bench set: it is the API-surface demonstration, the shuffle-free
+    JVM doc_chunks is the scale path."""
+    from pyspark.sql.functions import udtf
+    chunker = udtf(_ChunkDocsUDTF,
+                   returnType="doc_id bigint, chunk_id bigint, "
+                              "chunk_tokens bigint, chunk_text string")
+    spark.udtf.register("chunk_docs_udtf", chunker)
+    docs = load_table(spark, sf_dir, "documents")
+    return spark.sql(
+        "SELECT c.* FROM {docs} d, "
+        "LATERAL chunk_docs_udtf(d.doc_id, d.text) c "
+        "WHERE length(d.text) > 0",
+        docs=docs)
+
+
 TFIDF_TOP_K = 5
 
 
@@ -457,6 +494,7 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "source_quota_cap": source_quota_cap,
     "doc_chunks": doc_chunks,
+    "doc_chunks_udtf": doc_chunks_udtf,
     "lang_id": lang_id,
     "doc_quality": doc_quality,
     "token_stats": token_stats,
@@ -738,6 +776,11 @@ def _pagerank_oracle() -> str:
 
 
 ORACLES["doc_pagerank"] = _pagerank_oracle()
+
+# the UDTF twin shares doc_chunks' output contract, so it shares the
+# oracle — any divergence between the Python tokenizer (str.isalpha)
+# and the regex tokenizer (\p{L}) fails the gate
+ORACLES["doc_chunks_udtf"] = ORACLES["doc_chunks"]
 
 # The capstone oracle composes the individual operators' oracle SQL as
 # CTEs — one source of truth per sub-pipeline.
