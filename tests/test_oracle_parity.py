@@ -35,7 +35,7 @@ def duck(sf_dir):
 # approximate (HLL) or iterative (k-means) — rows-only in the driver
 # gate; k-means is pinned by tests/test_kmeans.py instead
 NO_ORACLE = {"events_user_sketch", "ivf_train", "embedding_topk_pandas",
-             "order_value_percentiles_approx", "doc_pagerank"}
+             "order_value_percentiles_approx"}
 
 
 def test_every_query_has_an_oracle():
