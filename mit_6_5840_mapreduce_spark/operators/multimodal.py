@@ -137,6 +137,67 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, frame_idx INT, frame_hex STRING, frame_bytes BIGINT")
 
 
+def _media_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Sniff-dispatched decoding: detect each payload's container from
+    MAGIC BYTES, route it to the matching real codec (BMP/WAV/AVI), and
+    compute content statistics from the DECODED representation; corrupt
+    containers fall back to byte statistics with decode_ok=0 instead of
+    failing the batch — the robustness a crawl-scale pipeline needs."""
+    import numpy as np
+
+    from mit_6_5840_mapreduce_spark.functions.audio import decode_wav
+    from mit_6_5840_mapreduce_spark.functions.imaging import decode_image
+    from mit_6_5840_mapreduce_spark.functions.sniff import sniff_media_type
+    from mit_6_5840_mapreduce_spark.functions.video import decode_avi
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "media_type", "n_units", "mean_val", "decode_ok")}
+        for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+            blob = _wrap_payload(doc_id, raw)
+            mt = sniff_media_type(blob)
+            try:
+                if mt == "image/bmp":
+                    w, h, rgb = decode_image(blob)
+                    arr = np.frombuffer(rgb, dtype=np.uint8)
+                    n_units, s, denom = w * h, int(arr.sum(dtype=np.int64)), arr.size
+                elif mt == "audio/x-wav":
+                    _sr, _nch, samples = decode_wav(blob)
+                    n_units = int(samples.shape[0])
+                    s, denom = int(samples.sum(dtype=np.int64)), n_units
+                elif mt == "video/avi":
+                    _w, _h, frames = decode_avi(blob)
+                    arr = np.frombuffer(b"".join(frames), dtype=np.uint8)
+                    n_units = len(frames)
+                    s, denom = int(arr.sum(dtype=np.int64)), arr.size
+                else:
+                    raise ValueError("plain text: byte statistics")
+                ok = 1
+            except ValueError:
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                n_units = len(blob)
+                s, denom = int(arr.sum(dtype=np.int64)), max(len(blob), 1)
+                ok = 1 if mt == "text/plain" else 0
+            out["doc_id"].append(doc_id)
+            out["media_type"].append(mt)
+            out["n_units"].append(n_units)
+            out["mean_val"].append(np.floor(s / denom * 10000) / 10000)
+            out["decode_ok"].append(ok)
+        yield pd.DataFrame(out)
+
+
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal path: sniff -> dispatch -> real decode ->
+    stats, over the mixed BMP/WAV/AVI/text corpus (see _media_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return with_payload.mapInPandas(
+        _media_stats,
+        "doc_id BIGINT, media_type STRING, n_units BIGINT, "
+        "mean_val DOUBLE, decode_ok INT")
+
+
 N_FEATURES = 8
 
 
@@ -298,6 +359,7 @@ QUERIES = {
     "frame_sample": frame_sample,
     "media_features": media_features,
     "payload_thumbnail": payload_thumbnail,
+    "media_decode_stats": media_decode_stats,
 }
 
 GIF_W = 16
@@ -592,8 +654,95 @@ _MULTIMODAL_META_ORACLE = f"""
         FROM sz
 """
 
+# Mirrors _media_stats: the round trip is lossless, so decoded stats
+# equal direct statistics over the same raw bytes (BMP/AVI: unsigned
+# bytes; WAV: signed 16-bit LE samples), dispatched by the same
+# doc_id % 4 construction (magic-prefix collisions in raw text verified
+# absent from the corpus; _wrap_payload fallbacks route to the text arm)
+_MEDIA_DECODE_ORACLE = f"""
+        WITH sz AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n,
+                   doc_id % 4 AS m,
+                   (octet_length(encode(text)) // {_ROW_BYTES})
+                       * {_ROW_BYTES} AS kb,
+                   (octet_length(encode(text)) // 2) * 2 AS kw,
+                   octet_length(encode(text)) // {VID_FRAME_BYTES} AS nf
+            FROM documents
+        ),
+        bmp AS (
+            SELECT doc_id, CAST(kb // 3 AS BIGINT) AS n_units,
+                   floor(CAST(sum(v) AS BIGINT) / kb::DOUBLE * 10000)
+                       / 10000 AS mean_val
+            FROM (SELECT doc_id, kb,
+                         CAST(concat('0x', substring(hx,
+                              CAST(i * 2 + 1 AS INT), 2)) AS INT) AS v
+                  FROM (SELECT doc_id, hx, kb, unnest(range(0, kb)) AS i
+                        FROM sz WHERE m = 0 AND kb > 0))
+            GROUP BY doc_id, kb
+        ),
+        wav AS (
+            SELECT doc_id, CAST(kw // 2 AS BIGINT) AS n_units,
+                   floor(CAST(sum(v) AS BIGINT) / (kw // 2)::DOUBLE
+                         * 10000) / 10000 AS mean_val
+            FROM (
+                SELECT doc_id, kw,
+                       CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+                FROM (SELECT doc_id, kw,
+                             CAST(concat('0x',
+                                  substring(hx, CAST(i * 4 + 3 AS INT), 2),
+                                  substring(hx, CAST(i * 4 + 1 AS INT), 2))
+                                  AS INT) AS u
+                      FROM (SELECT doc_id, hx, kw,
+                                   unnest(range(0, kw // 2)) AS i
+                            FROM sz WHERE m = 1 AND kw > 0))
+            )
+            GROUP BY doc_id, kw
+        ),
+        avi AS (
+            SELECT doc_id, CAST(nf AS BIGINT) AS n_units,
+                   floor(CAST(sum(v) AS BIGINT)
+                         / (nf * {VID_FRAME_BYTES})::DOUBLE * 10000)
+                       / 10000 AS mean_val
+            FROM (SELECT doc_id, nf,
+                         CAST(concat('0x', substring(hx,
+                              CAST(i * 2 + 1 AS INT), 2)) AS INT) AS v
+                  FROM (SELECT doc_id, hx, nf,
+                               unnest(range(0, nf * {VID_FRAME_BYTES})) AS i
+                        FROM sz WHERE m = 2 AND nf > 0))
+            GROUP BY doc_id, nf
+        ),
+        txt_rows AS (
+            SELECT doc_id, hx, n FROM sz
+            WHERE m = 3 OR (m = 0 AND kb = 0) OR (m = 1 AND kw = 0)
+               OR (m = 2 AND nf = 0)
+        ),
+        txt AS (
+            SELECT doc_id, CAST(n AS BIGINT) AS n_units,
+                   floor(CAST(sum(v) AS BIGINT) / n::DOUBLE * 10000)
+                       / 10000 AS mean_val
+            FROM (SELECT doc_id, n,
+                         CAST(concat('0x', substring(hx,
+                              CAST(i * 2 + 1 AS INT), 2)) AS INT) AS v
+                  FROM (SELECT doc_id, hx, n, unnest(range(0, n)) AS i
+                        FROM txt_rows WHERE n > 0))
+            GROUP BY doc_id, n
+        )
+        SELECT doc_id, 'image/bmp' AS media_type, n_units, mean_val,
+               1 AS decode_ok FROM bmp
+        UNION ALL SELECT doc_id, 'audio/x-wav', n_units, mean_val, 1
+        FROM wav
+        UNION ALL SELECT doc_id, 'video/avi', n_units, mean_val, 1
+        FROM avi
+        UNION ALL SELECT doc_id, 'text/plain', n_units, mean_val, 1
+        FROM txt
+        UNION ALL SELECT doc_id, 'text/plain', CAST(0 AS BIGINT), 0.0, 1
+        FROM txt_rows WHERE n = 0
+"""
+
 ORACLES = {
     "image_decode_stats": _DECODE_STATS_ORACLE,
+    "media_decode_stats": _MEDIA_DECODE_ORACLE,
     "media_features": f"""
         SELECT doc_id, {_FEATURE_COLS} FROM documents
     """,

@@ -42,6 +42,9 @@ REPRESENTATIVE = [
     "dedup_keep_best",
     "embedding_quantize",
     "doc_pagerank",
+    "media_decode_stats",
+    "shingle_containment",
+    "doc_chunks_udtf",
 ]
 
 

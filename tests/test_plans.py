@@ -27,7 +27,7 @@ PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
                   "media_features", "payload_thumbnail",
                   "image_decode_stats", "audio_decode_stats",
                   "gif_decode_stats", "video_frame_stats",
-                  "embedding_topk_pandas",
+                  "embedding_topk_pandas", "media_decode_stats",
                   "doc_chunks_udtf"}   # UDTF API demo; JVM doc_chunks
                                        # is the scale path
 # tiny-side cross joins (broadcast) are fine; a plain cartesian is not

@@ -19,7 +19,8 @@ PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
                   "image_decode_stats", "audio_decode_stats",
                   "gif_decode_stats", "video_frame_stats",
                   "media_features", "payload_thumbnail",
-                  "embedding_topk_pandas", "doc_chunks_udtf"}
+                  "embedding_topk_pandas", "doc_chunks_udtf",
+                  "media_decode_stats"}
 CARTESIAN_OK = {"embedding_neardup_exact", "embedding_neardup"}
 # executes a stream / an iterative loop when called — plan of the final
 # materialized result only
