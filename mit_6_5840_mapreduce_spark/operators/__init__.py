@@ -60,6 +60,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "token_length_histogram", "dedup_keep_best", "embedding_quantize",
     "shingle_containment", "jsonl_roundtrip_stats", "csv_roundtrip_stats",
     "orc_roundtrip_stats", "doc_chunks_udtf", "media_decode_stats",
+    "lang_confusion",
     # relational / events re-certs (round-1 rows, re-verified here)
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
@@ -67,7 +68,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "q15_top_supplier", "q18_large_orders", "q19_discounted_revenue",
     "q22_idle_customers", "sql_revenue_by_segment",
     "sql_priority_status_sets", "table_profile",
-    "user_event_pivot", "top3_orders_per_customer",
+    "top3_orders_per_customer",
 )
 
 

@@ -148,6 +148,26 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier audit: confusion matrix of lang_id's prediction
+    against the corpus's labeled language, with per-cell document count
+    and cell share of the true-language row (floor4). The evaluation
+    grid a curation pipeline watches before trusting a language
+    filter."""
+    from pyspark.sql.window import Window as W
+    preds = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cells = (
+        docs.join(preds, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    row_total = F.sum("n_docs").over(W.partitionBy("lang"))
+    return cells.select(
+        "lang", "pred_lang", "n_docs",
+        floor4(F.col("n_docs") / row_total).alias("row_share"))
+
+
 class _ChunkDocsUDTF:
     """Python UDTF twin of doc_chunks (Spark 4 table-function API) —
     the reference's ``Map: (k, v) -> []KeyValue`` is exactly a UDTF
@@ -496,6 +516,7 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "doc_chunks_udtf": doc_chunks_udtf,
     "lang_id": lang_id,
+    "lang_confusion": lang_confusion,
     "doc_quality": doc_quality,
     "token_stats": token_stats,
     "doc_fingerprint": doc_fingerprint,
@@ -785,6 +806,21 @@ ORACLES["doc_pagerank"] = _pagerank_oracle()
 # oracle — any divergence between the Python tokenizer (str.isalpha)
 # and the regex tokenizer (\p{L}) fails the gate
 ORACLES["doc_chunks_udtf"] = ORACLES["doc_chunks"]
+
+# composed from the lang_id oracle (one source of truth for the
+# classifier being audited)
+ORACLES["lang_confusion"] = f"""
+    WITH preds AS ({ORACLES["lang_id"]}),
+    cells AS (
+        SELECT d.lang, p.pred_lang, count(*) AS n_docs
+        FROM documents d JOIN preds p ON p.doc_id = d.doc_id
+        GROUP BY d.lang, p.pred_lang
+    )
+    SELECT lang, pred_lang, n_docs,
+           floor(n_docs / (sum(n_docs) OVER (PARTITION BY lang))::DOUBLE
+                 * 10000) / 10000 AS row_share
+    FROM cells
+"""
 
 # The capstone oracle composes the individual operators' oracle SQL as
 # CTEs — one source of truth per sub-pipeline.
