@@ -60,14 +60,15 @@ WINDOW_FIRST: tuple[str, ...] = (
     "token_length_histogram", "dedup_keep_best", "embedding_quantize",
     "shingle_containment", "jsonl_roundtrip_stats", "csv_roundtrip_stats",
     "orc_roundtrip_stats", "doc_chunks_udtf", "media_decode_stats",
-    "lang_confusion",
+    "lang_confusion", "stream_enriched_events",
+    "stream_foreachbatch_roundtrip",
     # relational / events re-certs (round-1 rows, re-verified here)
-    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
     "q10_returned_items", "q13_customer_distribution", "q14_promo_revenue",
     "q15_top_supplier", "q18_large_orders", "q19_discounted_revenue",
     "q22_idle_customers", "sql_revenue_by_segment",
-    "sql_priority_status_sets", "table_profile",
+    "sql_priority_status_sets",
     "top3_orders_per_customer",
 )
 

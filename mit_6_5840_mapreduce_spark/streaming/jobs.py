@@ -357,11 +357,46 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         _memq("attr"), output_mode="append")
 
 
+def stream_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: enrich the event stream with the customer
+    dimension (broadcast map-side join — the stateless enrichment every
+    streaming pipeline starts with; no watermark needed because the
+    static side never changes), aggregated per market segment so the
+    gate result is compact."""
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    enriched = ev.join(F.broadcast(cust), "user_id")
+    agg = (
+        enriched.groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    return run_stream_to_memory(spark, agg, _memq("enriched"))
+
+
+def stream_foreachbatch_roundtrip(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Streaming SINK certification: run the watermarked hourly
+    aggregation availableNow through the foreachBatch parquet sink
+    (the pattern for sinks Structured Streaming doesn't ship natively)
+    and read the committed files back — the gate result only matches
+    the batch oracle if the sink wrote exactly the finalized rows."""
+    import tempfile
+    out = os.path.join(tempfile.mkdtemp(prefix="stream_fb_"), "hourly")
+    run_stream_to_parquet(spark, windowed_counts_stream(spark, sf_dir),
+                          out)
+    return (spark.read.parquet(out)
+            .select("hour", "event_type", "n_events", "sum_value"))
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_dedup_events": stream_dedup_events,
     "stream_user_totals": stream_user_totals,
+    "stream_enriched_events": stream_enriched_events,
+    "stream_foreachbatch_roundtrip": stream_foreachbatch_roundtrip,
 }
 
 # Registered AFTER the driver's 50-query window (operators/__init__.py):
@@ -407,6 +442,26 @@ ORACLES = {
         SELECT user_id, count(*) AS n_events,
                CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
         FROM events GROUP BY user_id
+    """,
+    "stream_enriched_events": """
+        SELECT c.c_mktsegment, e.event_type,
+               count(*) AS n_events,
+               round(sum(e.value), 2) AS sum_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY 1, 2
+    """,
+    # append-mode semantics: foreachBatch receives only FINALIZED
+    # windows — those whose end has passed the final event-time
+    # watermark (max ts - 1h delay); the open tail stays in state.
+    # The oracle mirrors exactly that eviction rule.
+    "stream_foreachbatch_roundtrip": """
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events, wm
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+        GROUP BY 1, 2
     """,
 }
 
