@@ -382,10 +382,16 @@ def stream_foreachbatch_roundtrip(spark: SparkSession,
     (the pattern for sinks Structured Streaming doesn't ship natively)
     and read the committed files back — the gate result only matches
     the batch oracle if the sink wrote exactly the finalized rows."""
+    import glob
     import tempfile
     out = os.path.join(tempfile.mkdtemp(prefix="stream_fb_"), "hourly")
     run_stream_to_parquet(spark, windowed_counts_stream(spark, sf_dir),
                           out)
+    if not glob.glob(os.path.join(out, "*.parquet")):
+        # empty stream -> foreachBatch never wrote a commit
+        return spark.createDataFrame(
+            [], "hour TIMESTAMP, event_type STRING, n_events BIGINT, "
+                "sum_value DOUBLE")
     return (spark.read.parquet(out)
             .select("hour", "event_type", "n_events", "sum_value"))
 

@@ -45,6 +45,9 @@ REPRESENTATIVE = [
     "media_decode_stats",
     "shingle_containment",
     "doc_chunks_udtf",
+    "lang_confusion",
+    "stream_enriched_events",
+    "stream_foreachbatch_roundtrip",
 ]
 
 
