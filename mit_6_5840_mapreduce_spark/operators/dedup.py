@@ -273,10 +273,13 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     against stationary edges (or broadcasts it while it fits), and the
     per-round overhead doesn't scale with spark.sql.shuffle.partitions.
     Convergence is detected from the label frame itself (old vs new
-    label on the checkpointed result — one count per round, no extra
-    join); rounds needed = component diameter (near-dup clusters are
-    shallow; hard cap CC_MAX_ITERS, loud failure past it). No row data
-    ever reaches the driver, so the loop is cluster-safe at any scale.
+    label on the checkpointed result) in ONE Spark job per round: the
+    checkpoint is lazy, so the changed-label count is the action that
+    materializes it — no separate eager-checkpoint job (which measured
+    as ~half the per-round fixed overhead at sf0.1). Rounds needed =
+    component diameter (near-dup clusters are shallow; hard cap
+    CC_MAX_ITERS, loud failure past it). No row data ever reaches the
+    driver, so the loop is cluster-safe at any scale.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -301,13 +304,16 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "src")
             .groupBy("dst").agg(F.min("label").alias("nb_label"))
         )
+        # lazy checkpoint: the count below is the ONLY job this round —
+        # it materializes the checkpoint blocks and counts changed
+        # labels in the same pass
         new_labels = (
             labels.join(nb, labels.doc_id == nb.dst, "left")
             .select("doc_id",
                     F.col("label").alias("old_label"),
                     F.least(F.col("label"),
                             F.coalesce("nb_label", "label")).alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.where(
             F.col("label") != F.col("old_label")).count()
@@ -393,7 +399,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_MIN = 0.5
 
 
-def shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingle_containment(spark: SparkSession, sf_dir: str,
+                        max_df: int | None = None) -> DataFrame:
     """Asymmetric containment C(A,B) = |S(A) n S(B)| / |S(A)|: how much
     of document A's shingle set appears in B. Catches what symmetric
     Jaccard misses — a short excerpt quoted inside a long document
@@ -401,9 +408,21 @@ def shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/test contamination and quote-dedup case.
 
     Same inverted-index join shape as dedup_ngram_jaccard (shuffle keyed
-    by shingle hash, never a cross join); the hot-shingle cap knob
-    documented there applies identically at scale."""
+    by shingle hash, never a cross join). ``max_df`` is the hot-shingle
+    cap (same contract as dedup_ngram_jaccard's): shingles appearing in
+    more than ``max_df`` documents are dropped BEFORE the self-join —
+    from both the index and the per-doc set sizes, so containment stays
+    well-defined over the pruned universe. A single corpus-wide
+    stop-shingle otherwise contributes O(n_docs^2) candidate pairs; at
+    100 TB the cap is mandatory (docs/SCALE.md). Default off = the
+    oracle-exact textbook form; ``shingle_containment_capped`` is the
+    gate entry with the cap engaged."""
     sh = _doc_shingles(spark, sf_dir)
+    if max_df is not None:
+        keep = (sh.groupBy("hs").agg(F.count("*").alias("df"))
+                .where(F.col("df") <= max_df).select("hs"))
+        sh = sh.join(keep, "hs")
+    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "hs")
     b = sh.select(F.col("doc_id").alias("doc_b"), "hs")
@@ -423,7 +442,18 @@ def shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingle_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``shingle_containment`` with the hot-shingle cap engaged
+    (max_df=CAP_MAX_DF) — the form a 100 TB pipeline runs (docs/SCALE.md:
+    the cap bounds per-shingle join fan-out at max_df^2). The oracle
+    applies the identical doc-frequency filter, so this is value-checked,
+    not just bounded — the containment twin of
+    ``dedup_ngram_jaccard_capped``."""
+    return shingle_containment(spark, sf_dir, max_df=CAP_MAX_DF)
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str,
+                    groups_df: DataFrame | None = None) -> DataFrame:
     """Survivorship selection: within each near-dup group
     (dedup_groups), keep the highest-quality document — quality score
     from operators/textstats.doc_quality, ties broken by doc_id so the
@@ -431,12 +461,20 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLUSTERING into a dedup DECISION; 'keep lowest doc_id' (dedup_exact)
     discards better-written near-duplicates.
 
+    ``groups_df``: a precomputed dedup_groups result
+    (doc_id, group_id, group_size). In a real pipeline the connected-
+    components labeling is computed ONCE and fed to every downstream
+    consumer — pass it here so survivorship doesn't re-run the whole
+    pair-join + CC iteration (5.5 s vs 1 s at sf0.1). Default (the gate
+    entry's behavior, unchanged): compute it.
+
     One window pass over the group labeling; the quality join is
     doc_id-equi and pre-aggregated per doc."""
     from pyspark.sql.window import Window as W
 
     from mit_6_5840_mapreduce_spark.operators.textstats import doc_quality
-    groups = dedup_groups(spark, sf_dir)
+    groups = (groups_df if groups_df is not None
+              else dedup_groups(spark, sf_dir))
     quality = doc_quality(spark, sf_dir).select("doc_id", "quality_score")
     w = W.partitionBy("group_id").orderBy(F.desc("quality_score"),
                                           F.asc("doc_id"))
@@ -455,6 +493,7 @@ QUERIES = {
     "dedup_groups": dedup_groups,
     "dedup_keep_best": dedup_keep_best,
     "shingle_containment": shingle_containment,
+    "shingle_containment_capped": shingle_containment_capped,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_docs": simhash_docs,
@@ -588,6 +627,27 @@ ORACLES = {
     "dedup_keep_best": "__built_below__",
     "shingle_containment": f"""
         WITH sh AS ({_DUCK_SHINGLES}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               floor(n_common / sa.n * 10000) / 10000 AS containment
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        WHERE floor(n_common / sa.n * 10000) / 10000 >= {CONTAINMENT_MIN}
+    """,
+    "shingle_containment_capped": f"""
+        WITH sh0 AS ({_DUCK_SHINGLES}),
+        keep AS (
+            SELECT shingle FROM sh0
+            GROUP BY shingle HAVING count(*) <= {CAP_MAX_DF}
+        ),
+        sh AS (SELECT sh0.doc_id, sh0.shingle
+               FROM sh0 JOIN keep USING (shingle)),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -16,12 +16,34 @@ low-cardinality key) is the standard post-ingest profile query.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
 from mit_6_5840_mapreduce_spark.sources.tables import load_table
+
+# CSV null/empty pinning (ADVICE r3): Spark's CSV reader collapses
+# quoted empty strings to NULL by default, and the writer's default
+# null token is an empty field — so "" and NULL don't survive a round
+# trip unless both representations are pinned explicitly on BOTH sides.
+# multiLine=true on read keeps embedded newlines inside quoted fields.
+CSV_NULL = r"\N"
+
+
+def _csv_write_options(w):
+    # emptyValue='""' writes empty strings as a QUOTED empty field,
+    # distinguishable from the unquoted null token
+    return (w.option("header", "true").option("escape", '"')
+            .option("nullValue", CSV_NULL).option("emptyValue", '""'))
+
+
+def _csv_read_options(r):
+    # emptyValue='' maps the quoted empty field back to "" (the reader's
+    # default turns it into NULL); multiLine keeps quoted newlines
+    return (r.option("header", "true").option("escape", '"')
+            .option("multiLine", "true")
+            .option("nullValue", CSV_NULL).option("emptyValue", ""))
 
 
 def _roundtrip_stats(df: DataFrame) -> DataFrame:
@@ -51,29 +73,32 @@ _STATS_ORACLE_BODY = """
 
 def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> JSON Lines -> read back -> per-language profile.
-    CRC32-of-text sums make any encoding/escaping loss visible."""
+    32-bit md5-prefix checksum sums make any encoding/escaping loss
+    visible."""
     docs = load_table(spark, sf_dir, "documents")
-    out = os.path.join(tempfile.mkdtemp(prefix="fmt_jsonl_"), "docs")
+    out = os.path.join(scratch_dir("fmt_jsonl"), "docs")
     docs.write.mode("overwrite").json(out)
     back = spark.read.schema(docs.schema).json(out)
     return _roundtrip_stats(back)
 
 
 def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> quoted CSV -> read back -> per-language profile."""
+    """documents -> quoted CSV -> read back -> per-language profile.
+    Null/empty/newline handling is pinned on both sides (see
+    _csv_write_options) so the round trip is corpus-independent — a
+    text with embedded newlines or empty strings survives, not just the
+    current corpus which happens to contain neither."""
     docs = load_table(spark, sf_dir, "documents")
-    out = os.path.join(tempfile.mkdtemp(prefix="fmt_csv_"), "docs")
-    docs.write.mode("overwrite").option("header", "true") \
-        .option("escape", '"').csv(out)
-    back = (spark.read.schema(docs.schema)
-            .option("header", "true").option("escape", '"').csv(out))
+    out = os.path.join(scratch_dir("fmt_csv"), "docs")
+    _csv_write_options(docs.write.mode("overwrite")).csv(out)
+    back = _csv_read_options(spark.read.schema(docs.schema)).csv(out)
     return _roundtrip_stats(back)
 
 
 def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> ORC -> read back -> per-language profile."""
     docs = load_table(spark, sf_dir, "documents")
-    out = os.path.join(tempfile.mkdtemp(prefix="fmt_orc_"), "docs")
+    out = os.path.join(scratch_dir("fmt_orc"), "docs")
     docs.write.mode("overwrite").orc(out)
     back = spark.read.schema(docs.schema).orc(out)
     return _roundtrip_stats(back)

@@ -657,8 +657,12 @@ _MULTIMODAL_META_ORACLE = f"""
 # Mirrors _media_stats: the round trip is lossless, so decoded stats
 # equal direct statistics over the same raw bytes (BMP/AVI: unsigned
 # bytes; WAV: signed 16-bit LE samples), dispatched by the same
-# doc_id % 4 construction (magic-prefix collisions in raw text verified
-# absent from the corpus; _wrap_payload fallbacks route to the text arm)
+# doc_id % 4 construction. The text arm re-runs the magic sniff on the
+# raw bytes (exactly like _MULTIMODAL_META_ORACLE's ELSE branch): a raw
+# text that happens to start with a container signature is sniffed as
+# that type on the Spark side, fails its decode, and degrades to byte
+# stats with decode_ok=0 — the oracle emits the identical row instead
+# of assuming the corpus contains no such prefix (ADVICE r3).
 _MEDIA_DECODE_ORACLE = f"""
         WITH sz AS (
             SELECT doc_id, hex(encode(text)) AS hx,
@@ -713,20 +717,33 @@ _MEDIA_DECODE_ORACLE = f"""
             GROUP BY doc_id, nf
         ),
         txt_rows AS (
-            SELECT doc_id, hx, n FROM sz
+            SELECT doc_id, hx, n,
+                   CASE WHEN substring(hx, 1, 4) = '424D'
+                            THEN 'image/bmp'
+                        WHEN substring(hx, 1, 8) = '47494638'
+                            THEN 'image/gif'
+                        WHEN substring(hx, 1, 8) = '52494646'
+                             AND substring(hx, 17, 8) = '57415645'
+                            THEN 'audio/x-wav'
+                        WHEN substring(hx, 1, 8) = '52494646'
+                             AND substring(hx, 17, 8) = '41564920'
+                            THEN 'video/avi'
+                        ELSE 'text/plain' END AS sniffed
+            FROM sz
             WHERE m = 3 OR (m = 0 AND kb = 0) OR (m = 1 AND kw = 0)
                OR (m = 2 AND nf = 0)
         ),
         txt AS (
-            SELECT doc_id, CAST(n AS BIGINT) AS n_units,
+            SELECT doc_id, sniffed, CAST(n AS BIGINT) AS n_units,
                    floor(CAST(sum(v) AS BIGINT) / n::DOUBLE * 10000)
                        / 10000 AS mean_val
-            FROM (SELECT doc_id, n,
+            FROM (SELECT doc_id, n, sniffed,
                          CAST(concat('0x', substring(hx,
                               CAST(i * 2 + 1 AS INT), 2)) AS INT) AS v
-                  FROM (SELECT doc_id, hx, n, unnest(range(0, n)) AS i
+                  FROM (SELECT doc_id, hx, n, sniffed,
+                               unnest(range(0, n)) AS i
                         FROM txt_rows WHERE n > 0))
-            GROUP BY doc_id, n
+            GROUP BY doc_id, n, sniffed
         )
         SELECT doc_id, 'image/bmp' AS media_type, n_units, mean_val,
                1 AS decode_ok FROM bmp
@@ -734,9 +751,10 @@ _MEDIA_DECODE_ORACLE = f"""
         FROM wav
         UNION ALL SELECT doc_id, 'video/avi', n_units, mean_val, 1
         FROM avi
-        UNION ALL SELECT doc_id, 'text/plain', n_units, mean_val, 1
+        UNION ALL SELECT doc_id, sniffed, n_units, mean_val,
+               CASE WHEN sniffed = 'text/plain' THEN 1 ELSE 0 END
         FROM txt
-        UNION ALL SELECT doc_id, 'text/plain', CAST(0 AS BIGINT), 0.0, 1
+        UNION ALL SELECT doc_id, sniffed, CAST(0 AS BIGINT), 0.0, 1
         FROM txt_rows WHERE n = 0
 """
 

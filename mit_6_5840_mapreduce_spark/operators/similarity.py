@@ -596,7 +596,10 @@ ORACLES = {
         )
         SELECT vec_id,
                floor(scale * 10000) / 10000 AS qscale,
-               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               -- coalesce: Spark's aggregate() with a 0 seed returns 0
+               -- for an empty array while list_sum([]) is NULL (ADVICE
+               -- r3 — latent divergence, unreachable in this corpus)
+               CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum,
                list_min(qv) AS q_min,
                list_max(qv) AS q_max,
                CAST(len(list_distinct(qv)) AS INT) AS n_levels

@@ -1,0 +1,29 @@
+"""Process-lifetime scratch directories for queries that materialize
+intermediate files (format round trips, streaming file sources/sinks).
+
+Each named scratch dir is wiped and recreated on every request and the
+single root is removed at interpreter exit — so repeated gate/bench runs
+reuse one path instead of leaking a fresh ``tempfile.mkdtemp`` per run
+(ADVICE r3: the old per-call mkdtemp dirs were never removed).
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+_ROOT: str | None = None
+
+
+def scratch_dir(name: str) -> str:
+    """Return a fresh, empty scratch subdirectory for ``name``."""
+    global _ROOT
+    if _ROOT is None:
+        _ROOT = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+        atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
+    d = os.path.join(_ROOT, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d

@@ -310,9 +310,10 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes if dropDuplicatesWithinWatermark actually drops — identity
     would return 2x rows and fail the gate."""
     import shutil
-    import tempfile
+
+    from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
     src = os.path.join(sf_dir, "events.parquet")
-    tmp = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    tmp = scratch_dir("stream_dedup_src")
     shutil.copy(src, os.path.join(tmp, "events_a.parquet"))
     shutil.copy(src, os.path.join(tmp, "events_b.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -383,8 +384,9 @@ def stream_foreachbatch_roundtrip(spark: SparkSession,
     and read the committed files back — the gate result only matches
     the batch oracle if the sink wrote exactly the finalized rows."""
     import glob
-    import tempfile
-    out = os.path.join(tempfile.mkdtemp(prefix="stream_fb_"), "hourly")
+
+    from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
+    out = os.path.join(scratch_dir("stream_fb"), "hourly")
     run_stream_to_parquet(spark, windowed_counts_stream(spark, sf_dir),
                           out)
     if not glob.glob(os.path.join(out, "*.parquet")):

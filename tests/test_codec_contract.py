@@ -97,3 +97,22 @@ def test_decode_stats_batch_contracts(batch_fn, cols):
     assert len(out) > 0
     # the too-small payload is skipped, never errored
     assert 3 not in set(out["doc_id"])
+
+
+def test_truncated_containers_raise_valueerror():
+    """The documented codec contract: ANY malformed payload — including
+    one truncated mid-header, which struct would reject with its own
+    error type — surfaces as ValueError, so batch-level corrupt-payload
+    handling (multimodal._media_stats) can catch it uniformly."""
+    import pytest
+
+    from mit_6_5840_mapreduce_spark.functions.audio import decode_wav
+    from mit_6_5840_mapreduce_spark.functions.gif import decode_gif
+    from mit_6_5840_mapreduce_spark.functions.imaging import decode_image
+    from mit_6_5840_mapreduce_spark.functions.video import decode_avi
+
+    for blob in (b"BM", b"BM" + b"\x01" * 20, b"GIF89a\x02",
+                 b"RIFF\xff\xff\xff\xffWAVE", b"RIFF\x00\x00\x00\x00AVI "):
+        for dec in (decode_image, decode_wav, decode_avi, decode_gif):
+            with pytest.raises(ValueError):
+                dec(blob)

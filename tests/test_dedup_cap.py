@@ -14,7 +14,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from mit_6_5840_mapreduce_spark.operators.dedup import dedup_ngram_jaccard
+from mit_6_5840_mapreduce_spark.operators.dedup import (
+    dedup_ngram_jaccard,
+    shingle_containment,
+)
 
 N_DOCS = 60
 
@@ -60,6 +63,58 @@ def test_cap_removes_hot_shingle_blowup(spark, stop_shingle_dir):
                             max_df=N_DOCS - 1).count()
     assert n == 0                               # only the stop shingle joined
 
+def test_containment_uncapped_hot_shingle_is_quadratic(spark,
+                                                       stop_shingle_dir,
+                                                       monkeypatch):
+    """Containment over the planted stop-shingle corpus: every ORDERED
+    pair shares exactly the one stop shingle (containment 1/3), so with
+    the threshold below 1/3 the uncapped join emits ALL n(n-1) ordered
+    pairs — the quadratic blowup the cap exists to prevent."""
+    from mit_6_5840_mapreduce_spark.operators import dedup as dmod
+    monkeypatch.setattr(dmod, "CONTAINMENT_MIN", 0.1)
+    got = dmod.shingle_containment(spark, stop_shingle_dir).count()
+    assert got == N_DOCS * (N_DOCS - 1)
+
+
+def test_containment_cap_removes_hot_shingle_blowup(spark,
+                                                    stop_shingle_dir,
+                                                    monkeypatch):
+    """With the cap on, the stop shingle never enters the join: zero
+    candidate pairs (not just zero above-threshold pairs), even at the
+    permissive threshold that exposed the quadratic above."""
+    from mit_6_5840_mapreduce_spark.operators import dedup as dmod
+    monkeypatch.setattr(dmod, "CONTAINMENT_MIN", 0.1)
+    got = dmod.shingle_containment(spark, stop_shingle_dir,
+                                   max_df=N_DOCS - 1).count()
+    assert got == 0
+
+
+def test_containment_cap_keeps_contained_excerpt(spark, tmp_path_factory):
+    """An excerpt fully contained in a long doc survives the cap and
+    scores containment 1.0 — the asymmetric case Jaccard misses."""
+    long_body = " ".join(_tok(5000 + j) for j in range(40))
+    excerpt = " ".join(_tok(5000 + j) for j in range(10, 16))
+    # 20 noise docs sharing one hot shingle among themselves
+    texts = [f"hot hot hot {_tok(2 * i)} {_tok(2 * i + 1)}"
+             for i in range(20)]
+    texts += [long_body, excerpt]
+    d = tmp_path_factory.mktemp("contain_sf")
+    table = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["synthetic"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(table, os.path.join(str(d), "documents.parquet"))
+    rows = shingle_containment(spark, str(d), max_df=10).collect()
+    got = {(r.doc_a, r.doc_b): r.containment for r in rows}
+    # doc 21 (excerpt, 4 shingles) fully inside doc 20 (long)
+    assert got[(21, 20)] == 1.0
+    # the reverse direction is far below threshold and absent
+    assert (20, 21) not in got
+
+
 def _chain_corpus_dir(tmp_path_factory, n_docs: int):
     """Documents forming a PATH graph in near-dup space: doc_i overlaps
     only doc_{i-1} and doc_{i+1} (6-token stride over a shared token
@@ -95,6 +150,21 @@ def test_dedup_groups_converges_on_chain(spark, tmp_path_factory):
     rows = dmod.dedup_groups(spark, d).collect()
     assert {r.group_id for r in rows} == {0}        # one component
     assert all(r.group_size == 8 for r in rows)
+
+
+def test_keep_best_reuses_precomputed_labels(spark, tmp_path_factory):
+    """dedup_keep_best(groups_df=...) must produce exactly the default
+    result without re-running the CC pipeline — the pipeline-reuse
+    contract (VERDICT r3 item 4)."""
+    from mit_6_5840_mapreduce_spark.operators import dedup as dmod
+    d = _chain_corpus_dir(tmp_path_factory, 6)
+    groups = dmod.dedup_groups(spark, d).localCheckpoint(eager=True)
+    default = {tuple(r) for r in dmod.dedup_keep_best(spark, d).collect()}
+    reused = {tuple(r) for r in
+              dmod.dedup_keep_best(spark, d, groups_df=groups).collect()}
+    assert reused == default
+    survivors = {r[0] for r in reused if r[4] == 1}
+    assert len(survivors) == 1          # one component -> one survivor
 
 
 def test_cap_keeps_legit_pairs(spark, stop_shingle_dir, tmp_path_factory):

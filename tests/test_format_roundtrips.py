@@ -61,6 +61,30 @@ def test_csv_schema_inference_matches_explicit(spark, sf_dir, tmp_path):
     assert types["o_totalprice"] == "double"
 
 
+def test_csv_roundtrip_hostile_text(spark, tmp_path):
+    """The pinned CSV options must round-trip text the current corpus
+    happens not to contain: embedded newlines, empty strings, NULLs,
+    quotes, and the null token itself as literal text (ADVICE r3)."""
+    from mit_6_5840_mapreduce_spark.operators.formats import (
+        _csv_read_options,
+        _csv_write_options,
+    )
+    rows = [
+        (1, "line one\nline two\nline three"),
+        (2, ""),
+        (3, None),
+        (4, 'quote " and, comma'),
+        (5, "\\N"),                      # literal backslash-N text
+        (6, "trailing newline\n"),
+    ]
+    src = spark.createDataFrame(rows, "id BIGINT, text STRING")
+    path = str(tmp_path / "hostile_csv")
+    _csv_write_options(src.write.mode("overwrite")).csv(path)
+    back = _csv_read_options(spark.read.schema(src.schema)).csv(path)
+    assert (sorted(back.collect(), key=lambda r: r.id)
+            == sorted(src.collect(), key=lambda r: r.id))
+
+
 def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
     """mergeSchema unions evolving parquet schemas: files written before
     a column existed read back with NULLs in that column."""
