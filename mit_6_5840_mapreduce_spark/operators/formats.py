@@ -28,14 +28,26 @@ from mit_6_5840_mapreduce_spark.sources.tables import load_table
 # null token is an empty field — so "" and NULL don't survive a round
 # trip unless both representations are pinned explicitly on BOTH sides.
 # multiLine=true on read keeps embedded newlines inside quoted fields.
-CSV_NULL = r"\N"
+#
+# The null token is a CONTROL-CHARACTER sentinel, not the conventional
+# \N: the reader applies nullValue to quoted fields too, so any token
+# that can appear as literal text (like the string "\N" itself) is
+# ambiguous with NULL in the written bytes — no quoting scheme can
+# distinguish them. A \x01/\x00 sentinel cannot occur in sane text, so
+# literal "\N" documents survive (pinned by
+# tests/test_format_roundtrips.py::test_csv_roundtrip_hostile_text).
+CSV_NULL = "\x01\x00N\x01"
 
 
 def _csv_write_options(w):
     # emptyValue='""' writes empty strings as a QUOTED empty field,
-    # distinguishable from the unquoted null token
+    # distinguishable from the null token; the writer's whitespace
+    # trimming DEFAULTS TO TRUE and silently drops leading/trailing
+    # spaces and newlines — disable both so text survives verbatim
     return (w.option("header", "true").option("escape", '"')
-            .option("nullValue", CSV_NULL).option("emptyValue", '""'))
+            .option("nullValue", CSV_NULL).option("emptyValue", '""')
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false"))
 
 
 def _csv_read_options(r):

@@ -76,6 +76,7 @@ def test_csv_roundtrip_hostile_text(spark, tmp_path):
         (4, 'quote " and, comma'),
         (5, "\\N"),                      # literal backslash-N text
         (6, "trailing newline\n"),
+        (7, " leading and trailing spaces "),
     ]
     src = spark.createDataFrame(rows, "id BIGINT, text STRING")
     path = str(tmp_path / "hostile_csv")
