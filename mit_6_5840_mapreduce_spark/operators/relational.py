@@ -810,6 +810,44 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q16_SIZES = (1, 5, 11, 17, 23, 29, 35, 41)
+
+
+def q16_parts_supplier_relationship(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (corpus has no partsupp table or s_comment —
+    the part/supplier relationship is derived from lineitem shipments,
+    and the complaint-supplier exclusion is suppliers with negative
+    account balance, the corpus's analogous quality flag): how many
+    distinct suppliers can provide parts of each (brand, type, size),
+    for parts that are not Brand#1 / not PROMO type / in the Q16 size
+    list.
+
+    Plan shape: the part dim filters BEFORE the join and broadcasts
+    (it is dimension-sized at any SF); the excluded-supplier set is a
+    broadcast anti join; the distinct-supplier count shuffles only the
+    already-distinct (partkey, suppkey) pairs, grouped on part
+    attributes with a full deterministic ORDER BY for the top-k
+    contract."""
+    part = (_t(spark, sf_dir, "part")
+            .where((F.col("p_brand") != "Brand#1")
+                   & (F.col("p_type") != "PROMO")
+                   & F.col("p_size").isin(*Q16_SIZES))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad_supp = (_t(spark, sf_dir, "supplier")
+                .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    ps = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct()
+          .join(broadcast(bad_supp),
+                F.col("l_suppkey") == F.col("s_suppkey"), "leftanti"))
+    return (
+        ps.join(broadcast(part), ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
 QUERIES = {
     "sql_revenue_by_segment": sql_revenue_by_segment,
     "sql_priority_status_sets": sql_priority_status_sets,
@@ -848,9 +886,23 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+    "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
 }
 
 ORACLES = {
+    "q16_parts_supplier_relationship": f"""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN ({", ".join(str(s) for s in Q16_SIZES)})
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
     "q8_market_share": """
         WITH vol AS (
             SELECT year(o_orderdate) AS o_year,
