@@ -474,6 +474,66 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 256                 # tokens per packed training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing — the GPT-style training
+    data layout: documents are concatenated per source in doc_id order,
+    sequence boundaries fall every PACK_BUDGET tokens, and each doc is
+    assigned the sequence its FIRST token lands in (``seq_id =
+    start_offset div PACK_BUDGET``). Output is the per-doc packing
+    assignment a dataloader consumes: (doc_id, source, n_tokens,
+    start_offset, seq_id).
+
+    Scale shape: the prefix sum is one window per source — at 100 TB a
+    hot source would sub-shard it into per-partition partial sums plus
+    a broadcast of cumulative partition offsets (the classic two-pass
+    distributed scan); the assignment arithmetic is identical because
+    start offsets don't depend on how the prefix sum was computed. All
+    arithmetic is exact BIGINT, so any engine agrees."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokenize(F.col("text"))).cast("bigint")
+    staged = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("source").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        staged.withColumn("cum", F.sum("n_tokens").over(w))
+        .select("doc_id", "source", "n_tokens",
+                (F.col("cum") - F.col("n_tokens")).alias("start_offset"),
+                F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
+                .alias("seq_id"))
+    )
+
+
+SHUFFLE_SHARDS = 16
+
+
+def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization, in
+    the sharded form a distributed dataloader consumes: shard =
+    md5-bucket of the salted doc_id, position = rank of an
+    independently-salted md5 key within the shard. No RNG and no state,
+    so the order is reproducible on any engine, cluster size, or
+    partition layout (a seeded ``orderBy(rand())`` is not). The
+    per-shard window parallelizes across shards — no global sort — and
+    md5 spreads shard sizes to ~n/SHUFFLE_SHARDS whp, so no task hot
+    spot; at 100 TB, raise SHUFFLE_SHARDS to the target file count."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % SHUFFLE_SHARDS)
+    key = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), key.alias("key"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 QUALITY_CUT = 0.5
 
 
@@ -511,6 +571,8 @@ QUERIES = {
     "curation_summary": curation_summary,
     "doc_pagerank": doc_pagerank,   # fixed-point integer PageRank
     "doc_split": doc_split,
+    "pack_sequences": pack_sequences,
+    "training_shuffle": training_shuffle,
     "stratified_sample": stratified_sample,
     "source_quota_cap": source_quota_cap,
     "doc_chunks": doc_chunks,
@@ -529,6 +591,36 @@ _RATE_VALUES = ", ".join(
     f"('{lang}', {rate})" for lang, rate in sorted(SAMPLE_RATES.items()))
 
 ORACLES = {
+    "pack_sequences": rf"""
+        WITH staged AS (
+            SELECT doc_id, source,
+                   len(list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
+                                   t -> t <> ''))::BIGINT AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS start_offset,
+               CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id
+        FROM (
+            SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                                          ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS cum
+            FROM staged
+        )
+    """,
+    "training_shuffle": f"""
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY key, doc_id) AS pos
+        FROM (
+            SELECT doc_id,
+                   CAST(concat('0x', substring(
+                        md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {SHUFFLE_SHARDS} AS shard,
+                   md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS key
+            FROM documents
+        )
+    """,
     "stratified_sample": f"""
         WITH rates(lang, rate_per_mille) AS (VALUES {_RATE_VALUES}),
         b AS (
