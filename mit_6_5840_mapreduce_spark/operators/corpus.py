@@ -100,6 +100,38 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-side decontamination — the enforcement direction of
+    ``contamination_check``: every TRAIN-split document with the count
+    of its shingles that also occur in ANY test-split document, and the
+    keep/drop decision (kept = zero overlap). This is the filter a
+    pipeline applies before training so the eval set stays untouched;
+    train docs too short to produce a shingle carry no contamination
+    evidence and are kept.
+
+    Same scale shape as contamination_check mirrored: the TEST side
+    collapses to a distinct-shingle-hash set (eval sets are tiny
+    relative to the corpus — at 100 TB this side is broadcast-sized),
+    the train side streams through one equi-join + one count-agg."""
+    sh = (_doc_shingles(spark, sf_dir)
+          .join(doc_split(spark, sf_dir).select("doc_id", "split"),
+                "doc_id")
+          .cache())
+    test_hs = (sh.where(F.col("split") == "test")
+               .select("hs").distinct())
+    train_sh = sh.where(F.col("split") == "train").select("doc_id", "hs")
+    shared = (train_sh.join(test_hs, "hs")
+              .groupBy("doc_id").agg(F.count("*").alias("n_shared")))
+    train_docs = (doc_split(spark, sf_dir)
+                  .where(F.col("split") == "train").select("doc_id"))
+    n_shared = F.coalesce("n_shared", F.lit(0)).cast("bigint")
+    return (
+        train_docs.join(shared, "doc_id", "left")
+        .select("doc_id", n_shared.alias("n_shared"),
+                (n_shared == 0).cast("int").alias("kept"))
+    )
+
+
 MIN_BIGRAM_COUNT = 5
 
 
@@ -161,6 +193,7 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "contamination_check": contamination_check,
+    "decontaminate_split": decontaminate_split,
     "doc_repetition": doc_repetition,
     "bigram_pmi": bigram_pmi,
 }
@@ -219,6 +252,24 @@ ORACLES = {
                floor(coalesce(n_shared, 0) / n_shingles::DOUBLE * 10000)
                    / 10000 AS contaminated_frac
         FROM totals LEFT JOIN shared USING (doc_id)
+    """,
+    "decontaminate_split": f"""
+        WITH sh AS ({_DUCK_SHINGLES}),
+        split AS ({_SPLIT_SQL}),
+        tagged AS (SELECT sh.doc_id, sh.shingle, split.split
+                   FROM sh JOIN split USING (doc_id)),
+        test_sh AS (SELECT DISTINCT shingle FROM tagged
+                    WHERE split = 'test'),
+        train_sh AS (SELECT doc_id, shingle FROM tagged
+                     WHERE split = 'train'),
+        shared AS (SELECT doc_id, count(*) AS n_shared
+                   FROM train_sh JOIN test_sh USING (shingle)
+                   GROUP BY doc_id)
+        SELECT s.doc_id,
+               coalesce(n_shared, 0) AS n_shared,
+               CAST(coalesce(n_shared, 0) = 0 AS INT) AS kept
+        FROM split s LEFT JOIN shared USING (doc_id)
+        WHERE s.split = 'train'
     """,
     "bigram_pmi": rf"""
         WITH toks AS (
