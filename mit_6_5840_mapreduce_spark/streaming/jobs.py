@@ -57,9 +57,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(stream, target="timestamp")
 
 
-def windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour windowed aggregation with a 1-hour watermark."""
-    ev = read_events_stream(spark, sf_dir)
+def windowed_counts_from_events(ev: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation transform (shared by the
+    single-source query and the multi-micro-batch tests)."""
     return (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -68,6 +68,11 @@ def windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("win.start").alias("hour"), "event_type",
                 "n_events", "sum_value")
     )
+
+
+def windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with a 1-hour watermark."""
+    return windowed_counts_from_events(read_events_stream(spark, sf_dir))
 
 
 def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,6 +403,66 @@ def stream_foreachbatch_roundtrip(spark: SparkSession,
             .select("hour", "event_type", "n_events", "sum_value"))
 
 
+STREAM_TOPK = 3
+
+
+def stream_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the STREAM_TOPK most frequent event types per
+    hour, under watermark. Structured Streaming cannot rank an unbounded
+    aggregate (no sort on streams), so this is the canonical foreachBatch
+    pattern in its BOUNDED-STATE form: the watermarked hourly aggregate
+    runs in APPEND mode — each window is emitted exactly once, with its
+    final counts, in the micro-batch where the watermark finalizes it —
+    and foreachBatch ranks within the finalized windows it receives and
+    appends. Ranking per hour is correct because a window never spans
+    two emissions; state stays watermark-bounded (the complete-mode
+    variant of this pattern retains every window forever).
+
+    Deterministic ties: row_number ordered by (n_events DESC,
+    event_type ASC). The oracle mirrors the append-mode finalization
+    rule (windows whose end has passed max ts - 1h) + the same rank;
+    the multi-micro-batch emission invariant is pinned by
+    tests/test_stream_state.py."""
+    agg = windowed_counts_stream(spark, sf_dir) \
+        .select("hour", "event_type", "n_events")
+    return run_topk_stream(spark, agg)
+
+
+def run_topk_stream(spark: SparkSession, hourly: DataFrame,
+                    timeout_sec: int = 120) -> DataFrame:
+    """Execute the append-mode hourly aggregate through the ranking
+    foreachBatch sink and read the committed top-k back (shared by the
+    gate query and the multi-micro-batch test)."""
+    import glob
+
+    from pyspark.sql.window import Window as W
+
+    from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
+    out = os.path.join(scratch_dir("stream_topk"), "topk")
+
+    def write_topk(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("hour").orderBy(
+            F.desc("n_events"), F.asc("event_type"))
+        (batch_df.withColumn("rank", F.row_number().over(w))
+         .where(F.col("rank") <= STREAM_TOPK)
+         .select("hour", "event_type", "n_events", "rank")
+         .write.mode("append").parquet(out))
+
+    q = (
+        hourly.writeStream.foreachBatch(write_topk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if not glob.glob(os.path.join(out, "*.parquet")):
+        return spark.createDataFrame(
+            [], "hour TIMESTAMP, event_type STRING, n_events BIGINT, "
+                "rank INT")
+    return (spark.read.parquet(out)
+            .select("hour", "event_type", "n_events", "rank"))
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts,
     "stream_sliding_counts": stream_sliding_counts,
@@ -405,6 +470,7 @@ QUERIES = {
     "stream_user_totals": stream_user_totals,
     "stream_enriched_events": stream_enriched_events,
     "stream_foreachbatch_roundtrip": stream_foreachbatch_roundtrip,
+    "stream_topk_event_types": stream_topk_event_types,
 }
 
 # Registered AFTER the driver's 50-query window (operators/__init__.py):
@@ -470,6 +536,26 @@ ORACLES = {
         FROM events, wm
         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
         GROUP BY 1, 2
+    """,
+    # same append-mode finalization rule as the foreachBatch round trip,
+    # plus the deterministic per-hour rank the sink-side batch computes
+    "stream_topk_event_types": f"""
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events
+            FROM events, wm
+            WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+            GROUP BY 1, 2
+        )
+        SELECT hour, event_type, n_events, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY hour
+                                         ORDER BY n_events DESC,
+                                                  event_type) AS rank
+            FROM hourly
+        )
+        WHERE rank <= {STREAM_TOPK}
     """,
 }
 

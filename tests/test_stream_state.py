@@ -99,6 +99,47 @@ def test_attribution_join_state_is_watermark_bounded(spark, split_src):
         f"state grows with stream length, watermark not bounding it")
 
 
+def test_stream_topk_multibatch_matches_batch_rank(spark, split_src):
+    """The top-k gate's claim — append mode emits each window exactly
+    once, with final counts, so per-batch ranking is globally correct —
+    must hold when windows finalize across SIX micro-batches, not just
+    the single-batch availableNow gate run. The union of all batches'
+    top-k rows must equal the batch-computed rank over finalized
+    windows."""
+    from pyspark.sql.window import Window
+
+    from mit_6_5840_mapreduce_spark.streaming.jobs import (
+        STREAM_TOPK, run_topk_stream, windowed_counts_from_events,
+    )
+    src_dir, _ = split_src
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    hourly = windowed_counts_from_events(stream) \
+        .select("hour", "event_type", "n_events")
+    got = {tuple(r) for r in run_topk_stream(spark, hourly).collect()}
+
+    ev = spark.read.parquet(src_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    wm = ev.agg(F.max("ts")).first()[0]
+    final_wm = wm - __import__("datetime").timedelta(hours=1)
+    w = Window.partitionBy("hour").orderBy(
+        F.desc("n_events"), F.asc("event_type"))
+    want = {tuple(r) for r in (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .where(F.col("hour") + F.expr("INTERVAL 1 HOUR") <= F.lit(final_wm))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= STREAM_TOPK)
+        .select("hour", "event_type", "n_events", "rank")
+    ).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_session_window_state_is_watermark_bounded(spark, split_src):
     src_dir, n_events = split_src
     progresses = _run_batched(spark, src_dir, sessionized_from_events,
