@@ -491,12 +491,125 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HNSW_M = 8            # neighbors linked per inserted node
+HNSW_DEGREE_CAP = 16  # prune adjacency beyond this (2*M)
+HNSW_EF = 32          # beam width for build and search
+HNSW_SHARDS = 4
+
+
+def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN (the HNSW family) in its distributed serving
+    layout: the corpus is hash-SHARDED, each shard builds a navigable-
+    small-world graph (vectors inserted in vec_id order, each linked to
+    its HNSW_M nearest already-inserted nodes found by greedy beam
+    search; reverse edges pruned to HNSW_DEGREE_CAP by similarity),
+    queries are broadcast and beam-searched per shard, and shard-local
+    top-k candidates merge globally by exact cosine — the standard
+    shard-and-merge architecture of graph-ANN serving (each vector
+    lives in exactly one shard, so the merge is a plain union + rank).
+
+    Per-shard work is numpy inside one applyInPandas (Arrow batch);
+    only (query_id, cand_id, score) rows cross the shuffle — the graph
+    never leaves its shard. Fully deterministic: insertion order,
+    beam-tie ordering, and pruning all tie-break on vec_id. The greedy
+    search path depends on the graph, so this is rows-only in the
+    driver gate (the non-SQL-expressible class, like ivf_train);
+    recall vs the brute-force twin and run-to-run determinism are
+    pinned by tests/test_hnsw.py. Completes the similarity-search
+    family: brute force (embedding_topk), IVF (ivf_search), LSH
+    (embedding_neardup_lsh), graph (this)."""
+    import heapq
+
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = (emb.where(F.col("vec_id") < N_QUERY_VECS)
+              .orderBy("vec_id").collect())
+    q_ids = [r.vec_id for r in q_rows]
+    q_mat = [[float(x) for x in r.embedding] for r in q_rows]
+
+    def shard_search(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.array([np.asarray(v, dtype=np.float64)
+                      for v in pdf["embedding"].iloc[order]])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        n = len(ids)
+        adj: list[list[int]] = [[] for _ in range(n)]
+
+        def beam(qv: np.ndarray, ef: int) -> list[tuple[float, int]]:
+            """Greedy best-first search over the current graph from
+            entry node 0; returns the ef best (sim, node) found,
+            best-first, ties broken by node id."""
+            s0 = float(Vn[0] @ qv)
+            visited = {0}
+            cand = [(-s0, 0)]                  # max-heap by sim
+            found = [(s0, -0)]                 # min-heap of kept results
+            best = [(s0, 0)]
+            while cand:
+                negs, u = heapq.heappop(cand)
+                if -negs < found[0][0] and len(found) >= ef:
+                    break                      # beam frontier exhausted
+                for v in adj[u]:
+                    if v in visited:
+                        continue
+                    visited.add(v)
+                    sv = float(Vn[v] @ qv)
+                    if len(found) < ef or sv > found[0][0]:
+                        heapq.heappush(cand, (-sv, v))
+                        heapq.heappush(found, (sv, -v))
+                        best.append((sv, v))
+                        if len(found) > ef:
+                            heapq.heappop(found)
+            best.sort(key=lambda t: (-t[0], t[1]))
+            return best[:ef]
+
+        for i in range(1, n):
+            near = beam(Vn[i], HNSW_EF)
+            adj[i] = [v for _, v in near[:HNSW_M]]
+            for j in adj[i]:
+                adj[j].append(i)
+                if len(adj[j]) > HNSW_DEGREE_CAP:
+                    sims = Vn[adj[j]] @ Vn[j]
+                    keep = sorted(range(len(adj[j])),
+                                  key=lambda t: (-sims[t], adj[j][t]))
+                    adj[j] = [adj[j][t]
+                              for t in keep[:HNSW_DEGREE_CAP]]
+
+        out_q, out_c, out_s = [], [], []
+        for qi, qvec in zip(q_ids, q_mat):
+            qv = np.asarray(qvec, dtype=np.float64)
+            qv = qv / np.linalg.norm(qv)
+            hits = [(s, v) for s, v in beam(qv, max(HNSW_EF, TOP_K + 1))
+                    if ids[v] != qi][:TOP_K]
+            for s, v in hits:
+                out_q.append(qi)
+                out_c.append(int(ids[v]))
+                out_s.append(np.floor(s * 10000) / 10000)
+        return pd.DataFrame({"query_id": out_q, "cand_id": out_c,
+                             "cos_sim": out_s})
+
+    shards = emb.withColumn(
+        "shard", F.pmod(F.xxhash64("vec_id"), F.lit(HNSW_SHARDS)))
+    scored = shards.groupBy("shard").applyInPandas(
+        shard_search, "query_id BIGINT, cand_id BIGINT, cos_sim DOUBLE")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id", "cos_sim", "rank"))
+
+
 QUERIES = {
     "embedding_topk": embedding_topk,
     "embedding_quantize": embedding_quantize,
     "ivf_assign": ivf_assign,
     "ivf_search": ivf_search,
     "ivf_train": ivf_train,   # iterative k-means: rows-only (no SQL oracle)
+    # graph-ANN beam search: rows-only (path depends on the graph);
+    # recall + determinism pinned by tests/test_hnsw.py
+    "hnsw_search": hnsw_search,
     # Arrow/numpy scoring: rows-only (float-sum order differs from SQL)
     "embedding_topk_pandas": embedding_topk_pandas,
     "embedding_neardup_exact": embedding_neardup_exact,

@@ -1,0 +1,51 @@
+"""Graph-ANN (hnsw_search) quality pins — the rows-only operator's
+equivalent of an oracle: recall against the exact brute-force twin and
+bit-for-bit run-to-run determinism (insertion order, beam ties, and
+pruning all tie-break on vec_id, so two runs must agree exactly).
+"""
+
+from __future__ import annotations
+
+from mit_6_5840_mapreduce_spark.operators.similarity import (
+    TOP_K,
+    embedding_topk,
+    hnsw_search,
+)
+
+
+def _hits(df):
+    return {(r.query_id, r.cand_id) for r in df.collect()}
+
+
+def test_hnsw_recall_vs_brute_force(spark, sf_dir):
+    """Union-of-shard-topk beam search must recover most of the exact
+    top-k. The structural ceiling: a query's true neighbor can only be
+    missed by beam-search error inside its own shard, never by the
+    merge (each vector lives in exactly one shard)."""
+    exact = _hits(embedding_topk(spark, sf_dir))
+    approx = _hits(hnsw_search(spark, sf_dir))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall@{TOP_K} = {recall:.2f}"
+
+
+def test_hnsw_deterministic_across_runs(spark, sf_dir):
+    a = sorted(map(tuple, hnsw_search(spark, sf_dir).collect()))
+    b = sorted(map(tuple, hnsw_search(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_hnsw_row_contract(spark, sf_dir):
+    """Exactly TOP_K ranked rows per query, rank dense from 1, scores
+    non-increasing within a query."""
+    rows = hnsw_search(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q, "no queries returned"
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) == TOP_K
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.cand_id != q for r in rs)
