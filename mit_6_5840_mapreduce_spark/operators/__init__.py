@@ -34,42 +34,41 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # each round, so window composition is an explicit, reviewed list rather
-# than an accident of module ordering. Round-3 window: the 12 queries
-# that had never had a driver row (TPC-H Q8/Q17/Q21, the corpus trio,
-# audio/gif/video decode stats, the late stream gates, user_gap_stats),
-# a sentinel set kept in-window EVERY round to catch regressions
-# (mr_wc, mr_wc_rdd, dedup_exact, stream_hourly_counts), every query
-# whose implementation changed this round (multimodal_meta,
-# frame_sample, dedup_groups, doc_pagerank), and relational re-certs
-# filling the remainder. tests/test_registry_window.py pins this.
+# than an accident of module ordering. Round-4 window (VERDICT r3 item
+# 1: no registered query's newest cert older than 2 rounds): the
+# sentinel set kept in-window EVERY round, all 28 rows whose newest
+# driver cert is round 1 (two rounds and one Spark-runtime upgrade
+# ago — the 4.1.2 nanos-ts break proved stale certs rot), the round-4
+# operators (first certification), and every query whose implementation
+# or oracle changed since its round-3 row (the capped-containment /
+# CC-fusion / codec-hardening / CSV-sentinel commits).
+# tests/test_registry_window.py pins this.
 WINDOW_SIZE = 50
 
 WINDOW_FIRST: tuple[str, ...] = (
     # sentinels (every round)
     "mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts",
-    # the 12 never-driver-certified queries (round-2 VERDICT item 1)
-    "user_gap_stats", "contamination_check", "doc_repetition",
-    "bigram_pmi", "stream_sessionize", "stream_attribution",
-    "audio_decode_stats", "gif_decode_stats", "video_frame_stats",
-    "q8_market_share", "q17_small_quantity_revenue",
-    "q21_suppliers_kept_waiting",
-    # changed this round -> need re-certification
-    "doc_pagerank", "multimodal_meta", "frame_sample", "dedup_groups",
-    # new round-3 operators (first driver certification)
-    "pii_scrub", "url_domain_stats", "curation_funnel",
-    "token_length_histogram", "dedup_keep_best", "embedding_quantize",
-    "shingle_containment", "jsonl_roundtrip_stats", "csv_roundtrip_stats",
-    "orc_roundtrip_stats", "doc_chunks_udtf", "media_decode_stats",
-    "lang_confusion", "stream_enriched_events",
-    "stream_foreachbatch_roundtrip",
-    # relational / events re-certs (round-1 rows, re-verified here)
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
-    "q10_returned_items", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q18_large_orders", "q19_discounted_revenue",
-    "q22_idle_customers", "sql_revenue_by_segment",
-    "sql_priority_status_sets",
-    "top3_orders_per_customer",
+    # the 28 rows last driver-certified in round 1
+    "brand_price_stats", "cohort_retention", "column_histogram",
+    "customer_value_quartiles", "customers_no_orders",
+    "daily_revenue_trailing", "events_hourly_gapfilled",
+    "events_value_bands", "funnel_view_click_purchase",
+    "hourly_burst_detection", "latest_event_per_user",
+    "nation_customer_supplier_balance", "order_value_percentiles",
+    "orders_dow_stats", "orders_monthly_growth", "part_name_analysis",
+    "priority_status_cube", "q4_order_priority", "repeat_customers",
+    "sales_rollup", "skewsafe_type_user_counts", "table_profile",
+    "user_event_pivot", "user_event_sequences", "user_type_count_map",
+    "user_value_mad", "user_value_outliers", "user_value_trend",
+    # new round-4 operators (first driver certification)
+    "shingle_containment_capped", "q16_parts_supplier_relationship",
+    "pack_sequences", "training_shuffle", "decontaminate_split",
+    "stream_topk_event_types", "hnsw_search",
+    # implementation/oracle changed since the round-3 row -> re-certify
+    "csv_roundtrip_stats", "jsonl_roundtrip_stats", "orc_roundtrip_stats",
+    "media_decode_stats", "embedding_quantize", "bigram_pmi",
+    "dedup_groups", "dedup_keep_best", "shingle_containment",
+    "stream_foreachbatch_roundtrip", "image_decode_stats",
 )
 
 

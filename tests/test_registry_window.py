@@ -1,12 +1,13 @@
 """Pin the registry's first-50 window composition.
 
 The driver's CORRECTNESS gate verifies only the FIRST 50 registry
-entries per round. Round 3 rotates in the 12 queries that never had a
-driver row (TPC-H Q8/Q17/Q21, the corpus-analysis trio, the three
-late multimodal decode gates, the two late stream gates, and
-user_gap_stats), keeps a sentinel set in-window every round, and
-re-certifies every query whose implementation changed this round.
-This test fails loudly if a future registration reorders them out.
+entries per round. Round 4 rotates in the 28 rows whose newest driver
+cert was round 1 (VERDICT r3 item 1: certification freshness — the
+Spark 4.1.2 nanos-ts break proved stale certs rot), keeps the sentinel
+set in-window every round, gives every new round-4 operator its first
+driver row, and re-certifies every query whose implementation or
+oracle changed since its round-3 row. This test fails loudly if a
+future registration reorders them out.
 """
 
 from __future__ import annotations
@@ -18,25 +19,41 @@ from mit_6_5840_mapreduce_spark.operators import (
 # regression sentinels: in-window EVERY round
 SENTINELS = {"mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts"}
 
-# the 12 queries with no driver CORRECTNESS row in rounds 1-2
-NEVER_CERTIFIED = {
-    "q8_market_share", "q17_small_quantity_revenue",
-    "q21_suppliers_kept_waiting",
-    "contamination_check", "doc_repetition", "bigram_pmi",
-    "audio_decode_stats", "gif_decode_stats", "video_frame_stats",
-    "stream_sessionize", "stream_attribution",
-    "user_gap_stats",
+# rows whose newest driver cert is round 1 (two rounds stale)
+ROUND1_ONLY = {
+    "brand_price_stats", "cohort_retention", "column_histogram",
+    "customer_value_quartiles", "customers_no_orders",
+    "daily_revenue_trailing", "events_hourly_gapfilled",
+    "events_value_bands", "funnel_view_click_purchase",
+    "hourly_burst_detection", "latest_event_per_user",
+    "nation_customer_supplier_balance", "order_value_percentiles",
+    "orders_dow_stats", "orders_monthly_growth", "part_name_analysis",
+    "priority_status_cube", "q4_order_priority", "repeat_customers",
+    "sales_rollup", "skewsafe_type_user_counts", "table_profile",
+    "user_event_pivot", "user_event_sequences", "user_type_count_map",
+    "user_value_mad", "user_value_outliers", "user_value_trend",
 }
 
-# implementation changed in round 3 -> must be re-certified
+# first driver certification for the round-4 surface
+NEW_THIS_ROUND = {
+    "shingle_containment_capped", "q16_parts_supplier_relationship",
+    "pack_sequences", "training_shuffle", "decontaminate_split",
+    "stream_topk_event_types", "hnsw_search",
+}
+
+# implementation or oracle changed since the round-3 row
 CHANGED_THIS_ROUND = {
-    "doc_pagerank", "multimodal_meta", "frame_sample", "dedup_groups",
+    "csv_roundtrip_stats", "jsonl_roundtrip_stats", "orc_roundtrip_stats",
+    "media_decode_stats", "embedding_quantize", "bigram_pmi",
+    "dedup_groups", "dedup_keep_best", "shingle_containment",
+    "stream_foreachbatch_roundtrip", "image_decode_stats",
 }
 
-MUST_BE_IN_WINDOW = SENTINELS | NEVER_CERTIFIED | CHANGED_THIS_ROUND
+MUST_BE_IN_WINDOW = (SENTINELS | ROUND1_ONLY | NEW_THIS_ROUND
+                     | CHANGED_THIS_ROUND)
 
 
-def test_first_window_contains_round3_surface():
+def test_first_window_contains_round4_surface():
     queries, _ = registry()
     window = list(queries)[:WINDOW_SIZE]
     missing = MUST_BE_IN_WINDOW - set(window)
