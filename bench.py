@@ -88,6 +88,7 @@ def main() -> None:
 
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         runs = []
         for _ in range(repeat):
@@ -97,6 +98,11 @@ def main() -> None:
                 .format("noop").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        # per-query [min, median, max] so a reader can separate noise
+        # from regression WITHIN one bench run: a wide min..max band is
+        # co-tenant contention, a tight band with a moved median is real
+        spread[name] = [round(min(runs), 3), timings[name],
+                        round(max(runs), 3)]
     load_after = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
@@ -110,6 +116,7 @@ def main() -> None:
         "sf": sf,
         "notes": {
             "per_query_stat": f"median_of_{repeat}",
+            "per_query_min_med_max": spread,
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in load_after],
             "ratio_vs_baseline_r1": ratios,
