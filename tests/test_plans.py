@@ -28,6 +28,8 @@ PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
                   "image_decode_stats", "audio_decode_stats",
                   "gif_decode_stats", "video_frame_stats",
                   "embedding_topk_pandas", "media_decode_stats",
+                  "hnsw_search",       # per-shard graph build/search is
+                                       # numpy inside one applyInPandas
                   "doc_chunks_udtf"}   # UDTF API demo; JVM doc_chunks
                                        # is the scale path
 # tiny-side cross joins (broadcast) are fine; a plain cartesian is not
@@ -138,6 +140,31 @@ def test_latest_event_per_user_is_single_shuffle(spark, sf_dir):
     assert shuffles == 1, plan
 
 
+
+
+def test_q16_broadcasts_part_and_supplier_sides(spark, sf_dir):
+    """The filtered part dim and the excluded-supplier anti join must
+    both be broadcast — only the distinct (partkey, suppkey) pairs may
+    shuffle."""
+    plan = executed_plan(q(spark, sf_dir, "q16_parts_supplier_relationship"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_pack_sequences_is_single_shuffle(spark, sf_dir):
+    """The packing prefix sum is exactly one shuffle (window by
+    source); the assignment arithmetic adds nothing."""
+    plan = executed_plan(q(spark, sf_dir, "pack_sequences"))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, plan
+
+
+def test_training_shuffle_is_single_shuffle_no_global_sort(spark, sf_dir):
+    """Sharded shuffle: one exchange by shard, per-shard window sort —
+    never a global range sort."""
+    plan = executed_plan(q(spark, sf_dir, "training_shuffle"))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
 
 
 def test_bigram_pmi_tokenizes_corpus_once(spark, sf_dir, monkeypatch):
