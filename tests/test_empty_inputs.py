@@ -48,6 +48,14 @@ REPRESENTATIVE = [
     "lang_confusion",
     "stream_enriched_events",
     "stream_foreachbatch_roundtrip",
+    # round-4 surface
+    "q16_parts_supplier_relationship",
+    "pack_sequences",
+    "training_shuffle",
+    "decontaminate_split",
+    "stream_topk_event_types",
+    "shingle_containment_capped",
+    "hnsw_search",
 ]
 
 
