@@ -256,6 +256,73 @@ CC_MAX_ITERS = 20
 CC_EDGES_PER_PARTITION = 100_000
 
 
+def cc_labels(spark: SparkSession, pairs: DataFrame,
+              a_col: str, b_col: str) -> DataFrame:
+    """Connected components over an undirected pair list by Pregel-style
+    min-label propagation — the shared core of ``dedup_groups`` (lexical
+    near-dup graph) and ``similarity.semantic_dedup`` (embedding
+    near-dup graph). Returns (node_id, label) for every node that
+    appears in ``pairs``; label = min node id of its component.
+    Isolated nodes are the CALLER's business (they're singletons by
+    definition and never enter the loop).
+
+    The hot loop is sized to its actual data, not the corpus: the edge
+    list is hash-partitioned by ``src`` into
+    |edges|/CC_EDGES_PER_PARTITION partitions and cached in that
+    layout, so each round reshuffles only the compact label vector
+    against stationary edges. Convergence is detected from the label
+    frame itself in ONE Spark job per round (the checkpoint is lazy, so
+    the changed-label count is the action that materializes it). Rounds
+    needed = component diameter; hard cap CC_MAX_ITERS with loud
+    failure. No row data ever reaches the driver."""
+    edges_raw = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"),
+                            F.col(a_col).alias("dst")))
+        .persist()
+    )
+    n_edges = edges_raw.count()      # materializes the pair join ONCE
+    n_parts = max(2, min(spark.sparkContext.defaultParallelism,
+                         1 + n_edges // CC_EDGES_PER_PARTITION))
+    edges = edges_raw.repartition(n_parts, "src").persist()
+    labels = (edges.select(F.col("src").alias("node_id")).distinct()
+              .select("node_id", F.col("node_id").alias("label"))
+              .localCheckpoint(eager=True))
+    edges_raw.unpersist()
+    changed = 0
+    for _ in range(CC_MAX_ITERS):
+        nb = (
+            edges.join(labels.select(F.col("node_id").alias("src"),
+                                     "label"), "src")
+            .groupBy("dst").agg(F.min("label").alias("nb_label"))
+        )
+        # lazy checkpoint: the count below is the ONLY job this round —
+        # it materializes the checkpoint blocks and counts changed
+        # labels in the same pass
+        new_labels = (
+            labels.join(nb, labels.node_id == nb.dst, "left")
+            .select("node_id",
+                    F.col("label").alias("old_label"),
+                    F.least(F.col("label"),
+                            F.coalesce("nb_label", "label")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        changed = new_labels.where(
+            F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("node_id", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    if changed != 0:
+        # a component with diameter > CC_MAX_ITERS would be silently
+        # split into multiple groups — surface it instead of guessing
+        raise RuntimeError(
+            f"cc_labels: min-label propagation did not converge in "
+            f"{CC_MAX_ITERS} rounds ({changed} labels still changing); "
+            f"raise CC_MAX_ITERS for this corpus")
+    return labels
+
+
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate GROUPS: connected components over the exact n-gram
     Jaccard near-dup pairs, labeling every document with its component's
@@ -264,70 +331,16 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pairwise output alone can't answer transitive duplication:
     A~B, B~C => {A,B,C} even when A!~C).
 
-    Pregel-style iterative min-label propagation, iterating ONLY over
-    the pair subgraph (docs with no near-dup edge are singletons by
-    definition and rejoin at the end). The hot loop is sized to its
-    actual data, not the corpus: the edge list is hash-partitioned by
-    ``src`` into |edges|/CC_EDGES_PER_PARTITION partitions and cached in
-    that layout, so each round reshuffles only the compact label vector
-    against stationary edges (or broadcasts it while it fits), and the
-    per-round overhead doesn't scale with spark.sql.shuffle.partitions.
-    Convergence is detected from the label frame itself (old vs new
-    label on the checkpointed result) in ONE Spark job per round: the
-    checkpoint is lazy, so the changed-label count is the action that
-    materializes it — no separate eager-checkpoint job (which measured
-    as ~half the per-round fixed overhead at sf0.1). Rounds needed =
-    component diameter (near-dup clusters are shallow; hard cap
-    CC_MAX_ITERS, loud failure past it). No row data ever reaches the
-    driver, so the loop is cluster-safe at any scale.
+    The min-label propagation loop lives in ``cc_labels`` (shared with
+    the embedding-space ``similarity.semantic_dedup``) and iterates
+    ONLY over the pair subgraph — docs with no near-dup edge are
+    singletons by definition and rejoin at the end; see its docstring
+    for the partitioning/checkpoint/convergence design.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges_raw = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"),
-                            F.col("doc_a").alias("dst")))
-        .persist()
-    )
-    n_edges = edges_raw.count()      # materializes the pair join ONCE
-    n_parts = max(2, min(spark.sparkContext.defaultParallelism,
-                         1 + n_edges // CC_EDGES_PER_PARTITION))
-    edges = edges_raw.repartition(n_parts, "src").persist()
-    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
-              .select("doc_id", F.col("doc_id").alias("label"))
-              .localCheckpoint(eager=True))
-    edges_raw.unpersist()
-    changed = 0
-    for _ in range(CC_MAX_ITERS):
-        nb = (
-            edges.join(labels.select(F.col("doc_id").alias("src"), "label"),
-                       "src")
-            .groupBy("dst").agg(F.min("label").alias("nb_label"))
-        )
-        # lazy checkpoint: the count below is the ONLY job this round —
-        # it materializes the checkpoint blocks and counts changed
-        # labels in the same pass
-        new_labels = (
-            labels.join(nb, labels.doc_id == nb.dst, "left")
-            .select("doc_id",
-                    F.col("label").alias("old_label"),
-                    F.least(F.col("label"),
-                            F.coalesce("nb_label", "label")).alias("label"))
-            .localCheckpoint(eager=False)
-        )
-        changed = new_labels.where(
-            F.col("label") != F.col("old_label")).count()
-        labels = new_labels.select("doc_id", "label")
-        if changed == 0:
-            break
-    edges.unpersist()
-    if changed != 0:
-        # a component with diameter > CC_MAX_ITERS would be silently
-        # split into multiple groups — surface it instead of guessing
-        raise RuntimeError(
-            f"dedup_groups: min-label propagation did not converge in "
-            f"{CC_MAX_ITERS} rounds ({changed} labels still changing); "
-            f"raise CC_MAX_ITERS for this corpus")
+    labels = cc_labels(spark, pairs, "doc_a", "doc_b") \
+        .withColumnRenamed("node_id", "doc_id")
     w = Window.partitionBy("group_id")
     return (
         docs.join(labels, "doc_id", "left")

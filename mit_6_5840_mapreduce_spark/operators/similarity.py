@@ -491,6 +491,77 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_Q_SCALE = 1 << 16   # fixed-point resolution for centroid arithmetic
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup end to end — the semantic twin of the
+    lexical ``dedup_groups``+``dedup_keep_best`` pipeline: LSH-banded
+    near-dup candidate pairs (``embedding_neardup_lsh``), connected
+    components over the pair graph (the shared ``dedup.cc_labels``
+    min-label loop), then MEDOID survivorship: within each group, keep
+    the member closest to the group centroid — the representative a
+    semantic-dedup pass feeds to training, rather than an arbitrary
+    lowest-id pick.
+
+    Numerics are cross-engine exact where order freedom exists:
+    embeddings are quantized elementwise to SEM_Q_SCALE fixed-point
+    BIGINTs (deterministic: one multiply + round per element), so the
+    per-(group, dim) centroid SUMS and each member's centroid dot
+    product are exact integer aggregates in any order. The medoid rank
+    orders by dot(member, centroid_sum)/|member| — within a group the
+    centroid norm is a shared positive factor, so dividing by it cannot
+    change the order, and the one float division both engines compute
+    from identical integers is IEEE-identical.
+
+    Scale shape: pairs and CC iterate only the near-dup subgraph;
+    the 64x dim explosion for centroids touches ONLY grouped vectors
+    (a tiny fraction of the corpus — singletons are their own medoid
+    and bypass it); everything shuffles on (group_id, dim) / vec_id
+    equi-keys, never all-pairs."""
+    from mit_6_5840_mapreduce_spark.operators.dedup import cc_labels
+    pairs = embedding_neardup_lsh(spark, sf_dir).select("vec_a", "vec_b")
+    labels = cc_labels(spark, pairs, "vec_a", "vec_b") \
+        .withColumnRenamed("node_id", "vec_id") \
+        .withColumnRenamed("label", "group_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # floor(x*S + 0.5), not round(): both engines floor identically,
+    # while round() tie behavior differs (same idiom as embedding_quantize)
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * SEM_Q_SCALE + F.lit(0.5))
+        .cast("bigint"))
+    quant = emb.select("vec_id", qv.alias("qv"))
+    # grouped vectors only: the dim explosion never touches singletons
+    grouped = quant.join(labels, "vec_id")
+    qd = grouped.select("vec_id", "group_id",
+                        F.posexplode("qv").alias("dim", "qx"))
+    sums = qd.groupBy("group_id", "dim").agg(F.sum("qx").alias("sx"))
+    dots = (
+        qd.join(sums, ["group_id", "dim"])
+        .groupBy("vec_id", "group_id")
+        .agg(F.sum(F.col("qx") * F.col("sx")).alias("dot"),
+             F.sum(F.col("qx") * F.col("qx")).alias("nrm2"))
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc(F.col("dot") / F.sqrt(F.col("nrm2"))), F.asc("vec_id"))
+    wg = Window.partitionBy("group_id")
+    ranked = (
+        dots.withColumn("group_size", F.count("*").over(wg))
+        .withColumn("rk", F.row_number().over(w))
+        .select("vec_id", "group_id", "group_size",
+                (F.col("rk") == 1).cast("int").alias("is_medoid"))
+    )
+    singletons = (
+        emb.select("vec_id")
+        .join(labels.select("vec_id"), "vec_id", "leftanti")
+        .select("vec_id", F.col("vec_id").alias("group_id"),
+                F.lit(1).cast("bigint").alias("group_size"),
+                F.lit(1).cast("int").alias("is_medoid"))
+    )
+    return ranked.unionByName(singletons)
+
+
 HNSW_M = 8            # neighbors linked per inserted node
 HNSW_DEGREE_CAP = 16  # prune adjacency beyond this (2*M)
 HNSW_EF = 32          # beam width for build and search
@@ -617,6 +688,7 @@ QUERIES = {
     # of operators.registry() so it doesn't consume a driver-window slot
     "embedding_lsh_signatures": embedding_lsh_signatures,
     "embedding_neardup_lsh": embedding_neardup_lsh,
+    "semantic_dedup": semantic_dedup,
 }
 
 # DuckDB equivalents of _dot/_norm: ordered list folds with DOUBLE elements.
@@ -790,4 +862,69 @@ ORACLES = {
         ) WHERE rank <= {TOP_K}
     """,
     "embedding_neardup_exact": _D_NEARDUP_EXACT,
+    # the LSH pair CTE is the embedding_neardup_lsh oracle verbatim;
+    # MATERIALIZED so the recursive reachability doesn't re-evaluate the
+    # 64-projection self-join per iteration (the doc_pagerank lesson)
+    "semantic_dedup": f"""
+        WITH RECURSIVE pairs AS MATERIALIZED (
+            SELECT vec_a, vec_b FROM ({_D_LSH_PAIRS.format(
+                cos=_d_cos("a.embedding", "b.embedding"))})
+        ),
+        edges AS MATERIALIZED (
+            SELECT vec_a AS src, vec_b AS dst FROM pairs
+            UNION ALL
+            SELECT vec_b AS src, vec_a AS dst FROM pairs
+        ),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS vec_id FROM edges),
+        reach(vec_id, label) AS (
+            SELECT vec_id, vec_id FROM nodes
+            UNION
+            SELECT e.dst, r.label
+            FROM edges e JOIN reach r ON r.vec_id = e.src
+        ),
+        grp AS MATERIALIZED (
+            SELECT vec_id, min(label) AS group_id FROM reach GROUP BY vec_id
+        ),
+        quant AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {SEM_Q_SCALE}
+                                       + 0.5) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        qd AS (
+            SELECT q.vec_id, g.group_id,
+                   unnest(range(1, {EMB_DIM} + 1)) AS dim, qv
+            FROM quant q JOIN grp g USING (vec_id)
+        ),
+        qd2 AS (SELECT vec_id, group_id, dim, qv[dim] AS qx FROM qd),
+        sums AS (
+            SELECT group_id, dim, CAST(sum(qx) AS BIGINT) AS sx
+            FROM qd2 GROUP BY group_id, dim
+        ),
+        dots AS (
+            SELECT qd2.vec_id, qd2.group_id,
+                   CAST(sum(qd2.qx * s.sx) AS BIGINT) AS dot,
+                   CAST(sum(qd2.qx * qd2.qx) AS BIGINT) AS nrm2
+            FROM qd2 JOIN sums s ON s.group_id = qd2.group_id
+                                AND s.dim = qd2.dim
+            GROUP BY qd2.vec_id, qd2.group_id
+        ),
+        ranked AS (
+            SELECT vec_id, group_id,
+                   count(*) OVER (PARTITION BY group_id) AS group_size,
+                   row_number() OVER (
+                       PARTITION BY group_id
+                       ORDER BY dot / sqrt(nrm2) DESC, vec_id) AS rk
+            FROM dots
+        )
+        SELECT vec_id, group_id, group_size,
+               CAST(rk = 1 AS INT) AS is_medoid
+        FROM ranked
+        UNION ALL
+        SELECT e.vec_id, e.vec_id AS group_id,
+               CAST(1 AS BIGINT) AS group_size, 1 AS is_medoid
+        FROM embeddings e
+        WHERE e.vec_id NOT IN (SELECT vec_id FROM grp)
+    """,
 }

