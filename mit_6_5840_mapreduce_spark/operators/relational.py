@@ -848,6 +848,52 @@ def q16_parts_supplier_relationship(spark: SparkSession,
     )
 
 
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days from last order to
+    the corpus's max order date), Frequency (order count), Monetary
+    (lifetime spend in exact integer cents), each bucketed into
+    quartiles. Quartile assignment is by BROADCAST percentile cutoffs —
+    1 + (v > q25) + (v > q50) + (v > q75) — not a global-sort ntile():
+    the cutoff aggregate is one pass and the assignment is a
+    broadcast-join comparison, so the plan parallelizes at any scale
+    (a global ntile window is a single-task sort). Cutoffs are exact
+    interpolated percentiles over integers, so both engines compute
+    the identical doubles and every bucket boundary agrees. Quartile 1
+    = lowest value quarter in every dimension."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    per_cust = (
+        orders.select("o_custkey", "o_orderdate", cents.alias("cents"))
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("last_order"),
+             F.count("*").alias("n_orders"),
+             F.sum("cents").alias("total_cents"))
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("max_date"))
+    base = (per_cust.crossJoin(broadcast(maxd))
+            .select("o_custkey",
+                    F.datediff("max_date", "last_order")
+                    .cast("bigint").alias("recency_days"),
+                    "n_orders", "total_cents"))
+    cuts = base.agg(*[
+        F.percentile(c, F.lit(p)).alias(f"{c}_q{int(p * 100)}")
+        for c in ("recency_days", "n_orders", "total_cents")
+        for p in (0.25, 0.5, 0.75)])
+
+    def quart(c: str):
+        return (1 + (F.col(c) > F.col(f"{c}_q25")).cast("int")
+                + (F.col(c) > F.col(f"{c}_q50")).cast("int")
+                + (F.col(c) > F.col(f"{c}_q75")).cast("int"))
+
+    return (
+        base.crossJoin(broadcast(cuts))
+        .select("o_custkey", "recency_days", "n_orders", "total_cents",
+                quart("recency_days").alias("r_quartile"),
+                quart("n_orders").alias("f_quartile"),
+                quart("total_cents").alias("m_quartile"))
+    )
+
+
 QUERIES = {
     "sql_revenue_by_segment": sql_revenue_by_segment,
     "sql_priority_status_sets": sql_priority_status_sets,
@@ -887,9 +933,53 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
     "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
+    "customer_rfm": customer_rfm,
 }
 
 ORACLES = {
+    # quantile_cont on integer inputs = Spark's exact interpolated
+    # percentile; identical doubles -> identical bucket boundaries
+    "customer_rfm": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_order,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        maxd AS (SELECT max(o_orderdate) AS max_date FROM orders),
+        base AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', last_order, max_date) AS BIGINT)
+                       AS recency_days,
+                   n_orders, total_cents
+            FROM per_cust CROSS JOIN maxd
+        ),
+        cuts AS (
+            SELECT quantile_cont(recency_days, 0.25) AS r25,
+                   quantile_cont(recency_days, 0.50) AS r50,
+                   quantile_cont(recency_days, 0.75) AS r75,
+                   quantile_cont(n_orders, 0.25) AS f25,
+                   quantile_cont(n_orders, 0.50) AS f50,
+                   quantile_cont(n_orders, 0.75) AS f75,
+                   quantile_cont(total_cents, 0.25) AS m25,
+                   quantile_cont(total_cents, 0.50) AS m50,
+                   quantile_cont(total_cents, 0.75) AS m75
+            FROM base
+        )
+        SELECT o_custkey, recency_days, n_orders, total_cents,
+               1 + CAST(recency_days > r25 AS INT)
+                 + CAST(recency_days > r50 AS INT)
+                 + CAST(recency_days > r75 AS INT) AS r_quartile,
+               1 + CAST(n_orders > f25 AS INT)
+                 + CAST(n_orders > f50 AS INT)
+                 + CAST(n_orders > f75 AS INT) AS f_quartile,
+               1 + CAST(total_cents > m25 AS INT)
+                 + CAST(total_cents > m50 AS INT)
+                 + CAST(total_cents > m75 AS INT) AS m_quartile
+        FROM base CROSS JOIN cuts
+    """,
     "q16_parts_supplier_relationship": f"""
         SELECT p_brand, p_type, p_size,
                count(DISTINCT l_suppkey) AS supplier_cnt

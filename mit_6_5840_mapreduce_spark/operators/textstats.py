@@ -474,6 +474,37 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token density — the unigram-LM quality proxy without the
+    log: per document, the mean inverse corpus frequency of its tokens,
+    rarity(w) = N div c_w (N = corpus token count). A doc full of
+    common words scores near its length's floor; OOV-heavy or
+    jargon-heavy docs score high — the same signal 'perplexity-filter'
+    pipelines threshold on, in an integer-exact form (sum of BIGINTs in
+    any order, then ONE float division; libm log would not
+    hash-match across engines).
+
+    Scale shape: one tokenize pass, token counts as a per-word
+    aggregate joined back (broadcast-sized vocabulary), corpus total as
+    a broadcast scalar — no driver round trip."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id",
+                       F.explode(tokenize(F.lower(F.col("text"))))
+                       .alias("word"))
+    cw = toks.groupBy("word").agg(F.count("*").alias("c_w"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    return (
+        toks.join(broadcast(cw), "word")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum(F.expr("n_total div c_w")).alias("rarity_sum"))
+        .select("doc_id", "n_tokens", "rarity_sum",
+                floor4(F.col("rarity_sum") / F.col("n_tokens"))
+                .alias("avg_rarity"))
+    )
+
+
 PACK_BUDGET = 256                 # tokens per packed training sequence
 
 
@@ -581,6 +612,7 @@ QUERIES = {
     "lang_confusion": lang_confusion,
     "doc_quality": doc_quality,
     "token_stats": token_stats,
+    "token_rarity": token_rarity,
     "doc_fingerprint": doc_fingerprint,
 }
 
@@ -816,6 +848,24 @@ ORACLES = {
                       + least(avg_tok / 8.0, 1.0) * 0.2) * 10000) / 10000
                    AS quality_score
         FROM derived
+    """,
+    "token_rarity": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                       t -> t <> '')) AS word
+            FROM documents
+        ),
+        cw AS (SELECT word, count(*) AS c_w FROM toks GROUP BY word),
+        total AS (SELECT count(*) AS n_total FROM toks)
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(n_total // c_w) AS BIGINT) AS rarity_sum,
+               floor(CAST(sum(n_total // c_w) AS BIGINT)
+                     / count(*)::DOUBLE * 10000) / 10000 AS avg_rarity
+        FROM toks JOIN cw USING (word) CROSS JOIN total
+        GROUP BY doc_id
     """,
     "token_stats": rf"""
         SELECT doc_id,
