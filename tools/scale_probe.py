@@ -27,7 +27,11 @@ PROBES = ("mr_wc", "simhash_docs", "minhash_signatures",
           "image_decode_stats", "stratified_sample", "source_quota_cap",
           "bigram_pmi", "pii_scrub", "url_domain_stats",
           "token_length_histogram", "embedding_quantize",
-          "multimodal_meta")
+          "multimodal_meta",
+          # round-4 linear operators (decontaminate/semantic/hnsw are
+          # excluded like the other pairwise ops: replication
+          # manufactures artificial duplicates)
+          "pack_sequences", "training_shuffle", "token_rarity")
 FACTORS = (1, 4, 16)
 
 
