@@ -589,87 +589,179 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_hnsw.py. Completes the similarity-search
     family: brute force (embedding_topk), IVF (ivf_search), LSH
     (embedding_neardup_lsh), graph (this)."""
-    import heapq
-
-    import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q_rows = (emb.where(F.col("vec_id") < N_QUERY_VECS)
-              .orderBy("vec_id").collect())
-    q_ids = [r.vec_id for r in q_rows]
-    q_mat = [[float(x) for x in r.embedding] for r in q_rows]
+    q_ids, q_mat = _hnsw_queries(emb)
 
     def shard_search(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf["vec_id"].to_numpy())
-        ids = pdf["vec_id"].to_numpy()[order]
-        V = np.array([np.asarray(v, dtype=np.float64)
-                      for v in pdf["embedding"].iloc[order]])
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        n = len(ids)
-        adj: list[list[int]] = [[] for _ in range(n)]
-
-        def beam(qv: np.ndarray, ef: int) -> list[tuple[float, int]]:
-            """Greedy best-first search over the current graph from
-            entry node 0; returns the ef best (sim, node) found,
-            best-first, ties broken by node id."""
-            s0 = float(Vn[0] @ qv)
-            visited = {0}
-            cand = [(-s0, 0)]                  # max-heap by sim
-            found = [(s0, -0)]                 # min-heap of kept results
-            best = [(s0, 0)]
-            while cand:
-                negs, u = heapq.heappop(cand)
-                if -negs < found[0][0] and len(found) >= ef:
-                    break                      # beam frontier exhausted
-                for v in adj[u]:
-                    if v in visited:
-                        continue
-                    visited.add(v)
-                    sv = float(Vn[v] @ qv)
-                    if len(found) < ef or sv > found[0][0]:
-                        heapq.heappush(cand, (-sv, v))
-                        heapq.heappush(found, (sv, -v))
-                        best.append((sv, v))
-                        if len(found) > ef:
-                            heapq.heappop(found)
-            best.sort(key=lambda t: (-t[0], t[1]))
-            return best[:ef]
-
-        for i in range(1, n):
-            near = beam(Vn[i], HNSW_EF)
-            adj[i] = [v for _, v in near[:HNSW_M]]
-            for j in adj[i]:
-                adj[j].append(i)
-                if len(adj[j]) > HNSW_DEGREE_CAP:
-                    sims = Vn[adj[j]] @ Vn[j]
-                    keep = sorted(range(len(adj[j])),
-                                  key=lambda t: (-sims[t], adj[j][t]))
-                    adj[j] = [adj[j][t]
-                              for t in keep[:HNSW_DEGREE_CAP]]
-
-        out_q, out_c, out_s = [], [], []
-        for qi, qvec in zip(q_ids, q_mat):
-            qv = np.asarray(qvec, dtype=np.float64)
-            qv = qv / np.linalg.norm(qv)
-            hits = [(s, v) for s, v in beam(qv, max(HNSW_EF, TOP_K + 1))
-                    if ids[v] != qi][:TOP_K]
-            for s, v in hits:
-                out_q.append(qi)
-                out_c.append(int(ids[v]))
-                out_s.append(np.floor(s * 10000) / 10000)
-        return pd.DataFrame({"query_id": out_q, "cand_id": out_c,
-                             "cos_sim": out_s})
+        ids, Vn = _shard_vectors(pdf)
+        adj = _nsw_build(Vn)
+        return _nsw_search_queries(ids, Vn, adj, q_ids, q_mat)
 
     shards = emb.withColumn(
         "shard", F.pmod(F.xxhash64("vec_id"), F.lit(HNSW_SHARDS)))
     scored = shards.groupBy("shard").applyInPandas(
         shard_search, "query_id BIGINT, cand_id BIGINT, cos_sim DOUBLE")
+    return _hnsw_merge(scored)
+
+
+def _hnsw_queries(emb: DataFrame):
+    """Collect the broadcast query block (same convention as
+    embedding_topk: vec_id < N_QUERY_VECS)."""
+    q_rows = (emb.where(F.col("vec_id") < N_QUERY_VECS)
+              .orderBy("vec_id").collect())
+    return ([r.vec_id for r in q_rows],
+            [[float(x) for x in r.embedding] for r in q_rows])
+
+
+def _shard_vectors(pdf):
+    """vec_id-sorted, row-normalized vector matrix for one shard —
+    sorting pins the insertion order, which pins the graph."""
+    import numpy as np
+    order = np.argsort(pdf["vec_id"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()[order]
+    V = np.array([np.asarray(v, dtype=np.float64)
+                  for v in pdf["embedding"].iloc[order]])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    return ids, Vn
+
+
+def _nsw_beam(adj, Vn, qv, ef):
+    """Greedy best-first search over the graph from entry node 0;
+    returns the ef best (sim, node) found, best-first, ties broken by
+    node id. Deterministic: heap keys are (sim, id) tuples."""
+    import heapq
+    s0 = float(Vn[0] @ qv)
+    visited = {0}
+    cand = [(-s0, 0)]                  # max-heap by sim
+    found = [(s0, 0)]                  # min-heap of kept results
+    best = [(s0, 0)]
+    while cand:
+        negs, u = heapq.heappop(cand)
+        if -negs < found[0][0] and len(found) >= ef:
+            break                      # beam frontier exhausted
+        for v in adj[u]:
+            if v in visited:
+                continue
+            visited.add(v)
+            sv = float(Vn[v] @ qv)
+            if len(found) < ef or sv > found[0][0]:
+                heapq.heappush(cand, (-sv, v))
+                heapq.heappush(found, (sv, -v))
+                best.append((sv, v))
+                if len(found) > ef:
+                    heapq.heappop(found)
+    best.sort(key=lambda t: (-t[0], t[1]))
+    return best[:ef]
+
+
+def _nsw_build(Vn):
+    """Deterministic navigable-small-world construction: nodes inserted
+    in index order, each linked to its HNSW_M nearest already-inserted
+    nodes found by beam search; reverse edges pruned to
+    HNSW_DEGREE_CAP by similarity (vec_id tiebreak)."""
+    n = len(Vn)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for i in range(1, n):
+        near = _nsw_beam(adj, Vn, Vn[i], HNSW_EF)
+        adj[i] = [v for _, v in near[:HNSW_M]]
+        for j in adj[i]:
+            adj[j].append(i)
+            if len(adj[j]) > HNSW_DEGREE_CAP:
+                sims = Vn[adj[j]] @ Vn[j]
+                keep = sorted(range(len(adj[j])),
+                              key=lambda t: (-sims[t], adj[j][t]))
+                adj[j] = [adj[j][t] for t in keep[:HNSW_DEGREE_CAP]]
+    return adj
+
+
+def _nsw_search_queries(ids, Vn, adj, q_ids, q_mat):
+    """Beam-search every broadcast query against one shard's graph;
+    returns shard-local top-k rows."""
+    import numpy as np
+    import pandas as pd
+    out_q, out_c, out_s = [], [], []
+    for qi, qvec in zip(q_ids, q_mat):
+        qv = np.asarray(qvec, dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        hits = [(s, v) for s, v in _nsw_beam(adj, Vn, qv,
+                                             max(HNSW_EF, TOP_K + 1))
+                if ids[v] != qi][:TOP_K]
+        for s, v in hits:
+            out_q.append(qi)
+            out_c.append(int(ids[v]))
+            out_s.append(np.floor(s * 10000) / 10000)
+    return pd.DataFrame({"query_id": out_q, "cand_id": out_c,
+                         "cos_sim": out_s})
+
+
+def _hnsw_merge(scored: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= TOP_K)
             .select("query_id", "cand_id", "cos_sim", "rank"))
+
+
+def hnsw_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING-PATH form of ``hnsw_search``: the per-shard graphs
+    are BUILT ONCE and materialized as a plain (shard, src, dst) edge
+    table, then the search phase COGROUPs the persisted adjacency with
+    the shard's vectors (``groupBy(shard).cogroup(...)
+    .applyInPandas``) — repeated query batches pay only the search,
+    never the build. This is how a production graph-ANN index is
+    deployed: adjacency is data, bucketed by shard next to its
+    vectors; the cogroup join is the Spark-native way to hand one
+    Python worker both sides of a shard without a driver round trip.
+
+    Construction is deterministic (vec_id insertion order, tie-broken
+    beams), so this returns BIT-IDENTICAL rows to ``hnsw_search`` —
+    pinned by tests/test_hnsw.py — and shares its rows-only gate class
+    (the search path depends on the graph)."""
+    import os
+
+    import pandas as pd
+
+    from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_ids, q_mat = _hnsw_queries(emb)
+    shards = emb.withColumn(
+        "shard", F.pmod(F.xxhash64("vec_id"), F.lit(HNSW_SHARDS)))
+
+    def build_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, Vn = _shard_vectors(pdf)
+        adj = _nsw_build(Vn)
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        rows = [(shard, int(ids[u]), int(ids[v]))
+                for u in range(len(adj)) for v in adj[u]]
+        return pd.DataFrame(rows, columns=["shard", "src", "dst"])
+
+    out = os.path.join(scratch_dir("hnsw_index"), "edges")
+    (shards.groupBy("shard")
+     .applyInPandas(build_edges, "shard BIGINT, src BIGINT, dst BIGINT")
+     .write.mode("overwrite").parquet(out))
+    edges = spark.read.parquet(out)
+
+    def search(vec_pdf: pd.DataFrame, edge_pdf: pd.DataFrame
+               ) -> pd.DataFrame:
+        if len(vec_pdf) == 0:
+            return pd.DataFrame({"query_id": [], "cand_id": [],
+                                 "cos_sim": []})
+        ids, Vn = _shard_vectors(vec_pdf)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        adj: list[list[int]] = [[] for _ in range(len(ids))]
+        for s, d in zip(edge_pdf["src"], edge_pdf["dst"]):
+            adj[pos[int(s)]].append(pos[int(d)])
+        return _nsw_search_queries(ids, Vn, adj, q_ids, q_mat)
+
+    scored = (
+        shards.groupBy("shard")
+        .cogroup(edges.groupBy("shard"))
+        .applyInPandas(search,
+                       "query_id BIGINT, cand_id BIGINT, cos_sim DOUBLE")
+    )
+    return _hnsw_merge(scored)
 
 
 QUERIES = {
@@ -681,6 +773,9 @@ QUERIES = {
     # graph-ANN beam search: rows-only (path depends on the graph);
     # recall + determinism pinned by tests/test_hnsw.py
     "hnsw_search": hnsw_search,
+    # serving-path twin: persisted adjacency + cogroup search; pinned
+    # bit-identical to hnsw_search by tests/test_hnsw.py
+    "hnsw_search_persisted": hnsw_search_persisted,
     # Arrow/numpy scoring: rows-only (float-sum order differs from SQL)
     "embedding_topk_pandas": embedding_topk_pandas,
     "embedding_neardup_exact": embedding_neardup_exact,

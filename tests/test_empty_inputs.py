@@ -56,6 +56,7 @@ REPRESENTATIVE = [
     "stream_topk_event_types",
     "shingle_containment_capped",
     "hnsw_search",
+    "hnsw_search_persisted",
     "semantic_dedup",
 ]
 

@@ -34,6 +34,20 @@ def test_hnsw_deterministic_across_runs(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_hnsw_persisted_equals_inline(spark, sf_dir):
+    """The serving-path form (adjacency built once, materialized to
+    parquet, searched via cogroup applyInPandas) must return
+    BIT-IDENTICAL rows to the inline build — same deterministic graph,
+    same beams."""
+    from mit_6_5840_mapreduce_spark.operators.similarity import (
+        hnsw_search_persisted,
+    )
+    inline = sorted(map(tuple, hnsw_search(spark, sf_dir).collect()))
+    persisted = sorted(map(tuple,
+                           hnsw_search_persisted(spark, sf_dir).collect()))
+    assert inline == persisted and len(inline) > 0
+
+
 def test_hnsw_row_contract(spark, sf_dir):
     """Exactly TOP_K ranked rows per query, rank dense from 1, scores
     non-increasing within a query."""

@@ -37,8 +37,9 @@ def duck(sf_dir):
 NO_ORACLE = {"events_user_sketch", "ivf_train", "embedding_topk_pandas",
              "order_value_percentiles_approx",
              # graph-ANN beam search: path depends on the graph; pinned
-             # by tests/test_hnsw.py (recall + determinism) instead
-             "hnsw_search"}
+             # by tests/test_hnsw.py (recall + determinism + persisted
+             # twin bit-equality) instead
+             "hnsw_search", "hnsw_search_persisted"}
 
 
 def test_every_query_has_an_oracle():

@@ -30,6 +30,8 @@ PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
                   "embedding_topk_pandas", "media_decode_stats",
                   "hnsw_search",       # per-shard graph build/search is
                                        # numpy inside one applyInPandas
+                  "hnsw_search_persisted",   # cogroup search over the
+                                             # persisted adjacency
                   "doc_chunks_udtf"}   # UDTF API demo; JVM doc_chunks
                                        # is the scale path
 # tiny-side cross joins (broadcast) are fine; a plain cartesian is not

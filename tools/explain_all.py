@@ -20,7 +20,8 @@ PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
                   "gif_decode_stats", "video_frame_stats",
                   "media_features", "payload_thumbnail",
                   "embedding_topk_pandas", "doc_chunks_udtf",
-                  "media_decode_stats", "hnsw_search"}
+                  "media_decode_stats", "hnsw_search",
+                  "hnsw_search_persisted"}
 CARTESIAN_OK = {"embedding_neardup_exact", "embedding_neardup"}
 # executes a stream / an iterative loop when called — plan of the final
 # materialized result only
