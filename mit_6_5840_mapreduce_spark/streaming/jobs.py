@@ -463,6 +463,79 @@ def run_topk_stream(spark: SparkSession, hourly: DataFrame,
             .select("hour", "event_type", "n_events", "rank"))
 
 
+_TOPK_OUT = ("hour TIMESTAMP, event_type STRING, n_events BIGINT, "
+             "rank INT")
+_TOPK_STATE = "types ARRAY<STRING>, counts ARRAY<LONG>"
+
+
+def _topk_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Per-hour ranked state: accumulate event-type counts across
+    micro-batches; when the event-time timeout fires (watermark passed
+    the window end), emit the final top-STREAM_TOPK and REMOVE the
+    state — manual watermark eviction, the custom-stateful mirror of
+    append-mode window finalization."""
+    import datetime
+    (hour,) = key
+    if state.hasTimedOut:
+        types, counts = state.get
+        state.remove()
+        pairs = sorted(zip(types, counts),
+                       key=lambda t: (-t[1], t[0]))[:STREAM_TOPK]
+        yield pd.DataFrame({
+            "hour": [hour] * len(pairs),
+            "event_type": [t for t, _ in pairs],
+            "n_events": [c for _, c in pairs],
+            "rank": list(range(1, len(pairs) + 1)),
+        })
+        return
+    acc = dict(zip(*state.get)) if state.exists else {}
+    for pdf in pdfs:
+        for t, c in pdf.groupby("event_type").size().items():
+            acc[t] = acc.get(t, 0) + int(c)
+    ks = sorted(acc)
+    state.update((ks, [acc[k] for k in ks]))
+    # fires once the event-time watermark passes the window end —
+    # empirically the same finalization instant as append-mode windows
+    # (end <= watermark), which is what the shared oracle encodes
+    end = hour + datetime.timedelta(hours=1)
+    state.setTimeoutTimestamp(int(end.timestamp() * 1000))
+    return
+    yield  # pragma: no cover — makes this a generator on every path
+
+
+def topk_stateful_from_events(ev: DataFrame) -> DataFrame:
+    """Transform shared by the gate query and the multi-micro-batch
+    state test."""
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour")
+        .applyInPandasWithState(
+            _topk_update,
+            outputStructType=_TOPK_OUT,
+            stateStructType=_TOPK_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def stream_topk_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-stateful twin of ``stream_topk_event_types``: ranked
+    per-hour state held in ``applyInPandasWithState`` and evicted by an
+    EVENT-TIME TIMEOUT — the operator emits each hour's final top-k
+    exactly once, when the watermark passes the window end, and frees
+    the state in the same invocation. Contrast with the foreachBatch
+    form, which leans on Spark's built-in append-mode finalization;
+    here the eviction rule is explicit user code — the pattern for
+    ranked/sketch state Spark has no built-in aggregate for. Both
+    forms share one oracle (the append-mode finalization rule + the
+    deterministic rank), so their equivalence is value-checked."""
+    return run_stream_to_memory(
+        spark, topk_stateful_from_events(read_events_stream(spark, sf_dir)),
+        _memq("topkstate"), output_mode="append")
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts,
     "stream_sliding_counts": stream_sliding_counts,
@@ -471,6 +544,7 @@ QUERIES = {
     "stream_enriched_events": stream_enriched_events,
     "stream_foreachbatch_roundtrip": stream_foreachbatch_roundtrip,
     "stream_topk_event_types": stream_topk_event_types,
+    "stream_topk_stateful": stream_topk_stateful,
 }
 
 # Registered AFTER the driver's 50-query window (operators/__init__.py):
@@ -558,6 +632,13 @@ ORACLES = {
         WHERE rank <= {STREAM_TOPK}
     """,
 }
+
+# the custom-stateful twin emits at the same finalization instant
+# (event-time timeout at window end == append-mode watermark rule) with
+# the same deterministic rank, so the two forms share one oracle — any
+# divergence between built-in finalization and the manual eviction
+# fails the gate
+ORACLES["stream_topk_stateful"] = ORACLES["stream_topk_event_types"]
 
 LATE_ORACLES = {
     # gap >= 30 min starts a new session (session_window's half-open

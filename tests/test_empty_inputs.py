@@ -54,6 +54,7 @@ REPRESENTATIVE = [
     "training_shuffle",
     "decontaminate_split",
     "stream_topk_event_types",
+    "stream_topk_stateful",
     "shingle_containment_capped",
     "hnsw_search",
     "hnsw_search_persisted",

@@ -140,6 +140,33 @@ def test_stream_topk_multibatch_matches_batch_rank(spark, split_src):
     assert got == want and len(got) > 0
 
 
+def test_stateful_topk_emits_once_and_evicts(spark, split_src):
+    """The EventTimeTimeout form must emit each hour exactly once
+    (final counts) as the watermark crosses window ends across SIX
+    micro-batches, and must REMOVE timed-out state (numRowsRemoved >
+    0; end-of-stream state holds only the un-finalized tail)."""
+    from mit_6_5840_mapreduce_spark.streaming.jobs import (
+        topk_stateful_from_events,
+    )
+    src_dir, _ = split_src
+    progresses = _run_batched(spark, src_dir, topk_stateful_from_events,
+                              "state_topk")
+    rows_total, rows_removed = _state_totals(progresses)
+    assert rows_removed > 0, f"timeout never evicted state: {rows_total}"
+    got = spark.table("state_topk").collect()
+    hours = [r.hour for r in got if r.rank == 1]
+    assert len(hours) == len(set(hours)), "an hour emitted twice"
+    # final counts: rank-1 count per emitted hour equals the batch count
+    ev = spark.read.parquet(src_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    batch = {(r.hour, r.event_type): r.n for r in
+             ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                        "event_type")
+             .agg(F.count("*").alias("n")).collect()}
+    for r in got:
+        assert batch[(r.hour, r.event_type)] == r.n_events, r
+
+
 def test_session_window_state_is_watermark_bounded(spark, split_src):
     src_dir, n_events = split_src
     progresses = _run_batched(spark, src_dir, sessionized_from_events,
