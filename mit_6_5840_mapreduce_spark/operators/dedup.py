@@ -499,12 +499,80 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str,
     )
 
 
+# Incremental dedup: the daily-increment pipeline shape. "Existing
+# corpus" = doc_id % 10 < INCR_EXISTING_MOD (deterministic, disjoint
+# from doc_split's md5 buckets so the two pipelines don't alias);
+# the rest is the "new batch" arriving against the persisted index.
+INCR_EXISTING_MOD = 8
+INCR_DUP_FRAC = 0.5
+
+
+def _incr_split(sh: DataFrame):
+    existing = sh.where(F.col("doc_id") % 10 < INCR_EXISTING_MOD)
+    new = sh.where(F.col("doc_id") % 10 >= INCR_EXISTING_MOD)
+    return existing, new
+
+
+def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD side of incremental dedup: the persisted shingle inverted
+    index over the existing corpus — one row per distinct shingle hash
+    with the first (min) doc_id that contains it. In production this
+    table is written bucketed by ``hs`` and every daily increment
+    probes it with a co-located join; here the gate returns the index
+    rows themselves so the artifact is value-checked, not just its
+    stats. Plan: one explode + one hash-agg, keyed by the 60-bit
+    shingle hash — uniform by construction."""
+    existing, _ = _incr_split(_doc_shingles(spark, sf_dir))
+    return existing.groupBy("hs").agg(F.min("doc_id").alias("first_doc"))
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROBE side of incremental dedup: the new batch's documents
+    scored against the PERSISTED index — the index is materialized to
+    parquet and read back (the 'index is data' pattern
+    ``hnsw_search_persisted`` uses for ANN), so this gate certifies
+    the full write→read→probe path, not an in-plan shortcut. Per new
+    doc: distinct-shingle count, hits against the index, duplicated
+    fraction, and the is_dup decision at INCR_DUP_FRAC. New docs too
+    short to shingle carry no evidence and are kept.
+
+    Scale: the new batch is a day's increment — orders of magnitude
+    smaller than the index; the probe is one equi-join keyed by the
+    shingle hash against the bucketed index (co-located, no index
+    shuffle) + one count-agg."""
+    import os
+
+    from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
+    out = os.path.join(scratch_dir("dedup_index"), "index")
+    dedup_index_build(spark, sf_dir).write.mode("overwrite").parquet(out)
+    index = spark.read.parquet(out).select("hs")
+    _, new_sh = _incr_split(_doc_shingles(spark, sf_dir))
+    totals = new_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (new_sh.join(index, "hs")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+    new_docs = (load_table(spark, sf_dir, "documents").select("doc_id")
+                .where(F.col("doc_id") % 10 >= INCR_EXISTING_MOD))
+    frac = floor4(F.coalesce("n_hits", F.lit(0))
+                  / F.coalesce("n_shingles", F.lit(1)))
+    return (
+        new_docs.join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                frac.alias("dup_frac"),
+                (frac >= INCR_DUP_FRAC).cast("int").alias("is_dup"))
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_groups": dedup_groups,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_index_build": dedup_index_build,
+    "dedup_incremental": dedup_incremental,
     "shingle_containment": shingle_containment,
     "shingle_containment_capped": shingle_containment_capped,
     "minhash_signatures": minhash_signatures,
@@ -638,6 +706,45 @@ ORACLES = {
         FROM grp
     """,
     "dedup_keep_best": "__built_below__",
+    # the oracle reproduces the 60-bit md5-prefix hash so the INDEX
+    # ARTIFACT itself is value-checked, not just derived stats
+    "dedup_index_build": f"""
+        WITH sh AS ({_DUCK_SHINGLES})
+        SELECT CAST(concat('0x', substring(md5(shingle), 1, 15))
+                    AS BIGINT) AS hs,
+               min(doc_id) AS first_doc
+        FROM sh
+        WHERE doc_id % 10 < {INCR_EXISTING_MOD}
+        GROUP BY 1
+    """,
+    # hits joined on shingle TEXT — identical to the hash join absent
+    # collisions (the same equivalence every shingle oracle relies on)
+    "dedup_incremental": f"""
+        WITH sh AS ({_DUCK_SHINGLES}),
+        idx AS (SELECT DISTINCT shingle FROM sh
+                WHERE doc_id % 10 < {INCR_EXISTING_MOD}),
+        new_sh AS (SELECT doc_id, shingle FROM sh
+                   WHERE doc_id % 10 >= {INCR_EXISTING_MOD}),
+        totals AS (SELECT doc_id, count(*) AS n_shingles
+                   FROM new_sh GROUP BY doc_id),
+        hits AS (SELECT doc_id, count(*) AS n_hits
+                 FROM new_sh JOIN idx USING (shingle) GROUP BY doc_id),
+        scored AS (
+            SELECT d.doc_id,
+                   coalesce(n_shingles, 0) AS n_shingles,
+                   coalesce(n_hits, 0) AS n_hits,
+                   floor(coalesce(n_hits, 0)
+                         / coalesce(n_shingles, 1)::DOUBLE * 10000)
+                       / 10000 AS dup_frac
+            FROM documents d
+            LEFT JOIN totals USING (doc_id)
+            LEFT JOIN hits USING (doc_id)
+            WHERE d.doc_id % 10 >= {INCR_EXISTING_MOD}
+        )
+        SELECT doc_id, n_shingles, n_hits, dup_frac,
+               CAST(dup_frac >= {INCR_DUP_FRAC} AS INT) AS is_dup
+        FROM scored
+    """,
     "shingle_containment": f"""
         WITH sh AS ({_DUCK_SHINGLES}),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -59,6 +59,8 @@ REPRESENTATIVE = [
     "hnsw_search",
     "hnsw_search_persisted",
     "semantic_dedup",
+    "dedup_index_build",
+    "dedup_incremental",
 ]
 
 
