@@ -1,0 +1,90 @@
+"""Corpus-independent invariants for the training-data layout
+operators (pack_sequences / training_shuffle) on adversarial inputs
+the real corpus doesn't contain: empty texts, a single dominating
+source, duplicate token content. The oracle gate pins values on the
+driver corpus; these pin the CONTRACT on hostile shapes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mit_6_5840_mapreduce_spark.operators.textstats import (
+    PACK_BUDGET,
+    SHUFFLE_SHARDS,
+    pack_sequences,
+    training_shuffle,
+)
+
+ROWS = [
+    # (doc_id, text, source) — empty docs, one hot source, dup content
+    (1, "alpha beta gamma", "hot"),
+    (2, "", "hot"),
+    (3, "alpha beta gamma", "hot"),
+    (4, " ".join(["tok"] * 300), "hot"),     # spans a budget boundary
+    (5, "delta", "cold"),
+    (6, "", "cold"),
+    (7, " ".join(["word"] * (PACK_BUDGET * 2 + 7)), "hot"),
+    (8, "omega psi", "mid"),
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("hostile_docs"))
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in ROWS],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet"))
+    return out
+
+
+def test_pack_sequences_offsets_are_prefix_sums(spark, hostile_dir):
+    rows = {r.doc_id: r for r in pack_sequences(spark, hostile_dir).collect()}
+    assert set(rows) == {i for i, _, _ in ROWS}
+    by_source: dict[str, list] = {}
+    for r in sorted(rows.values(), key=lambda r: r.doc_id):
+        by_source.setdefault(r.source, []).append(r)
+    for rs in by_source.values():
+        offset = 0
+        for r in rs:
+            assert r.start_offset == offset, r
+            assert r.seq_id == offset // PACK_BUDGET, r
+            offset += r.n_tokens
+    # the boundary-spanning doc is assigned the sequence of its FIRST
+    # token, even though it crosses into the next one
+    hot = by_source["hot"]
+    spanning = [r for r in hot if r.n_tokens > PACK_BUDGET]
+    assert spanning, "fixture lost its boundary-spanning doc"
+
+
+def test_pack_sequences_empty_docs_consume_no_budget(spark, hostile_dir):
+    rows = {r.doc_id: r for r in pack_sequences(spark, hostile_dir).collect()}
+    assert rows[2].n_tokens == 0
+    # doc 3 starts exactly where doc 1 ended: the empty doc 2 between
+    # them moved nothing
+    assert rows[3].start_offset == rows[1].start_offset + rows[1].n_tokens
+
+
+def test_training_shuffle_is_a_sharded_permutation(spark, hostile_dir):
+    rows = training_shuffle(spark, hostile_dir).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(i for i, _, _ in ROWS)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.shard < SHUFFLE_SHARDS
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        assert sorted(r.pos for r in rs) == list(range(1, len(rs) + 1))
+
+
+def test_training_shuffle_deterministic_and_id_independent(spark,
+                                                          hostile_dir):
+    """Two runs agree exactly, and the order is a function of doc_id
+    alone — not of input row order or partitioning."""
+    a = sorted(map(tuple, training_shuffle(spark, hostile_dir).collect()))
+    b = sorted(map(tuple, training_shuffle(spark, hostile_dir).collect()))
+    assert a == b and len(a) == len(ROWS)
