@@ -494,11 +494,15 @@ def _topk_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
             acc[t] = acc.get(t, 0) + int(c)
     ks = sorted(acc)
     state.update((ks, [acc[k] for k in ks]))
-    # fires once the event-time watermark passes the window end —
-    # empirically the same finalization instant as append-mode windows
-    # (end <= watermark), which is what the shared oracle encodes
+    # Fire when the watermark REACHES the window end. The timeout rule
+    # is strictly-greater (wm > ts), while append-mode finalization is
+    # inclusive (end <= wm) — a watermark landing EXACTLY on the end
+    # would emit in append mode but not here. Setting the timestamp
+    # 1 ms before the end makes the two rules coincide at the
+    # watermark's ms resolution (wm > end-1ms  <=>  wm >= end);
+    # verified by the equality-edge test in tests/test_stream_state.py.
     end = hour + datetime.timedelta(hours=1)
-    state.setTimeoutTimestamp(int(end.timestamp() * 1000))
+    state.setTimeoutTimestamp(int(end.timestamp() * 1000) - 1)
     return
     yield  # pragma: no cover — makes this a generator on every path
 

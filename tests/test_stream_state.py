@@ -167,6 +167,47 @@ def test_stateful_topk_emits_once_and_evicts(spark, split_src):
         assert batch[(r.hour, r.event_type)] == r.n_events, r
 
 
+def test_stateful_topk_matches_append_on_watermark_equality(
+        spark, tmp_path):
+    """A watermark landing EXACTLY on a window end must finalize that
+    window in BOTH forms: append mode is inclusive (end <= wm) while
+    EventTimeTimeout is strictly-greater — the stateful operator sets
+    its timeout 1 ms early to make the rules coincide. Without that,
+    this corpus (max ts exactly 1h + 1h past the window start) emits
+    in append mode and NOT in the stateful twin."""
+    import datetime
+
+    from mit_6_5840_mapreduce_spark.streaming.jobs import (
+        run_stream_to_memory,
+        topk_stateful_from_events,
+        windowed_counts_from_events,
+    )
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(1, base + datetime.timedelta(minutes=5), "a", 1.0),
+            (2, base + datetime.timedelta(minutes=10), "b", 1.0),
+            # wm = max ts - 1h = 11:00 = end of [10:00, 11:00) exactly
+            (3, datetime.datetime(2024, 1, 1, 12, 0, 0), "c", 1.0)]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, event_type STRING, "
+              "value DOUBLE")
+    src = str(tmp_path / "edge_events")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return (spark.readStream.schema(schema).parquet(src)
+                .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    got_append = {(r.hour, r.event_type) for r in run_stream_to_memory(
+        spark, windowed_counts_from_events(stream()), "wm_eq_append",
+        output_mode="append").collect()}
+    got_state = {(r.hour, r.event_type) for r in run_stream_to_memory(
+        spark, topk_stateful_from_events(stream()), "wm_eq_state",
+        output_mode="append").collect()}
+    assert got_append == got_state
+    assert (datetime.datetime(2024, 1, 1, 10, 0), "a") in got_state
+
+
 def test_session_window_state_is_watermark_bounded(spark, split_src):
     src_dir, n_events = split_src
     progresses = _run_batched(spark, src_dir, sessionized_from_events,
