@@ -116,14 +116,38 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_stats(back)
 
 
+def _xml_read_options(r):
+    # the StaxXML reader TRIMS surrounding whitespace by default —
+    # leading/trailing spaces and newlines in text would not survive;
+    # NULL (absent element) vs empty string ("" element) round-trips
+    # natively, which CSV needed a sentinel for
+    return r.option("rowTag", "doc") \
+        .option("ignoreSurroundingSpaces", "false")
+
+
+def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> XML (Spark 4 native StaxXML source) -> read back ->
+    per-language profile. Entity escaping (&lt; &amp; quotes) and
+    whitespace preservation are exercised by the hostile-text test;
+    the checksum-sum oracle catches any escaping loss on the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(scratch_dir("fmt_xml"), "docs")
+    (docs.write.mode("overwrite")
+     .option("rootTag", "docs").option("rowTag", "doc").xml(out))
+    back = _xml_read_options(spark.read.schema(docs.schema)).xml(out)
+    return _roundtrip_stats(back)
+
+
 QUERIES = {
     "jsonl_roundtrip_stats": jsonl_roundtrip_stats,
     "csv_roundtrip_stats": csv_roundtrip_stats,
     "orc_roundtrip_stats": orc_roundtrip_stats,
+    "xml_roundtrip_stats": xml_roundtrip_stats,
 }
 
 ORACLES = {
     "jsonl_roundtrip_stats": _STATS_ORACLE_BODY,
     "csv_roundtrip_stats": _STATS_ORACLE_BODY,
     "orc_roundtrip_stats": _STATS_ORACLE_BODY,
+    "xml_roundtrip_stats": _STATS_ORACLE_BODY,
 }

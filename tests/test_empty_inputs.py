@@ -61,6 +61,7 @@ REPRESENTATIVE = [
     "semantic_dedup",
     "dedup_index_build",
     "dedup_incremental",
+    "xml_roundtrip_stats",
 ]
 
 

@@ -86,6 +86,31 @@ def test_csv_roundtrip_hostile_text(spark, tmp_path):
             == sorted(src.collect(), key=lambda r: r.id))
 
 
+def test_xml_roundtrip_hostile_text(spark, tmp_path):
+    """The XML round trip must survive markup characters, embedded and
+    trailing newlines, edge whitespace, empty strings, and NULLs —
+    entity escaping plus ignoreSurroundingSpaces=false on read."""
+    from mit_6_5840_mapreduce_spark.operators.formats import (
+        _xml_read_options,
+    )
+    rows = [
+        (1, "line one\nline two"),
+        (2, ""),
+        (3, None),
+        (4, 'quote " and <tag> & amp; ]]>'),
+        (5, " lead and trail "),
+        (6, "trailing newline\n"),
+        (7, "\\N"),
+    ]
+    src = spark.createDataFrame(rows, "id BIGINT, text STRING")
+    path = str(tmp_path / "hostile_xml")
+    (src.write.mode("overwrite")
+     .option("rootTag", "docs").option("rowTag", "doc").xml(path))
+    back = _xml_read_options(spark.read.schema(src.schema)).xml(path)
+    assert (sorted(back.collect(), key=lambda r: r.id)
+            == sorted(src.collect(), key=lambda r: r.id))
+
+
 def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
     """mergeSchema unions evolving parquet schemas: files written before
     a column existed read back with NULLs in that column."""
