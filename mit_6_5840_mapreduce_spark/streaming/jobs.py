@@ -19,6 +19,17 @@ key cardinality, pruned by watermark; ``availableNow`` triggers give
 batch-backfill semantics with the same code. File-source streams shard by
 file listing; on a cluster the same jobs read Kafka by swapping the
 source, nothing else changes.
+
+Environment note: Spark 4's next-gen stateful API
+(``transformWithStateInPandas`` / ``StatefulProcessor``) is present in
+this PySpark build but UNUSABLE in this container — its state-server
+protocol requires ``google.protobuf``, which is not installed (verified:
+the TWS driver worker crashes with ``ImportError: cannot import name
+'descriptor' from 'google.protobuf'``; no pip installs permitted). The
+custom-stateful surface is therefore covered by
+``applyInPandasWithState`` (running totals, and the event-time-timeout
+ranked state in ``stream_topk_stateful``); porting those processors to
+the TWS API is mechanical once protobuf exists.
 """
 
 from __future__ import annotations
