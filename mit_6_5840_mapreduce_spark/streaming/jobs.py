@@ -512,7 +512,12 @@ def _topk_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     # 1 ms before the end makes the two rules coincide at the
     # watermark's ms resolution (wm > end-1ms  <=>  wm >= end);
     # verified by the equality-edge test in tests/test_stream_state.py.
-    end = hour + datetime.timedelta(hours=1)
+    # The key arrives as a tz-NAIVE datetime in the UTC session TZ —
+    # pin UTC explicitly before epoch conversion: bare .timestamp()
+    # would read it in the PYTHON WORKER's local zone, silently
+    # shifting every timeout on a non-UTC cluster.
+    end = (hour + datetime.timedelta(hours=1)).replace(
+        tzinfo=datetime.timezone.utc)
     state.setTimeoutTimestamp(int(end.timestamp() * 1000) - 1)
     return
     yield  # pragma: no cover — makes this a generator on every path
