@@ -894,6 +894,43 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BUCKETED_DB = "graft_bucketed"
+N_FACT_BUCKETS = 8
+
+
+def bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the BUCKETED fact-fact join end to end: orders and
+    lineitem are materialized as bucketed tables on the join key
+    (``bucketBy`` + ``saveAsTable`` into a scratch-scoped database),
+    then joined and aggregated per order priority in exact integer
+    cents. Bucket layout satisfies the join's required distribution, so
+    Catalyst plans ZERO exchanges for the join — at 100 TB this is the
+    difference between shuffling both fact tables and reading matching
+    buckets in place (the exchange-free plan is pinned by
+    tests/test_bucketing.py; this gate certifies the write→catalog→
+    co-located-read path produces correct VALUES)."""
+    from mit_6_5840_mapreduce_spark.sources.bucketing import write_bucketed
+    from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
+    loc = scratch_dir("bucketed_wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {BUCKETED_DB} "
+              f"LOCATION '{loc}'")
+    write_bucketed(_t(spark, sf_dir, "orders"),
+                   f"{BUCKETED_DB}.orders_b", "o_orderkey",
+                   N_FACT_BUCKETS)
+    write_bucketed(_t(spark, sf_dir, "lineitem"),
+                   f"{BUCKETED_DB}.lineitem_b", "l_orderkey",
+                   N_FACT_BUCKETS)
+    o = spark.table(f"{BUCKETED_DB}.orders_b")
+    li = spark.table(f"{BUCKETED_DB}.lineitem_b")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"),
+             F.sum(cents).alias("revenue_cents"))
+    )
+
+
 QUERIES = {
     "sql_revenue_by_segment": sql_revenue_by_segment,
     "sql_priority_status_sets": sql_priority_status_sets,
@@ -934,9 +971,18 @@ QUERIES = {
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
     "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
     "customer_rfm": customer_rfm,
+    "bucketed_join_stats": bucketed_join_stats,
 }
 
 ORACLES = {
+    "bucketed_join_stats": """
+        SELECT o_orderpriority,
+               count(*) AS n_items,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
     # quantile_cont on integer inputs = Spark's exact interpolated
     # percentile; identical doubles -> identical bucket boundaries
     "customer_rfm": """

@@ -62,6 +62,7 @@ REPRESENTATIVE = [
     "dedup_index_build",
     "dedup_incremental",
     "xml_roundtrip_stats",
+    "bucketed_join_stats",
 ]
 
 
