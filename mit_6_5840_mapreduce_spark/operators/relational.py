@@ -668,6 +668,27 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                      for t in types])
 
 
+def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of ``user_event_pivot``: the wide
+    per-user count matrix back to long (user_id, event_type, n_events)
+    form, zero-count cells dropped. Certifies the pivot↔unpivot round
+    trip against the plain long-form aggregate: any pivot fill error or
+    unpivot column mix-up breaks value parity. unpivot is a narrow
+    projection (no shuffle beyond the pivot's own aggregate)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = user_event_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "user_id",
+            [f"n_{t}" for t in types],
+            "event_type_col", "n_events")
+        .where(F.col("n_events") > 0)
+        .select("user_id",
+                F.substring("event_type_col", 3, 100).alias("event_type"),
+                "n_events")
+    )
+
+
 def orders_dow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-function coverage: ISO day-of-week distribution of orders
     (Spark weekday()+1 == DuckDB isodow: 1=Mon..7=Sun)."""
@@ -972,9 +993,18 @@ QUERIES = {
     "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
     "customer_rfm": customer_rfm,
     "bucketed_join_stats": bucketed_join_stats,
+    "user_event_unpivot": user_event_unpivot,
 }
 
 ORACLES = {
+    # pivot -> unpivot must reconstruct exactly the long-form aggregate
+    "user_event_unpivot": """
+        SELECT user_id, event_type, count(*) AS n_events
+        FROM events
+        WHERE event_type IN ('click', 'error', 'purchase', 'signup',
+                             'view')
+        GROUP BY user_id, event_type
+    """,
     "bucketed_join_stats": """
         SELECT o_orderpriority,
                count(*) AS n_items,

@@ -63,6 +63,7 @@ REPRESENTATIVE = [
     "dedup_incremental",
     "xml_roundtrip_stats",
     "bucketed_join_stats",
+    "user_event_unpivot",
 ]
 
 
