@@ -83,6 +83,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
         dedup,
         events,
         formats,
+        mixture,
         mrqueries,
         multimodal,
         relational,
@@ -98,7 +99,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
                                       ORACLES=multimodal.LATE_ORACLES)
     modules = (mrqueries, dedup, similarity, textstats, scrub, formats,
                multimodal, streaming_jobs, events, corpus, streaming_late,
-               multimodal_late, relational)
+               multimodal_late, relational, mixture)
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for m in modules:

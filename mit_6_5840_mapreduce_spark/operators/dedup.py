@@ -565,8 +565,70 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_TOKENS = 10                # exact-substring window width (tokens)
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup statistics — the sliding-window form
+    of suffix-array substring dedup (find every SPAN_TOKENS-token
+    window whose exact text occurs >= 2 times anywhere in the corpus,
+    intra- or cross-document). Per document with at least one window:
+    window count, duplicated-window count, duplicated fraction, and the
+    longest duplicated run in tokens (consecutive duplicated window
+    starts collapsed gaps-and-islands style: a run of R consecutive
+    duplicated starts is one duplicated substring of R + SPAN_TOKENS - 1
+    tokens). This is the span-level signal the shingle families can't
+    give: WHERE the copied text sits and how long it runs.
+
+    Scale design (100 TB): windows are hashed to 60-bit ints before any
+    shuffle (fixed-width keys, uniform); the occurrence count is one
+    map-side-combined hash-agg; the flag join is keyed by the same
+    uniform hash; the run detection windows over duplicated positions
+    only (a small fraction of the corpus). A true suffix array would
+    find arbitrary-length duplicates but needs global order — the
+    fixed-window form is the standard distributed approximation and
+    catches every duplicate of length >= SPAN_TOKENS."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    wins = (
+        toks.where(F.size("toks") >= SPAN_TOKENS)
+        .select("doc_id", F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (SPAN_TOKENS - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice(F.col("toks"), i, SPAN_TOKENS))
+                .alias("w")))).alias("s"))
+        .select("doc_id", F.col("s.pos").cast("bigint").alias("pos"),
+                F.conv(F.substring(F.md5("s.w"), 1, 15), 16, 10)
+                .cast("bigint").alias("hw"))
+    ).persist()
+    dup = (wins.groupBy("hw").agg(F.count("*").alias("n_occ"))
+           .where(F.col("n_occ") >= 2).select("hw"))
+    flagged = wins.join(dup, "hw").select("doc_id", "pos")
+    totals = wins.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    dup_counts = (flagged.groupBy("doc_id")
+                  .agg(F.count("*").alias("n_dup_windows")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        flagged.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp").agg(F.count("*").alias("run"))
+        .groupBy("doc_id").agg(F.max("run").alias("max_run"))
+    )
+    n_dup = F.coalesce("n_dup_windows", F.lit(0)).cast("bigint")
+    return (
+        totals.join(dup_counts, "doc_id", "left")
+        .join(runs, "doc_id", "left")
+        .select("doc_id", "n_windows", n_dup.alias("n_dup_windows"),
+                floor4(n_dup / F.col("n_windows")).alias("dup_frac"),
+                F.coalesce(F.col("max_run") + (SPAN_TOKENS - 1),
+                           F.lit(0)).cast("bigint")
+                .alias("longest_dup_tokens"))
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "duplicate_spans": duplicate_spans,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_groups": dedup_groups,
@@ -627,6 +689,55 @@ ORACLES = {
                min(doc_id) AS keep_doc_id,
                count(*) AS n_copies
         FROM documents GROUP BY md5(text)
+    """,
+    "duplicate_spans": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ),
+        wins AS (
+            SELECT doc_id, pos,
+                   CAST(concat('0x', substring(md5(array_to_string(
+                        list_slice(toks, pos, pos + {SPAN_TOKENS} - 1),
+                        ' ')), 1, 15)) AS BIGINT) AS hw
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - {SPAN_TOKENS} + 2))
+                           AS pos
+                FROM toks WHERE len(toks) >= {SPAN_TOKENS}
+            )
+        ),
+        dup AS (SELECT hw FROM wins GROUP BY hw HAVING count(*) >= 2),
+        flagged AS (SELECT doc_id, pos FROM wins JOIN dup USING (hw)),
+        totals AS (SELECT doc_id, count(*) AS n_windows
+                   FROM wins GROUP BY doc_id),
+        dup_counts AS (SELECT doc_id, count(*) AS n_dup_windows
+                       FROM flagged GROUP BY doc_id),
+        runs AS (
+            SELECT doc_id, max(run) AS max_run
+            FROM (
+                SELECT doc_id, count(*) AS run
+                FROM (
+                    SELECT doc_id,
+                           pos - row_number() OVER (PARTITION BY doc_id
+                                                    ORDER BY pos) AS grp
+                    FROM flagged
+                )
+                GROUP BY doc_id, grp
+            )
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id, n_windows,
+               CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+               floor(coalesce(n_dup_windows, 0) / n_windows::DOUBLE
+                     * 10000) / 10000 AS dup_frac,
+               CAST(coalesce(max_run + {SPAN_TOKENS} - 1, 0) AS BIGINT)
+                   AS longest_dup_tokens
+        FROM totals t
+        LEFT JOIN dup_counts USING (doc_id)
+        LEFT JOIN runs USING (doc_id)
     """,
     "dedup_ngram_jaccard": f"""
         WITH sh AS ({_DUCK_SHINGLES}),

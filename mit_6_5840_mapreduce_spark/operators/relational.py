@@ -19,7 +19,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
@@ -952,6 +952,100 @@ def bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_BITS = 4096               # filter width (shared with the oracle)
+BLOOM_HASHES = 3                # md5-derived positions per key
+
+
+def _bloom_pos(key: Column, i: int) -> Column:
+    """Position i for ``key``: first 8 hex of md5('bloom{i}:' || key)
+    mod BLOOM_BITS — the same deterministic scheme in both engines."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"bloom{i}:"), key.cast("string"))),
+        1, 8), 16, 10).cast("bigint") % BLOOM_BITS)
+
+
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, value-certified end to end:
+    build a Bloom filter over a selective build side (customers with
+    negative account balance), probe every order against it, and report
+    the full accounting — build keys, set bits, probe rows, Bloom
+    passes, true matches, and false positives. The filter is a REAL
+    Bloom filter (BLOOM_HASHES md5-derived positions in a BLOOM_BITS
+    space, membership = all positions set) built deterministically so
+    DuckDB reproduces the identical bit set, passes, AND false
+    positives — certifying the pruning structure itself, not just the
+    final join.
+
+    Scale design (100 TB): this is the runtime-filter pattern for
+    shuffle-join pruning — the build side collapses to <= BLOOM_BITS
+    distinct set-bit positions (a broadcast-sized set no matter how
+    many keys), the probe side is one broadcast hash join + count
+    aggregate, and rows failing the filter never reach the expensive
+    join. Production sizing is ~10 bits/key (here the width is fixed so
+    the oracle is a constant expression); Spark's own
+    spark.sql.optimizer.runtime.bloomFilter does the same injection
+    automatically for equi-joins — this operator certifies the
+    semantics explicitly."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    build = (cust.where(F.col("c_acctbal") < 0)
+             .select("c_custkey").distinct())
+    bits = (build.select(F.explode(F.array(
+        *[_bloom_pos(F.col("c_custkey"), i)
+          for i in range(BLOOM_HASHES)])).alias("bit"))
+        .distinct())
+    probe = orders.select(
+        "o_orderkey",
+        F.explode(F.array(*[_bloom_pos(F.col("o_custkey"), i)
+                            for i in range(BLOOM_HASHES)])).alias("bit"))
+    passed = (probe.join(broadcast(bits), "bit")
+              .groupBy("o_orderkey").agg(F.count("*").alias("n_hit"))
+              .where(F.col("n_hit") == BLOOM_HASHES))
+    truth = orders.join(broadcast(build),
+                        orders.o_custkey == build.c_custkey, "left_semi")
+    return (
+        build.agg(F.count("*").alias("n_build_keys"))
+        .crossJoin(bits.agg(F.count("*").alias("n_bits_set")))
+        .crossJoin(orders.agg(F.count("*").alias("n_probe")))
+        .crossJoin(passed.agg(F.count("*").alias("n_pass")))
+        .crossJoin(truth.agg(F.count("*").alias("n_true")))
+        .select("n_build_keys", "n_bits_set", "n_probe", "n_pass",
+                "n_true",
+                (F.col("n_pass") - F.col("n_true")).alias("n_false_pos"))
+    )
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted to the driver corpus (no partsupp table, so
+    ps_supplycost is proxied by the part's retail price — reference
+    Q9's profit shape over the available star): for parts whose name
+    contains 'widget', profit = extendedprice * (1 - discount) -
+    retailprice * quantity, aggregated per supplier nation and order
+    year. Snowflake join lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders;
+    nation broadcast (constant-size), part filtered before the join so
+    the pushed predicate prunes the scan. Per-item floor-to-cents before
+    the sum (the q7/q10 pattern) keeps the aggregate integer-exact in
+    any summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").contains("widget"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg((F.sum(F.floor(amount * 100)) / F.lit(100.0))
+             .alias("sum_profit"))
+    )
+
+
 QUERIES = {
     "sql_revenue_by_segment": sql_revenue_by_segment,
     "sql_priority_status_sets": sql_priority_status_sets,
@@ -994,9 +1088,56 @@ QUERIES = {
     "customer_rfm": customer_rfm,
     "bucketed_join_stats": bucketed_join_stats,
     "user_event_unpivot": user_event_unpivot,
+    "bloom_prune_join": bloom_prune_join,
+    "q9_product_type_profit": q9_product_type_profit,
 }
 
+_BLOOM_POS = ("CAST(concat('0x', substring(md5('bloom' || i || ':' || "
+              "CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) "
+              f"% {BLOOM_BITS}")
+
 ORACLES = {
+    "bloom_prune_join": f"""
+        WITH hashes AS (SELECT unnest(range(0, {BLOOM_HASHES})) AS i),
+        build AS (SELECT DISTINCT c_custkey FROM customer
+                  WHERE c_acctbal < 0),
+        bits AS (
+            SELECT DISTINCT {_BLOOM_POS.format(key='c_custkey')} AS bit
+            FROM build CROSS JOIN hashes
+        ),
+        probe AS (
+            SELECT o_orderkey,
+                   {_BLOOM_POS.format(key='o_custkey')} AS bit
+            FROM orders CROSS JOIN hashes
+        ),
+        pass AS (
+            SELECT o_orderkey FROM probe JOIN bits USING (bit)
+            GROUP BY o_orderkey HAVING count(*) = {BLOOM_HASHES}
+        ),
+        truth AS (SELECT o_orderkey FROM orders
+                  WHERE o_custkey IN (SELECT c_custkey FROM build))
+        SELECT (SELECT count(*) FROM build) AS n_build_keys,
+               (SELECT count(*) FROM bits) AS n_bits_set,
+               (SELECT count(*) FROM orders) AS n_probe,
+               (SELECT count(*) FROM pass) AS n_pass,
+               (SELECT count(*) FROM truth) AS n_true,
+               (SELECT count(*) FROM pass) - (SELECT count(*) FROM truth)
+                   AS n_false_pos
+    """,
+    "q9_product_type_profit": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               sum(floor((l_extendedprice * (1 - l_discount)
+                          - p_retailprice * l_quantity) * 100)) / 100.0
+                   AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, year(o_orderdate)
+    """,
     # pivot -> unpivot must reconstruct exactly the long-form aggregate
     "user_event_unpivot": """
         SELECT user_id, event_type, count(*) AS n_events

@@ -64,6 +64,12 @@ REPRESENTATIVE = [
     "xml_roundtrip_stats",
     "bucketed_join_stats",
     "user_event_unpivot",
+    # round-4 extension surface (mixture / span dedup / adapted Q9)
+    "duplicate_spans",
+    "q9_product_type_profit",
+    "source_mix_weights",
+    "temperature_resample",
+    "quality_ensemble",
 ]
 
 
@@ -102,6 +108,15 @@ def test_global_aggregate_on_empty_tables_returns_zeros(spark,
     row = entrymod.queries()["funnel_view_click_purchase"](
         spark, empty_sf_dir).collect()[0]
     assert (row.n_view, row.n_click, row.n_purchase) == (0, 0, 0)
+
+
+def test_bloom_prune_on_empty_tables_reports_zeros(spark, empty_sf_dir):
+    """The Bloom accounting keeps its single summary row on empty
+    input — every count zero (an empty filter passes nothing)."""
+    row = entrymod.queries()["bloom_prune_join"](
+        spark, empty_sf_dir).collect()[0]
+    assert (row.n_build_keys, row.n_bits_set, row.n_probe, row.n_pass,
+            row.n_true, row.n_false_pos) == (0, 0, 0, 0, 0, 0)
 
 
 def test_curation_funnel_on_empty_tables_reports_zero_stages(spark,

@@ -186,3 +186,24 @@ def test_bigram_pmi_tokenizes_corpus_once(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(corpus, "tokenize", counting)
     corpus.bigram_pmi(spark, sf_dir)
     assert calls["n"] == 1, f"tokenize built {calls['n']} subtrees"
+
+
+def test_bloom_bits_ride_broadcast(spark, sf_dir):
+    """The Bloom bit set must reach the probe side as a broadcast —
+    the whole point of the runtime-filter pattern is that the probe
+    never shuffles."""
+    assert has_broadcast_join(q(spark, sf_dir, "bloom_prune_join"))
+
+
+def test_q9_pushes_part_filter_and_broadcasts_nation(spark, sf_dir):
+    """The p_name predicate must prune the part scan, and the
+    constant-size nation dim must be broadcast."""
+    df = q(spark, sf_dir, "q9_product_type_profit")
+    assert any("p_name" in f for f in pushed_filters(df))
+    assert has_broadcast_join(df)
+
+
+def test_mix_rates_ride_broadcast(spark, sf_dir):
+    """temperature_resample's per-source rate table joins the corpus as
+    a broadcast dim — the corpus itself never shuffles for the join."""
+    assert has_broadcast_join(q(spark, sf_dir, "temperature_resample"))
