@@ -764,6 +764,118 @@ def hnsw_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hnsw_merge(scored)
 
 
+# ---- Product quantization (the 5th ANN family: PQ/ADC) -----------------
+PQ_M = 8                    # subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M  # dims per subspace
+PQ_K = 16                   # codes per subspace codebook
+PQ_FP_SCALE = 1 << 20       # fixed-point resolution for L2^2 distances
+
+
+def _sub_l2_fp(a: Column, b: Column) -> Column:
+    """Fixed-point squared L2 between two sub-vectors: the DOUBLE fold is
+    ordered (same shape both engines), then ONE floor to BIGINT — every
+    downstream sum/compare is exact integer arithmetic."""
+    d2 = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return F.floor(d2 * PQ_FP_SCALE + F.lit(0.5)).cast("bigint")
+
+
+def _pq_subspaces(df: DataFrame, id_alias: str, sub_alias: str) -> DataFrame:
+    """Explode a vector frame into (id, subspace, sub-vector) rows —
+    PQ_M fixed-width slices per vector."""
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("subspace"),
+                     F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                     .alias("sub"))
+            for m in range(PQ_M)])).alias("s")) \
+        .select(id_alias, F.col("s.subspace").alias("subspace"),
+                F.col("s.sub").alias(sub_alias))
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic one-shot codebook: code k of subspace m is the m-th
+    sub-vector of the vector with vec_id = k (the PQ_K lowest-id
+    vectors — the same anchor-init rule as ivf_train's k-means seed).
+    Production would refine each subspace codebook with Lloyd's rounds
+    (ivf_train shows exactly that loop); the one-shot rule keeps the
+    whole PQ pipeline value-checkable by the SQL oracle, and every
+    downstream encode/ADC step is identical either way."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _pq_subspaces(emb.where(F.col("vec_id") < PQ_K), "code", "cb")
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: each vector's PQ_M sub-vectors are
+    assigned their nearest codebook entry by squared L2 (ties -> lowest
+    code). Output one row per (vec_id, subspace): the code and the
+    fixed-point quantization error — the 64-dim float vector compressed
+    to PQ_M 4-bit codes (32x smaller), the storage layout ADC search
+    serves from.
+
+    Scale design (100 TB): the codebook is PQ_M x PQ_K sub-vectors — a
+    broadcast constant at any corpus size; encode is one narrow pass
+    (broadcast join + per-row argmin), no shuffle of the vectors."""
+    emb = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
+    subs = _pq_subspaces(emb, "vec_id", "sub")
+    cb = _pq_codebook(spark, sf_dir)
+    scored = (
+        subs.join(broadcast(cb), "subspace")
+        .select("vec_id", "subspace", "code",
+                _sub_l2_fp(F.col("sub"), F.col("cb")).alias("d2_fp"))
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy(
+        F.asc("d2_fp"), F.asc("code"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code", "d2_fp")
+    )
+
+
+def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search: for each query vector
+    (vec_id < N_QUERY_VECS), distances to every encoded candidate are
+    approximated as the sum over subspaces of the precomputed
+    query-to-codeword table — the serving path of a PQ index. The LUT
+    (N_QUERY_VECS x PQ_M x PQ_K fixed-point entries) is broadcast; the
+    candidate side never touches raw vectors, only its PQ_M codes.
+    Distances are BIGINT sums of BIGINT table entries — exact in any
+    aggregation order — and the top-k rank breaks ties by cand_id, so
+    the result is deterministic on any engine or partitioning.
+
+    Scale design (100 TB): candidates are scanned as codes (32x less
+    IO), the LUT join is broadcast, and the per-(query, cand) sum is one
+    map-side-combinable hash-agg — the textbook IVF-PQ serving shape
+    minus the coarse cell routing (compose with ivf_assign for that)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _pq_subspaces(
+        emb.where(F.col("vec_id") < N_QUERY_VECS), "query_id", "qsub")
+    lut = (
+        queries.join(broadcast(_pq_codebook(spark, sf_dir)), "subspace")
+        .select("query_id", "subspace", "code",
+                _sub_l2_fp(F.col("qsub"), F.col("cb")).alias("d2_fp"))
+    )
+    codes = pq_encode(spark, sf_dir).select(
+        F.col("vec_id").alias("cand_id"), "subspace", "code")
+    scored = (
+        codes.join(broadcast(lut), ["subspace", "code"])
+        .where(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("d2_fp").alias("approx_d2_fp"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2_fp"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "approx_d2_fp", "rank")
+    )
+
+
 QUERIES = {
     "embedding_topk": embedding_topk,
     "embedding_quantize": embedding_quantize,
@@ -784,6 +896,8 @@ QUERIES = {
     "embedding_lsh_signatures": embedding_lsh_signatures,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "semantic_dedup": semantic_dedup,
+    "pq_encode": pq_encode,
+    "pq_search": pq_search,
 }
 
 # DuckDB equivalents of _dot/_norm: ordered list folds with DOUBLE elements.
@@ -1023,3 +1137,65 @@ ORACLES = {
         WHERE e.vec_id NOT IN (SELECT vec_id FROM grp)
     """,
 }
+
+
+# PQ oracle: the same fixed-point sub-vector L2 (ordered DOUBLE fold,
+# one floor to BIGINT), the same anchor codebook, the same argmin /
+# ADC-sum / rank rules — every stage value-checked.
+def _d_sub_l2_fp(a: str, b: str) -> str:
+    return (f"CAST(floor(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), "
+            f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) "
+            f"* ({a}[i]::DOUBLE - {b}[i]::DOUBLE))) "
+            f"* {PQ_FP_SCALE} + 0.5) AS BIGINT)")
+
+
+_D_PQ_COMMON = f"""
+        idx AS (SELECT unnest(range(0, {PQ_M})) AS subspace),
+        subs AS (
+            SELECT vec_id, subspace,
+                   list_slice(embedding, subspace * {PQ_SUBDIM} + 1,
+                              (subspace + 1) * {PQ_SUBDIM}) AS sub
+            FROM embeddings CROSS JOIN idx
+        ),
+        cb AS (SELECT vec_id AS code, subspace, sub AS cbv
+               FROM subs WHERE vec_id < {PQ_K}),
+        enc AS (
+            SELECT vec_id, subspace, code, d2_fp FROM (
+                SELECT s.vec_id, s.subspace, cb.code,
+                       {_d_sub_l2_fp('s.sub', 'cb.cbv')} AS d2_fp,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.subspace
+                           ORDER BY {_d_sub_l2_fp('s.sub', 'cb.cbv')},
+                                    cb.code) AS rn
+                FROM subs s JOIN cb ON cb.subspace = s.subspace
+            ) WHERE rn = 1
+        )
+"""
+
+ORACLES["pq_encode"] = f"""
+        WITH {_D_PQ_COMMON}
+        SELECT vec_id, subspace, code, d2_fp FROM enc
+"""
+
+ORACLES["pq_search"] = f"""
+        WITH {_D_PQ_COMMON},
+        lut AS (
+            SELECT q.vec_id AS query_id, q.subspace, cb.code,
+                   {_d_sub_l2_fp('q.sub', 'cb.cbv')} AS d2_fp
+            FROM subs q JOIN cb ON cb.subspace = q.subspace
+            WHERE q.vec_id < {N_QUERY_VECS}
+        ),
+        scored AS (
+            SELECT query_id, enc.vec_id AS cand_id,
+                   CAST(sum(lut.d2_fp) AS BIGINT) AS approx_d2_fp
+            FROM enc JOIN lut USING (subspace, code)
+            WHERE enc.vec_id <> lut.query_id
+            GROUP BY query_id, enc.vec_id
+        )
+        SELECT query_id, cand_id, approx_d2_fp, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY approx_d2_fp, cand_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+"""

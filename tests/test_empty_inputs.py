@@ -70,6 +70,8 @@ REPRESENTATIVE = [
     "source_mix_weights",
     "temperature_resample",
     "quality_ensemble",
+    "pq_encode",
+    "pq_search",
 ]
 
 
