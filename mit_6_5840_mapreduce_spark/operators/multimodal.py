@@ -454,12 +454,87 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, frame_idx INT, n_frames INT, mean_px DOUBLE")
 
 
+PHASH_BLOCKS = 16   # gray blocks per image -> 16-bit dHash-style signature
+
+
+def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Perceptual hash from DECODED pixels (real BMP codec round trip,
+    like _decode_stats): per-pixel gray = r+g+b (exact ints), the pixel
+    sequence split into PHASH_BLOCKS contiguous blocks, and a dHash-style
+    bit per adjacent block-mean comparison (mean compares done as exact
+    integer cross-multiplications — no division anywhere). Bit 15
+    compares the last block against the whole-image mean."""
+    import numpy as np
+
+    from mit_6_5840_mapreduce_spark.functions.imaging import (
+        decode_image, encode_bmp)
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in ("doc_id", "n_pixels",
+                                                "phash")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            k = (len(payload) // _ROW_BYTES) * _ROW_BYTES
+            if k == 0:
+                continue
+            _, _, rgb = decode_image(
+                encode_bmp(payload[:k], PIX_W, k // _ROW_BYTES))
+            gray = (np.frombuffer(rgb, dtype=np.uint8)
+                    .astype(np.int64).reshape(-1, 3).sum(axis=1))
+            n = gray.shape[0]
+            blk = (np.arange(n, dtype=np.int64) * PHASH_BLOCKS) // n
+            s = np.bincount(blk, weights=gray,
+                            minlength=PHASH_BLOCKS).astype(np.int64)
+            c = np.bincount(blk, minlength=PHASH_BLOCKS).astype(np.int64)
+            phash = 0
+            for j in range(PHASH_BLOCKS - 1):
+                if int(s[j]) * int(c[j + 1]) > int(s[j + 1]) * int(c[j]):
+                    phash |= 1 << j
+            if int(s[-1]) * int(c.sum()) > int(s.sum()) * int(c[-1]):
+                phash |= 1 << (PHASH_BLOCKS - 1)
+            out["doc_id"].append(doc_id)
+            out["n_pixels"].append(n)
+            out["phash"].append(phash)
+        yield pd.DataFrame(out)
+
+
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit perceptual hash over the decoded image (see
+    _phash_batch) — the multimodal twin of simhash_docs: a compact
+    sketch whose equality survives small pixel edits because it encodes
+    block-mean STRUCTURE, not content bytes.
+
+    Scale design (100 TB): one Arrow-batched decode pass, payloads
+    pruned at the scan, 10 bytes out per image."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return with_payload.mapInPandas(
+        _phash_batch, "doc_id BIGINT, n_pixels BIGINT, phash BIGINT")
+
+
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs: equality join on the perceptual hash
+    (doc_a < doc_b). Hamming-0 on a 16-bit structural sketch — the
+    image-space analogue of the lexical dedup families' banding: the
+    join key IS the bucket, never a cross join. A production 64-bit
+    phash would band into 4x16-bit keys for Hamming<=3 exactly like
+    dedup_simhash; at 16 bits the whole hash is one band."""
+    ph = image_phash(spark, sf_dir)
+    a = ph.select(F.col("doc_id").alias("doc_a"), "phash")
+    b = ph.select(F.col("doc_id").alias("doc_b"), "phash")
+    return (a.join(b, "phash")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "phash"))
+
+
 # registered after the driver window (operators/__init__.py LATE list):
 # keeps the five required multimodal gates in their slots
 LATE_QUERIES = {
     "audio_decode_stats": audio_decode_stats,
     "gif_decode_stats": gif_decode_stats,
     "video_frame_stats": video_frame_stats,
+    "image_phash": image_phash,
+    "image_phash_neardup": image_phash_neardup,
 }
 
 # md5(text) == md5 of the payload: the payload IS text's UTF-8 bytes,
@@ -592,10 +667,87 @@ _VIDEO_STATS_ORACLE = f"""
         GROUP BY doc_id, k, frame_idx
 """
 
+# decode(encode_bmp(x)) == x, so gray(p) = byte[3p] + byte[3p+1] +
+# byte[3p+2] directly on the hex expansion; every block-mean compare is
+# an exact integer cross-multiplication — no division, no float.
+_PHASH_COMMON = f"""
+        b AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   (octet_length(encode(text)) // {_ROW_BYTES})
+                       * {_ROW_BYTES} AS k
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id,
+                   (p * {PHASH_BLOCKS}) // (k // 3) AS blk,
+                   CAST(concat('0x',
+                        substring(hx, CAST(p * 6 + 1 AS INT), 2))
+                        AS BIGINT)
+                 + CAST(concat('0x',
+                        substring(hx, CAST(p * 6 + 3 AS INT), 2))
+                        AS BIGINT)
+                 + CAST(concat('0x',
+                        substring(hx, CAST(p * 6 + 5 AS INT), 2))
+                        AS BIGINT) AS gray
+            FROM (SELECT doc_id, hx, k, unnest(range(0, k // 3)) AS p
+                  FROM b WHERE k > 0)
+        ),
+        blocks AS (
+            SELECT doc_id, blk, CAST(sum(gray) AS BIGINT) AS s,
+                   count(*) AS c
+            FROM px GROUP BY doc_id, blk
+        ),
+        grid AS (
+            SELECT d.doc_id, jj.j,
+                   coalesce(bl.s, 0) AS s, coalesce(bl.c, 0) AS c
+            FROM (SELECT DISTINCT doc_id FROM blocks) d
+            CROSS JOIN (SELECT unnest(range(0, {PHASH_BLOCKS})) AS j) jj
+            LEFT JOIN blocks bl
+                ON bl.doc_id = d.doc_id AND bl.blk = jj.j
+        ),
+        tot AS (
+            SELECT doc_id, CAST(sum(s) AS BIGINT) AS st,
+                   CAST(sum(c) AS BIGINT) AS ct
+            FROM grid GROUP BY doc_id
+        ),
+        bits AS (
+            SELECT a.doc_id,
+                   CASE WHEN a.s * n.c > n.s * a.c
+                        THEN (1::BIGINT << CAST(a.j AS INT)) ELSE 0
+                   END AS v
+            FROM grid a JOIN grid n
+                ON n.doc_id = a.doc_id AND n.j = a.j + 1
+            UNION ALL
+            SELECT g.doc_id,
+                   CASE WHEN g.s * t.ct > t.st * g.c
+                        THEN (1::BIGINT << {PHASH_BLOCKS - 1}) ELSE 0
+                   END AS v
+            FROM grid g JOIN tot t USING (doc_id)
+            WHERE g.j = {PHASH_BLOCKS - 1}
+        ),
+        ph AS (
+            SELECT doc_id, CAST(sum(v) AS BIGINT) AS phash
+            FROM bits GROUP BY doc_id
+        )
+"""
+
 LATE_ORACLES = {
     "audio_decode_stats": _AUDIO_STATS_ORACLE,
     "gif_decode_stats": _GIF_STATS_ORACLE,
     "video_frame_stats": _VIDEO_STATS_ORACLE,
+    "image_phash": f"""
+        WITH {_PHASH_COMMON},
+        npx AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pixels
+                FROM px GROUP BY doc_id)
+        SELECT doc_id, n_pixels, phash
+        FROM npx JOIN ph USING (doc_id)
+    """,
+    "image_phash_neardup": f"""
+        WITH {_PHASH_COMMON}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash
+        FROM ph a JOIN ph b
+            ON a.phash = b.phash AND a.doc_id < b.doc_id
+    """,
 }
 
 def _le32(expr: str) -> str:

@@ -72,6 +72,8 @@ REPRESENTATIVE = [
     "quality_ensemble",
     "pq_encode",
     "pq_search",
+    "image_phash",
+    "image_phash_neardup",
 ]
 
 

@@ -28,6 +28,8 @@ PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
                   "image_decode_stats", "audio_decode_stats",
                   "gif_decode_stats", "video_frame_stats",
                   "embedding_topk_pandas", "media_decode_stats",
+                  "image_phash", "image_phash_neardup",  # decoded-pixel
+                                       # sketch: real codec in the batch
                   "hnsw_search",       # per-shard graph build/search is
                                        # numpy inside one applyInPandas
                   "hnsw_search_persisted",   # cogroup search over the
