@@ -191,11 +191,58 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_SCALE = 1_000_000    # fixed-point resolution for bigram probabilities
+
+
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram language-model score — the KenLM-style
+    perplexity-filter proxy with a real corpus-trained model: each
+    adjacent token pair (w1, w2) scores the MLE conditional probability
+    P(w2 | w1) = c(w1 w2) / c(w1) in fixed point (c_xy * LM_SCALE div
+    c_w1 — exact BIGINT), and the document's score is the mean over its
+    bigram positions. Template/boilerplate text (high-probability
+    transitions) scores high; incoherent or OOV-heavy text scores low —
+    the signal perplexity filters threshold on, without libm log (which
+    would not hash-match across engines).
+
+    Scale shape (100 TB): one tokenize pass staged and reused for
+    positions and counts (the bigram_pmi lesson), counts are two
+    map-side-combined hash-aggs over the vocabulary, and the score join
+    is keyed by the (already aggregated) bigram vocabulary."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", tokenize(F.lower(F.col("text"))).alias("toks")).persist()
+    bg = (
+        toks.where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("w1"),
+                F.element_at(F.col("toks"), i + 1).alias("w2")))).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    cu = (toks.select(F.explode("toks").alias("w1"))
+          .groupBy("w1").agg(F.count("*").alias("c_w1")))
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    return (
+        bg.join(cb, ["w1", "w2"]).join(cu, "w1")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.sum(F.expr(f"(c_xy * {LM_SCALE}) div c_w1"))
+             .alias("lm_sum"))
+        .select("doc_id", "n_bigrams", "lm_sum",
+                floor4(F.col("lm_sum")
+                       / (F.col("n_bigrams") * LM_SCALE))
+                .alias("avg_prob"))
+    )
+
+
 QUERIES = {
     "contamination_check": contamination_check,
     "decontaminate_split": decontaminate_split,
     "doc_repetition": doc_repetition,
     "bigram_pmi": bigram_pmi,
+    "doc_lm_score": doc_lm_score,
 }
 
 _SPLIT_SQL = f"""
@@ -307,3 +354,30 @@ ORACLES = {
         CROSS JOIN n_uni CROSS JOIN n_bi
     """,
 }
+
+ORACLES["doc_lm_score"] = rf"""
+        WITH staged AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^\p{{L}}]+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                  FROM staged WHERE len(toks) >= 2)
+        ),
+        cu AS (SELECT w1, count(*) AS c_w1
+               FROM (SELECT unnest(toks) AS w1 FROM staged) GROUP BY w1),
+        cb AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY w1, w2)
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum((c_xy * {LM_SCALE}) // c_w1) AS BIGINT) AS lm_sum,
+               floor(CAST(sum((c_xy * {LM_SCALE}) // c_w1) AS BIGINT)
+                     / (count(*) * {LM_SCALE})::DOUBLE * 10000) / 10000
+                   AS avg_prob
+        FROM bg
+        JOIN cb USING (w1, w2)
+        JOIN cu USING (w1)
+        GROUP BY doc_id
+"""

@@ -1046,6 +1046,42 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q11_FRAC_BP = 25    # keep parts above 25 basis points of nation value
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted to the driver corpus (no partsupp, so
+    per-(nation, part) inventory value comes from lineitem through the
+    supplying nation): keep the parts whose value exceeds Q11_FRAC_BP
+    basis points of their nation's total — the HAVING-with-correlated-
+    scalar query, decorrelated into ONE pass: the nation total rides a
+    window over the already-aggregated (nation, part) frame, so the
+    same shuffle serves both the aggregate and its group total (no
+    second scan, no second shuffle, no scalar collect). Values in exact
+    integer cents; the share filter is an exact integer
+    cross-multiplication."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+    per_part = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("nation")
+    return (
+        per_part.withColumn("nation_cents", F.sum("cents").over(w))
+        .where(F.col("cents") * 10000 > F.col("nation_cents") * Q11_FRAC_BP)
+        .select("nation", "partkey",
+                F.round(F.col("cents") / F.lit(100.0), 2).alias("value"),
+                floor4(F.col("cents") / F.col("nation_cents"))
+                .alias("share"))
+    )
+
+
 QUERIES = {
     "sql_revenue_by_segment": sql_revenue_by_segment,
     "sql_priority_status_sets": sql_priority_status_sets,
@@ -1090,6 +1126,7 @@ QUERIES = {
     "user_event_unpivot": user_event_unpivot,
     "bloom_prune_join": bloom_prune_join,
     "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_stock": q11_important_stock,
 }
 
 _BLOOM_POS = ("CAST(concat('0x', substring(md5('bloom' || i || ':' || "
@@ -1137,6 +1174,28 @@ ORACLES = {
         JOIN orders ON l_orderkey = o_orderkey
         WHERE p_name LIKE '%widget%'
         GROUP BY n_name, year(o_orderdate)
+    """,
+    "q11_important_stock": f"""
+        WITH per_part AS (
+            SELECT n_name AS nation, l_partkey AS partkey,
+                   CAST(sum(floor(l_extendedprice * 100)) AS BIGINT)
+                       AS cents
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name, l_partkey
+        ),
+        with_total AS (
+            SELECT *, CAST(sum(cents) OVER (PARTITION BY nation)
+                           AS BIGINT) AS nation_cents
+            FROM per_part
+        )
+        SELECT nation, partkey,
+               round(cents / 100.0, 2) AS value,
+               floor(cents / nation_cents::DOUBLE * 10000) / 10000
+                   AS share
+        FROM with_total
+        WHERE cents * 10000 > nation_cents * {Q11_FRAC_BP}
     """,
     # pivot -> unpivot must reconstruct exactly the long-form aggregate
     "user_event_unpivot": """

@@ -74,6 +74,8 @@ REPRESENTATIVE = [
     "pq_search",
     "image_phash",
     "image_phash_neardup",
+    "doc_lm_score",
+    "q11_important_stock",
 ]
 
 
