@@ -876,6 +876,51 @@ def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the textbook ANN serving pipeline, composed end to end
+    from the two certified halves: IVF coarse routing (each query
+    probes its N_PROBE nearest cells; candidates are corpus vectors
+    assigned to those cells — an equi-join on centroid_id) followed by
+    PQ asymmetric-distance scoring (candidates scanned as codes,
+    distances from the broadcast query-to-codeword LUT, exact BIGINT
+    sums). At 100 TB each query touches ~N_PROBE/N_CENTROIDS of the
+    CODE table (already 32x smaller than raw vectors) — the compound
+    reduction that makes billion-vector serving tractable; both halves'
+    determinism rules compose, so the whole pipeline stays
+    hash-certified by the SQL oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _with_norm(emb.where(F.col("vec_id") < N_CENTROIDS),
+                       "centroid_id", "centroid", "cn")
+    corpus_cells = _cell_assign(emb, cents, "cand_id", "rn", 1)
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    query_cells = _cell_assign(queries, cents, "query_id", "probe_rank",
+                               N_PROBE)
+    cand = (query_cells.join(corpus_cells, "centroid_id")
+            .where(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id").distinct())
+    qsubs = _pq_subspaces(queries, "query_id", "qsub")
+    lut = (
+        qsubs.join(broadcast(_pq_codebook(spark, sf_dir)), "subspace")
+        .select("query_id", "subspace", "code",
+                _sub_l2_fp(F.col("qsub"), F.col("cb")).alias("d2_fp"))
+    )
+    codes = pq_encode(spark, sf_dir).select(
+        F.col("vec_id").alias("cand_id"), "subspace", "code")
+    scored = (
+        cand.join(codes, "cand_id")
+        .join(broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("d2_fp").alias("approx_d2_fp"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2_fp"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "approx_d2_fp", "rank")
+    )
+
+
 QUERIES = {
     "embedding_topk": embedding_topk,
     "embedding_quantize": embedding_quantize,
@@ -898,6 +943,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "pq_encode": pq_encode,
     "pq_search": pq_search,
+    "ivfpq_search": ivfpq_search,
 }
 
 # DuckDB equivalents of _dot/_norm: ordered list folds with DOUBLE elements.
@@ -1191,6 +1237,58 @@ ORACLES["pq_search"] = f"""
             FROM enc JOIN lut USING (subspace, code)
             WHERE enc.vec_id <> lut.query_id
             GROUP BY query_id, enc.vec_id
+        )
+        SELECT query_id, cand_id, approx_d2_fp, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY approx_d2_fp, cand_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+"""
+
+ORACLES["ivfpq_search"] = f"""
+        WITH {_D_PQ_COMMON},
+        corpus_cells AS (
+            SELECT cand_id, centroid_id FROM (
+                SELECT v.vec_id AS cand_id, c.vec_id AS centroid_id,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_d_cos('v.embedding', 'c.embedding')}
+                                    DESC, c.vec_id) AS rn
+                FROM embeddings v
+                JOIN embeddings c ON c.vec_id < {N_CENTROIDS}
+            ) WHERE rn = 1
+        ),
+        query_cells AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_d_cos('q.embedding', 'c.embedding')}
+                                    DESC, c.vec_id) AS pr
+                FROM embeddings q
+                JOIN embeddings c ON c.vec_id < {N_CENTROIDS}
+                WHERE q.vec_id < {N_QUERY_VECS}
+            ) WHERE pr <= {N_PROBE}
+        ),
+        cand AS (
+            SELECT DISTINCT query_id, cand_id
+            FROM query_cells qc JOIN corpus_cells cc USING (centroid_id)
+            WHERE cand_id <> query_id
+        ),
+        lut AS (
+            SELECT q.vec_id AS query_id, q.subspace, cb.code,
+                   {_d_sub_l2_fp('q.sub', 'cb.cbv')} AS d2_fp
+            FROM subs q JOIN cb ON cb.subspace = q.subspace
+            WHERE q.vec_id < {N_QUERY_VECS}
+        ),
+        scored AS (
+            SELECT c.query_id, c.cand_id,
+                   CAST(sum(lut.d2_fp) AS BIGINT) AS approx_d2_fp
+            FROM cand c
+            JOIN enc ON enc.vec_id = c.cand_id
+            JOIN lut ON lut.query_id = c.query_id
+                    AND lut.subspace = enc.subspace
+                    AND lut.code = enc.code
+            GROUP BY c.query_id, c.cand_id
         )
         SELECT query_id, cand_id, approx_d2_fp, rank FROM (
             SELECT *, row_number() OVER (

@@ -76,6 +76,7 @@ REPRESENTATIVE = [
     "image_phash_neardup",
     "doc_lm_score",
     "q11_important_stock",
+    "ivfpq_search",
 ]
 
 

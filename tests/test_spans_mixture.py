@@ -1,0 +1,101 @@
+"""Boundary contracts for duplicate_spans and the data-mixture pair,
+on constructed corpora where the expected answer is computable by hand.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+from mit_6_5840_mapreduce_spark.operators.dedup import SPAN_TOKENS
+from mit_6_5840_mapreduce_spark.operators.mixture import RESAMPLE_BUCKETS
+
+
+def _docs_dir(tmp_path_factory, name, texts, sources=None):
+    out = tmp_path_factory.mktemp(name)
+    sources = sources or ["s0"] * len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(sources),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(str(out), "documents.parquet"))
+    return str(out)
+
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+assert len(WORDS) == SPAN_TOKENS
+
+
+def test_duplicate_spans_window_boundaries(spark, tmp_path_factory):
+    """Doc 0/1: identical exactly-SPAN_TOKENS texts -> one window each,
+    duplicated, longest run == SPAN_TOKENS. Doc 2: one token short ->
+    excluded entirely. Doc 3: SPAN_TOKENS+1 unique tokens -> two
+    windows, zero duplicated."""
+    span_text = " ".join(WORDS)
+    texts = [span_text, span_text,
+             " ".join(WORDS[:-1]),
+             "one two three four five six seven eight nine ten eleven"]
+    d = _docs_dir(tmp_path_factory, "spans", texts)
+    rows = {r.doc_id: r for r in
+            entrymod.queries()["duplicate_spans"](spark, d).collect()}
+    assert set(rows) == {0, 1, 3}
+    for i in (0, 1):
+        r = rows[i]
+        assert (r.n_windows, r.n_dup_windows) == (1, 1)
+        assert r.longest_dup_tokens == SPAN_TOKENS
+        assert r.dup_frac == 1.0
+    r3 = rows[3]
+    assert (r3.n_windows, r3.n_dup_windows, r3.longest_dup_tokens) == \
+        (2, 0, 0)
+
+
+def test_duplicate_spans_run_collapsing(spark, tmp_path_factory):
+    """A doc sharing a (SPAN_TOKENS + 2)-token prefix with another has 3
+    consecutive duplicated window starts -> one run of SPAN_TOKENS + 2
+    tokens, not three separate spans."""
+    shared = WORDS + ["lambda", "mu"]
+    texts = [" ".join(shared) + " nu xi",
+             " ".join(shared) + " omicron pi"]
+    d = _docs_dir(tmp_path_factory, "spanruns", texts)
+    rows = {r.doc_id: r for r in
+            entrymod.queries()["duplicate_spans"](spark, d).collect()}
+    for r in rows.values():
+        assert r.n_dup_windows == 3
+        assert r.longest_dup_tokens == SPAN_TOKENS + 2
+
+
+def test_single_source_mix_keeps_everything(spark, tmp_path_factory):
+    """With one source the sqrt-temperature weights collapse to the
+    whole corpus: weight 1000 permille, resample keeps every doc."""
+    texts = [f"doc number {i} words here" for i in range(20)]
+    d = _docs_dir(tmp_path_factory, "onesrc", texts)
+    w = entrymod.queries()["source_mix_weights"](spark, d).collect()
+    assert len(w) == 1 and w[0].weight_permille == RESAMPLE_BUCKETS
+    kept = entrymod.queries()["temperature_resample"](spark, d).collect()
+    assert len(kept) == 20
+    assert all(r.rate_per_mille == RESAMPLE_BUCKETS for r in kept)
+
+
+def test_mix_upweights_small_source(spark, tmp_path_factory):
+    """A source 100x smaller by tokens gets a weight far above its
+    natural share (sqrt compression), and the big source is the one
+    that gets downsampled."""
+    texts = (["big source filler text with several words apiece"] * 100
+             + ["small"])
+    sources = ["big"] * 100 + ["small"]
+    d = _docs_dir(tmp_path_factory, "twosrc", texts, sources)
+    rows = {r.source: r for r in
+            entrymod.queries()["source_mix_weights"](spark, d).collect()}
+    nat_share_small = rows["small"].n_tokens / (
+        rows["small"].n_tokens + rows["big"].n_tokens)
+    assert rows["small"].weight_permille > 1000 * nat_share_small * 5
+    kept = entrymod.queries()["temperature_resample"](spark, d).collect()
+    rates = {r.source: r.rate_per_mille for r in kept}
+    assert rates.get("small", RESAMPLE_BUCKETS) == RESAMPLE_BUCKETS
+    assert rates["big"] < RESAMPLE_BUCKETS

@@ -21,7 +21,9 @@ PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
                   "media_features", "payload_thumbnail",
                   "embedding_topk_pandas", "doc_chunks_udtf",
                   "media_decode_stats", "hnsw_search",
-                  "hnsw_search_persisted"}
+                  "hnsw_search_persisted",
+                  # decoded-pixel perceptual hash: real codec in the batch
+                  "image_phash", "image_phash_neardup"}
 CARTESIAN_OK = {"embedding_neardup_exact", "embedding_neardup"}
 # executes a stream / an iterative loop when called — plan of the final
 # materialized result only
