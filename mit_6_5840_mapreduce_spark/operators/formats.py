@@ -138,11 +138,29 @@ def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_stats(back)
 
 
+def pyds_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> custom PYTHON DATASOURCE (Spark 4
+    ``pyspark.sql.datasource`` API, ``sources/pyds.py``) -> read back ->
+    per-language profile. The fifth certified format path, and the only
+    one exercising the USER-DEFINED source extension point: the write
+    distributes one escape-encoded shard per task, the read plans one
+    InputPartition per shard, and the checksum-sum oracle proves the
+    custom wire format round-trips every byte of text."""
+    from mit_6_5840_mapreduce_spark.sources.pyds import DocLinesDataSource
+    spark.dataSource.register(DocLinesDataSource)
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(scratch_dir("fmt_pyds"), "docs")
+    docs.write.format("doclines").mode("append").save(out)
+    back = spark.read.format("doclines").load(out)
+    return _roundtrip_stats(back)
+
+
 QUERIES = {
     "jsonl_roundtrip_stats": jsonl_roundtrip_stats,
     "csv_roundtrip_stats": csv_roundtrip_stats,
     "orc_roundtrip_stats": orc_roundtrip_stats,
     "xml_roundtrip_stats": xml_roundtrip_stats,
+    "pyds_roundtrip_stats": pyds_roundtrip_stats,
 }
 
 ORACLES = {
@@ -150,4 +168,5 @@ ORACLES = {
     "csv_roundtrip_stats": _STATS_ORACLE_BODY,
     "orc_roundtrip_stats": _STATS_ORACLE_BODY,
     "xml_roundtrip_stats": _STATS_ORACLE_BODY,
+    "pyds_roundtrip_stats": _STATS_ORACLE_BODY,
 }

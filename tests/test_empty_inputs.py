@@ -77,6 +77,7 @@ REPRESENTATIVE = [
     "doc_lm_score",
     "q11_important_stock",
     "ivfpq_search",
+    "pyds_roundtrip_stats",
 ]
 
 

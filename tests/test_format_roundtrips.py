@@ -125,3 +125,44 @@ def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
                                    "o_totalprice"}
     assert merged.count() == 150
     assert merged.where(F.col("o_totalprice").isNull()).count() == 100
+
+
+def test_pyds_roundtrip_hostile_text(spark, tmp_path):
+    """The custom Python DataSource wire format must round-trip text
+    containing every character its framing uses: tabs, newlines, CRs,
+    backslashes, and combinations (escape-encoding correctness), plus
+    empty strings and edge whitespace."""
+    from mit_6_5840_mapreduce_spark.sources.pyds import DocLinesDataSource
+    spark.dataSource.register(DocLinesDataSource)
+    rows = [
+        (1, "tab\there", "en", "s", 8),
+        (2, "line one\nline two", "en", "s", 17),
+        (3, "back\\slash and \\t literal", "en", "s", 25),
+        (4, "cr\rlf\n mix \t\t", "en", "s", 13),
+        (5, "", "en", "s", 0),
+        (6, " edge space ", "en", "s", 12),
+        (7, "\\n not a newline", "en", "s", 16),
+    ]
+    src = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+              "n_chars BIGINT")
+    path = str(tmp_path / "hostile_pyds")
+    src.write.format("doclines").mode("append").save(path)
+    back = spark.read.format("doclines").load(path)
+    assert (sorted(back.collect(), key=lambda r: r.doc_id)
+            == sorted(src.collect(), key=lambda r: r.doc_id))
+
+
+def test_pyds_writer_rejects_null_text(spark, tmp_path):
+    """NULL text is unrepresentable in the line format — the writer
+    must fail loudly, not corrupt the stream."""
+    import pytest as _pytest
+    from mit_6_5840_mapreduce_spark.sources.pyds import DocLinesDataSource
+    spark.dataSource.register(DocLinesDataSource)
+    src = spark.createDataFrame(
+        [(1, None, "en", "s", 0)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT")
+    with _pytest.raises(Exception, match="cannot encode NULL text"):
+        src.write.format("doclines").mode("append").save(
+            str(tmp_path / "null_pyds"))

@@ -31,7 +31,13 @@ PROBES = ("mr_wc", "simhash_docs", "minhash_signatures",
           # round-4 linear operators (decontaminate/semantic/hnsw are
           # excluded like the other pairwise ops: replication
           # manufactures artificial duplicates)
-          "pack_sequences", "training_shuffle", "token_rarity")
+          "pack_sequences", "training_shuffle", "token_rarity",
+          # session-2 linear operators (duplicate_spans and the phash
+          # PAIR query are excluded: replication manufactures duplicate
+          # spans / hash collisions; per-doc image_phash and the
+          # broadcast-dim mixture ops are linear)
+          "doc_lm_score", "quality_ensemble", "temperature_resample",
+          "source_mix_weights", "pq_encode", "image_phash")
 FACTORS = (1, 4, 16)
 
 
