@@ -79,8 +79,12 @@ def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer form."""
     per = _per_source(spark, sf_dir)
     totals = per.agg(F.sum("isqrt_tokens").alias("isqrt_total"))
+    # a corpus whose every source has zero tokens has no mixture — emit
+    # nothing rather than divide by a zero total (engines disagree on
+    # integer div-by-zero: NULL vs error)
     return (
         per.crossJoin(broadcast(totals))
+        .where(F.col("isqrt_total") > 0)
         .select("source", "n_docs", "n_tokens", "isqrt_tokens",
                 F.expr(f"({RESAMPLE_BUCKETS} * isqrt_tokens)"
                        " div isqrt_total").alias("weight_permille"))
@@ -100,6 +104,7 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("n_docs").alias("docs_total"))
     rates = (
         per.crossJoin(broadcast(totals))
+        .where(F.col("isqrt_total") > 0)
         .select("source", F.least(
             F.lit(RESAMPLE_BUCKETS).cast("bigint"),
             F.expr(f"({RESAMPLE_BUCKETS} * ((docs_total * isqrt_tokens)"
@@ -184,6 +189,7 @@ ORACLES = {
                CAST(({RESAMPLE_BUCKETS} * isqrt_tokens) // isqrt_total
                     AS BIGINT) AS weight_permille
         FROM per CROSS JOIN total
+        WHERE isqrt_total > 0
     """,
     "temperature_resample": f"""
         WITH per AS ({_PER_SOURCE_SQL}),
@@ -197,6 +203,7 @@ ORACLES = {
                          ((docs_total * isqrt_tokens) // isqrt_total))
                         // n_docs) AS INT) AS rate_per_mille
             FROM per CROSS JOIN total
+            WHERE isqrt_total > 0
         )
         SELECT doc_id, d.source, rate_per_mille
         FROM documents d JOIN rates ON rates.source = d.source

@@ -99,3 +99,12 @@ def test_mix_upweights_small_source(spark, tmp_path_factory):
     rates = {r.source: r.rate_per_mille for r in kept}
     assert rates.get("small", RESAMPLE_BUCKETS) == RESAMPLE_BUCKETS
     assert rates["big"] < RESAMPLE_BUCKETS
+
+
+def test_mix_on_zero_token_corpus_is_empty(spark, tmp_path_factory):
+    """Documents made entirely of non-letter characters have zero
+    tokens; the mixture has no defined weights — both operators emit
+    nothing instead of dividing by a zero total."""
+    d = _docs_dir(tmp_path_factory, "notokens", ["123 456", "!!!", "999"])
+    assert entrymod.queries()["source_mix_weights"](spark, d).count() == 0
+    assert entrymod.queries()["temperature_resample"](spark, d).count() == 0
