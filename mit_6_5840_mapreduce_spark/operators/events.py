@@ -474,12 +474,49 @@ def skewsafe_type_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     return salted_count_distinct(ev, "event_type", "user_id")
 
+def user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 construction — the warehouse
+    primitive that turns an event stream into validity intervals: per
+    user, consecutive runs of the same event_type collapse into one row
+    with [valid_from, valid_to) bounds (valid_to = next run's start;
+    NULL = current), via the gaps-and-islands change-flag running sum.
+    Ties on ts break by event_id, so interval boundaries are
+    engine-independent.
+
+    Scale shape (100 TB): one shuffle by user_id serves the change
+    flag, the running group id, the run aggregate, and the lead() —
+    Catalyst reuses the partitioning across all four; no self-join."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (F.col("event_type") != prev), 1) \
+        .otherwise(0)
+    runs = (
+        ev.withColumn("chg", chg)
+        .withColumn("grp", F.sum("chg").over(w))
+        .groupBy("user_id", "grp", "event_type")
+        .agg(F.min("ts").alias("valid_from"),
+             F.count("*").alias("n_events"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("grp")
+    valid_to = F.lead("valid_from").over(w2)
+    return (
+        runs.withColumn("valid_to", valid_to)
+        .select("user_id", "event_type", "valid_from", "valid_to",
+                "n_events",
+                F.col("valid_to").isNull().cast("int").alias("is_current"))
+    )
+
+
 
 # Dict order matters: the driver's CORRECTNESS gate checks the first 50
 # registry entries, and this module straddles the boundary — the queries
 # with no round-1 driver row come first (see operators/__init__.py).
 QUERIES = {
     "sessionize": sessionize,
+    "user_scd2": user_scd2,
     "events_hourly": events_hourly,
     "asof_join_orders": asof_join_orders,
     "user_stats": user_stats,
@@ -761,3 +798,32 @@ ORACLES = {
         GROUP BY from_type, to_type
     """,
 }
+
+ORACLES["user_scd2"] = """
+        WITH o AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        g AS (
+            SELECT *, sum(CASE WHEN prev IS NULL OR event_type <> prev
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+            FROM o
+        ),
+        runs AS (
+            SELECT user_id, grp, event_type,
+                   min(ts) AS valid_from, count(*) AS n_events
+            FROM g GROUP BY user_id, grp, event_type
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY grp) AS valid_to,
+               n_events,
+               CAST(lead(valid_from) OVER (PARTITION BY user_id
+                                           ORDER BY grp) IS NULL
+                    AS INT) AS is_current
+        FROM runs
+"""

@@ -596,8 +596,38 @@ def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the lexical similarity graph — the
+    second graph-analytics operator next to ``doc_pagerank``: all
+    (a < b < c) document triples whose three pairwise TF-IDF cosine
+    similarities clear the edge threshold. Dense near-dup clusters show
+    up as triangle-rich neighborhoods (the clustering-coefficient
+    signal community detection builds on).
+
+    Scale shape (100 TB): the canonical ordered edge-edge-edge join —
+    every edge is stored once with doc_a < doc_b, so each triangle is
+    produced exactly once with no post-hoc dedup; both joins are
+    equi-joins on document ids over the EDGE SUBGRAPH (orders of
+    magnitude smaller than the corpus — the doc_pagerank argument), and
+    the edge frame is persisted so the three references share one
+    materialization instead of re-running the TF-IDF pipeline."""
+    from mit_6_5840_mapreduce_spark.operators import textstats as _self
+    edges = (_self.tfidf_cosine_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b").persist())
+    ab = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    ac = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    return (
+        ab.join(bc, "b").join(ac, ["a", "c"])
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+                F.col("c").alias("doc_c"))
+    )
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
+    "similarity_triangles": similarity_triangles,
     "tfidf_cosine_pairs": tfidf_cosine_pairs,
     "curation_summary": curation_summary,
     "doc_pagerank": doc_pagerank,   # fixed-point integer PageRank
@@ -984,4 +1014,13 @@ ORACLES["curation_summary"] = f"""
     JOIN ds USING (doc_id)
     WHERE dq.quality_score >= {QUALITY_CUT}
     GROUP BY ds.split, lid.pred_lang
+"""
+
+ORACLES["similarity_triangles"] = f"""
+        WITH pairs AS ({ORACLES["tfidf_cosine_pairs"]}),
+        e AS (SELECT doc_a, doc_b FROM pairs)
+        SELECT ab.doc_a, ab.doc_b, bc.doc_b AS doc_c
+        FROM e ab
+        JOIN e bc ON bc.doc_a = ab.doc_b
+        JOIN e ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
 """

@@ -78,6 +78,8 @@ REPRESENTATIVE = [
     "q11_important_stock",
     "ivfpq_search",
     "pyds_roundtrip_stats",
+    "user_scd2",
+    "similarity_triangles",
 ]
 
 

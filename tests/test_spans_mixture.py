@@ -108,3 +108,23 @@ def test_mix_on_zero_token_corpus_is_empty(spark, tmp_path_factory):
     d = _docs_dir(tmp_path_factory, "notokens", ["123 456", "!!!", "999"])
     assert entrymod.queries()["source_mix_weights"](spark, d).count() == 0
     assert entrymod.queries()["temperature_resample"](spark, d).count() == 0
+
+
+def test_scd2_intervals_are_well_formed(spark, sf_dir):
+    """SCD2 invariants on the real corpus: per user exactly one open
+    (current) interval, valid_from strictly increasing, each interval's
+    valid_to equals the next interval's valid_from (no gaps, no
+    overlaps), and consecutive intervals change event_type."""
+    rows = entrymod.queries()["user_scd2"](spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in ivs) == 1
+        assert ivs[-1].valid_to is None and ivs[-1].is_current == 1
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from, uid
+            assert a.event_type != b.event_type, uid
+            assert a.valid_from < b.valid_from, uid
