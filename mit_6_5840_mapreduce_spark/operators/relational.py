@@ -1082,6 +1082,104 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite audit — the declarative data-quality gate a
+    pipeline runs before consuming a drop: primary-key uniqueness,
+    referential integrity (orphan counts via anti joins), null checks,
+    and value-range assertions, each reported as (check, n_checked,
+    n_violations, passed). One aggregate pass per table plus one anti
+    join per foreign key; everything is exact integer counts.
+
+    Scale design (100 TB): the per-table checks fuse into single
+    hash-agg passes; FK orphan checks are equi-anti-joins on the key
+    (the dimension side of each FK is the smaller table). No collect,
+    no row data to the driver — the audit result is |checks| rows."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+
+    def check(name: str, checked, violations) -> DataFrame:
+        return (violations.crossJoin(checked)
+                .select(F.lit(name).alias("check"),
+                        F.col("n_checked"),
+                        F.col("n_violations"),
+                        (F.col("n_violations") == 0).cast("int")
+                        .alias("passed")))
+
+    orders_pk = check(
+        "orders_pk_unique",
+        orders.agg(F.count("*").alias("n_checked")),
+        orders.agg((F.count("*") - F.count_distinct("o_orderkey"))
+                   .alias("n_violations")))
+    orders_fk = check(
+        "orders_custkey_fk",
+        orders.agg(F.count("*").alias("n_checked")),
+        orders.join(cust, orders.o_custkey == cust.c_custkey,
+                    "left_anti").agg(F.count("*").alias("n_violations")))
+    li_fk = check(
+        "lineitem_orderkey_fk",
+        li.agg(F.count("*").alias("n_checked")),
+        li.join(orders, li.l_orderkey == orders.o_orderkey,
+                "left_anti").agg(F.count("*").alias("n_violations")))
+    li_range = check(
+        "lineitem_discount_range",
+        li.agg(F.count("*").alias("n_checked")),
+        li.agg(F.coalesce(
+            F.sum((~F.col("l_discount").between(0.0, 1.0))
+                  .cast("bigint")), F.lit(0)).alias("n_violations")))
+    ev_null = check(
+        "events_value_nonnull",
+        ev.agg(F.count("*").alias("n_checked")),
+        ev.agg(F.coalesce(F.sum(F.col("value").isNull().cast("bigint")),
+                          F.lit(0)).alias("n_violations")))
+    out = orders_pk
+    for c in (orders_fk, li_fk, li_range, ev_null):
+        out = out.unionAll(c)
+    return out
+
+
+MV_SPLIT_DATE = "1997-01-01"    # base/delta boundary for the MV refresh
+
+
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, certified against the
+    full recompute: the per-priority order aggregate is maintained as
+    partial aggregates from a BASE partition (orders before
+    MV_SPLIT_DATE) merged with a DELTA batch (the rest) — the
+    distributive-aggregate algebra (sum of sums, sum of counts) every
+    incremental view engine relies on. The oracle computes the view
+    directly over all orders, so the gate proves merge == recompute.
+
+    Scale design (100 TB): the base aggregate is |groups| rows
+    (materialized once in production); each refresh aggregates ONLY the
+    delta and merges by group key — a broadcast-sized operation
+    regardless of history size. Counts and cents are exact BIGINTs, and
+    the derived average is one division of exact integers."""
+    orders = _t(spark, sf_dir, "orders")
+    split = F.lit(MV_SPLIT_DATE).cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (df.groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n_orders"),
+                     F.sum(cents).alias("cents")))
+
+    base = partial(orders.where(F.col("o_orderdate") < split))
+    delta = partial(orders.where(F.col("o_orderdate") >= split))
+    return (
+        base.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n_orders").alias("n_orders"),
+             F.sum("cents").alias("cents"))
+        .select("o_orderpriority", "n_orders",
+                F.round(F.col("cents") / F.lit(100.0), 2)
+                .alias("total_value"),
+                floor4(F.col("cents") / F.lit(100.0)
+                       / F.col("n_orders")).alias("avg_value"))
+    )
+
+
 QUERIES = {
     "sql_revenue_by_segment": sql_revenue_by_segment,
     "sql_priority_status_sets": sql_priority_status_sets,
@@ -1127,6 +1225,8 @@ QUERIES = {
     "bloom_prune_join": bloom_prune_join,
     "q9_product_type_profit": q9_product_type_profit,
     "q11_important_stock": q11_important_stock,
+    "data_quality_audit": data_quality_audit,
+    "mv_incremental_refresh": mv_incremental_refresh,
 }
 
 _BLOOM_POS = ("CAST(concat('0x', substring(md5('bloom' || i || ':' || "
@@ -1196,6 +1296,58 @@ ORACLES = {
                    AS share
         FROM with_total
         WHERE cents * 10000 > nation_cents * {Q11_FRAC_BP}
+    """,
+    "data_quality_audit": """
+        SELECT 'orders_pk_unique' AS "check",
+               (SELECT count(*) FROM orders) AS n_checked,
+               (SELECT count(*) - count(DISTINCT o_orderkey)
+                FROM orders) AS n_violations,
+               CAST((SELECT count(*) - count(DISTINCT o_orderkey)
+                     FROM orders) = 0 AS INT) AS passed
+        UNION ALL
+        SELECT 'orders_custkey_fk',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders
+                WHERE o_custkey NOT IN
+                      (SELECT c_custkey FROM customer)),
+               CAST((SELECT count(*) FROM orders
+                     WHERE o_custkey NOT IN
+                           (SELECT c_custkey FROM customer)) = 0 AS INT)
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey NOT IN
+                      (SELECT o_orderkey FROM orders)),
+               CAST((SELECT count(*) FROM lineitem
+                     WHERE l_orderkey NOT IN
+                           (SELECT o_orderkey FROM orders)) = 0 AS INT)
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+               (SELECT count(*) FROM lineitem),
+               (SELECT CAST(coalesce(sum(CAST(NOT (l_discount BETWEEN
+                      0.0 AND 1.0) AS INT)), 0) AS BIGINT)
+                FROM lineitem),
+               CAST((SELECT coalesce(sum(CAST(NOT (l_discount BETWEEN
+                      0.0 AND 1.0) AS INT)), 0) FROM lineitem) = 0
+                    AS INT)
+        UNION ALL
+        SELECT 'events_value_nonnull',
+               (SELECT count(*) FROM events),
+               (SELECT CAST(coalesce(sum(CAST(value IS NULL AS INT)), 0)
+                            AS BIGINT) FROM events),
+               CAST((SELECT coalesce(sum(CAST(value IS NULL AS INT)), 0)
+                     FROM events) = 0 AS INT)
+    """,
+    "mv_incremental_refresh": """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(CAST(sum(round(o_totalprice * 100)) AS BIGINT)
+                     / 100.0, 2) AS total_value,
+               floor(CAST(sum(round(o_totalprice * 100)) AS BIGINT)
+                     / 100.0 / count(*) * 10000) / 10000 AS avg_value
+        FROM orders
+        GROUP BY o_orderpriority
     """,
     # pivot -> unpivot must reconstruct exactly the long-form aggregate
     "user_event_unpivot": """

@@ -82,6 +82,8 @@ REPRESENTATIVE = [
     "similarity_triangles",
 ]
 
+# un-grouped audit/summary queries keep their fixed rows on empty input
+
 
 @pytest.fixture(scope="module")
 def empty_sf_dir(spark, sf_dir, tmp_path_factory):
@@ -137,3 +139,18 @@ def test_curation_funnel_on_empty_tables_reports_zero_stages(spark,
         spark, empty_sf_dir).collect()
     assert len(rows) == 4
     assert all(r.n_docs == 0 for r in rows)
+
+
+def test_quality_audit_on_empty_tables_all_pass(spark, empty_sf_dir):
+    """Five check rows survive an empty corpus, each with zero checked
+    rows, zero violations, and passed=1."""
+    rows = entrymod.queries()["data_quality_audit"](
+        spark, empty_sf_dir).collect()
+    assert len(rows) == 5
+    assert all((r.n_checked, r.n_violations, r.passed) == (0, 0, 1)
+               for r in rows)
+
+
+def test_mv_refresh_on_empty_tables_is_empty(spark, empty_sf_dir):
+    assert entrymod.queries()["mv_incremental_refresh"](
+        spark, empty_sf_dir).count() == 0
