@@ -105,6 +105,24 @@ def main() -> None:
                         round(max(runs), 3)]
     load_after = os.getloadavg()
 
+    # session-2 operators: timed once each OUTSIDE the headline total so
+    # the cross-round contract (value vs BASELINE.md) stays comparable,
+    # while new-op wall clock is still visible per round
+    EXTRA = ("duplicate_spans", "source_mix_weights",
+             "temperature_resample", "quality_ensemble",
+             "bloom_prune_join", "q9_product_type_profit",
+             "q11_important_stock", "doc_lm_score", "pq_encode",
+             "pq_search", "ivfpq_search", "image_phash",
+             "image_phash_neardup", "user_scd2", "similarity_triangles",
+             "data_quality_audit", "mv_incremental_refresh")
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite") \
+            .format("noop").save()
+        extra[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     ratios = {name: round(timings[name] / BASELINE_R1[name], 2)
               for name in HEADLINE if name in BASELINE_R1}
@@ -122,6 +140,7 @@ def main() -> None:
             "ratio_vs_baseline_r1": ratios,
             "ratio_median": round(statistics.median(ratios.values()), 2),
             "ratio_max": round(max(ratios.values()), 2),
+            "extra_query_wall_single_run": extra,
         },
     }))
     spark.stop()

@@ -19,3 +19,23 @@ def test_headline_queries_are_registered_with_oracles():
     assert not missing, f"headline queries not registered: {missing}"
     no_oracle = [n for n in bench.HEADLINE if n not in oracles]
     assert not no_oracle, f"headline queries without oracles: {no_oracle}"
+
+
+def test_bench_extra_set_is_registered_with_oracles_or_rows_only():
+    """Every extra-timed query must exist in the registry (the bench
+    would crash at runtime otherwise)."""
+    import inspect
+    import re
+
+    import bench
+    import __spark_entry__ as entrymod
+    q = entrymod.queries()
+    # EXTRA is defined inside main(); re-derive it from the source to
+    # keep the contract honest without executing Spark
+    src = inspect.getsource(bench)
+    m = re.search(r"EXTRA = \(([^)]*)\)", src)
+    assert m, "EXTRA tuple not found"
+    names = re.findall(r'"([a-z0-9_]+)"', m.group(1))
+    assert names, "EXTRA parsed empty"
+    unknown = [n for n in names if n not in q]
+    assert not unknown, f"EXTRA names not registered: {unknown}"

@@ -166,3 +166,23 @@ def test_pyds_writer_rejects_null_text(spark, tmp_path):
     with _pytest.raises(Exception, match="cannot encode NULL text"):
         src.write.format("doclines").mode("append").save(
             str(tmp_path / "null_pyds"))
+
+
+def test_pyds_escaping_roundtrips_arbitrary_text():
+    """Property: unescape(escape(s)) == s for arbitrary text, and the
+    escaped form never contains a raw TAB/LF/CR (the framing bytes)."""
+    from hypothesis import given, settings, strategies as st
+
+    from mit_6_5840_mapreduce_spark.sources.pyds import (
+        escape_field,
+        unescape_field,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text())
+    def prop(s):
+        e = escape_field(s)
+        assert "\t" not in e and "\n" not in e and "\r" not in e
+        assert unescape_field(e) == s
+
+    prop()
