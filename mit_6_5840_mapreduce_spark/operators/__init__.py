@@ -79,6 +79,7 @@ WINDOW_FIRST: tuple[str, ...] = (
 def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
                         dict[str, str]]:
     from mit_6_5840_mapreduce_spark.operators import (
+        bpe,
         corpus,
         dedup,
         events,
@@ -99,7 +100,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
                                       ORACLES=multimodal.LATE_ORACLES)
     modules = (mrqueries, dedup, similarity, textstats, scrub, formats,
                multimodal, streaming_jobs, events, corpus, streaming_late,
-               multimodal_late, relational, mixture)
+               multimodal_late, relational, mixture, bpe)
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for m in modules:

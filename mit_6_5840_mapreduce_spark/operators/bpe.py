@@ -1,0 +1,121 @@
+"""Distributed BPE tokenizer-vocabulary training — the subword-vocab
+step an LLM data pipeline runs before token counting/packing (nothing
+in the reference implements this; north-star extension surface like
+operators/dedup.py).
+
+``bpe_train`` runs the classic byte-pair-encoding loop (Sennrich et
+al.): words split into character symbols (+ an end-of-word marker),
+then BPE_MERGES rounds of [count adjacent symbol pairs weighted by word
+frequency -> pick the most frequent pair -> fuse it everywhere]. The
+result is the merge table itself — the trained artifact a tokenizer
+ships.
+
+Determinism: pair selection orders by (count DESC, left ASC, right
+ASC), merges apply greedily left-to-right (the ``pend`` fold below), so
+the merge table is identical on any engine, partitioning, or cluster
+size. Like ``ivf_train``, the loop is the canonical
+non-SQL-expressible iterative operator: registered rows-only, with the
+full merge table pinned against a sequential pure-Python reference by
+``tests/test_bpe.py``.
+
+Scale design (100 TB): the loop runs over the WORD VOCABULARY (distinct
+words + counts), not the corpus — one corpus tokenize pass up front,
+then every round is a vocabulary-sized explode + map-side-combined
+hash-agg; only the single winning pair crosses to the driver each round
+(the ivf_train rule: the model is the only driver traffic). Symbol
+rewriting is a JVM higher-order fold (no Python row path), and
+``localCheckpoint`` truncates the per-round lineage exactly as the CC
+loop does (operators/dedup.cc_labels).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_spark.functions.text import tokenize
+from mit_6_5840_mapreduce_spark.sources.tables import fan_out, load_table
+
+BPE_MERGES = 12
+EOW = "</w>"                    # end-of-word marker symbol
+
+
+def _merge_pair(syms: Column, a: str, b: str) -> Column:
+    """Fuse every left-to-right non-overlapping (a, b) occurrence in a
+    symbol array into one symbol a+b — the BPE merge application, as a
+    single JVM fold with a one-symbol lookbehind (``pend``)."""
+    merged = a + b
+    empty = F.array().cast("array<string>")
+    nul = F.lit(None).cast("string")
+    init = F.struct(empty.alias("out"), nul.alias("pend"))
+
+    def step(acc: Column, x: Column) -> Column:
+        return (
+            F.when(acc["pend"].isNull(),
+                   F.struct(acc["out"].alias("out"), x.alias("pend")))
+            .when((acc["pend"] == a) & (x == b),
+                  F.struct(F.concat(acc["out"],
+                                    F.array(F.lit(merged))).alias("out"),
+                           nul.alias("pend")))
+            .otherwise(
+                F.struct(F.concat(acc["out"],
+                                  F.array(acc["pend"])).alias("out"),
+                         x.alias("pend")))
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(acc["pend"].isNull(), acc["out"]) \
+            .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def _word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(symbols, cnt) over the distinct lowercased word vocabulary:
+    chars + EOW marker, corpus frequency as the weight."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    words = (docs.select(F.explode(tokenize(F.lower(F.col("text"))))
+                         .alias("w"))
+             .groupBy("w").agg(F.count("*").alias("cnt")))
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit(""))
+    return words.select(
+        "cnt", F.concat(chars, F.array(F.lit(EOW))).alias("syms"))
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE_MERGES merge rules on the corpus; returns the ordered
+    merge table (rank, left, right, pair_count) — see module docstring
+    for the determinism and scale contract."""
+    vocab = _word_vocab(spark, sf_dir).localCheckpoint(eager=True)
+    adjacent = F.when(
+        F.size("syms") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("syms"), i).alias("a"),
+                        F.element_at(F.col("syms"), i + 1).alias("b")))
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, BPE_MERGES + 1):
+        top = (vocab.select("cnt", F.explode(adjacent).alias("p"))
+               .groupBy("p.a", "p.b").agg(F.sum("cnt").alias("c"))
+               .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+               .limit(1).collect())
+        if not top:
+            break               # vocabulary fully fused — nothing left
+        a, b, c = top[0].a, top[0].b, int(top[0].c)
+        merges.append((rank, a, b, c))
+        vocab = (vocab.select("cnt",
+                              _merge_pair(F.col("syms"), a, b)
+                              .alias("syms"))
+                 .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        merges, "rank INT, left STRING, right STRING, pair_count BIGINT")
+
+
+QUERIES = {
+    # iterative vocabulary training: rows-only (no SQL oracle; the
+    # merge table is pinned against a pure-Python reference)
+    "bpe_train": bpe_train,
+}
+
+ORACLES: dict[str, str] = {}

@@ -80,6 +80,7 @@ REPRESENTATIVE = [
     "pyds_roundtrip_stats",
     "user_scd2",
     "similarity_triangles",
+    "bpe_train",
 ]
 
 # un-grouped audit/summary queries keep their fixed rows on empty input
