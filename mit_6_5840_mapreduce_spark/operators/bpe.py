@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mit_6_5840_mapreduce_spark.functions.numeric import floor4
 from mit_6_5840_mapreduce_spark.functions.text import tokenize
 from mit_6_5840_mapreduce_spark.sources.tables import fan_out, load_table
 
@@ -112,10 +113,51 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges, "rank INT, left STRING, right STRING, pair_count BIGINT")
 
 
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained merge table to the corpus — the serving half
+    of the tokenizer: every distinct word encodes ONCE (the merge rules
+    chain as BPE_MERGES nested JVM folds over its symbol array), then
+    per-document subword statistics come from joining each document's
+    word usage back to the encoded vocabulary. Output per doc:
+    (n_words, n_subwords, avg floor4) — the real token count a packing
+    or pricing step would consume.
+
+    The K-row merge table is the MODEL — collecting it to the driver is
+    the ivf_train rule, not a row-data leak; at any corpus scale it
+    stays BPE_MERGES rows. Rows-only like its trainer (the chained
+    rewrite is not SQL-expressible); pinned against the same
+    pure-Python reference end to end by tests/test_bpe.py."""
+    merges = sorted(
+        ((r.rank, r.left, r.right)
+         for r in bpe_train(spark, sf_dir).collect()))
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    doc_words = (docs.select(
+        "doc_id", F.explode(tokenize(F.lower(F.col("text")))).alias("w"))
+        .groupBy("doc_id", "w").agg(F.count("*").alias("n_uses")))
+    words = doc_words.select("w").distinct()
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit(""))
+    syms = F.concat(chars, F.array(F.lit(EOW)))
+    for _, a, b in merges:
+        syms = _merge_pair(syms, a, b)
+    enc = words.select("w", F.size(syms).cast("bigint")
+                       .alias("n_subwords_word"))
+    return (
+        doc_words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_uses").alias("n_words"),
+             F.sum(F.col("n_uses") * F.col("n_subwords_word"))
+             .alias("n_subwords"))
+        .select("doc_id", "n_words", "n_subwords",
+                floor4(F.col("n_subwords") / F.col("n_words"))
+                .alias("avg_subwords"))
+    )
+
+
 QUERIES = {
-    # iterative vocabulary training: rows-only (no SQL oracle; the
-    # merge table is pinned against a pure-Python reference)
+    # iterative vocabulary training + its serving half: rows-only (no
+    # SQL oracle; both pinned against a pure-Python reference)
     "bpe_train": bpe_train,
+    "bpe_encode": bpe_encode,
 }
 
 ORACLES: dict[str, str] = {}

@@ -92,3 +92,43 @@ def test_bpe_merges_are_ranked_and_monotonic_enough(spark, sf_dir):
     assert len(rows) == BPE_MERGES
     assert all(r.pair_count > 0 for r in rows)
     assert len({(r.left, r.right) for r in rows}) == len(rows)
+
+
+def test_bpe_encode_matches_python_reference(spark, sf_dir, word_counts):
+    """Per-doc subword counts from the distributed encode must equal
+    applying the reference merges to every word sequentially."""
+    merges = _reference_bpe(word_counts, BPE_MERGES)
+
+    def encode_len(word: str) -> int:
+        syms = list(word) + [EOW]
+        for _, a, b, _c in merges:
+            out, pend = [], None
+            for x in syms:
+                if pend is None:
+                    pend = x
+                elif pend == a and x == b:
+                    out.append(a + b)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            syms = out
+        return len(syms)
+
+    enc_cache = {w: encode_len(w) for w in word_counts}
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").fetchall()
+    want = {}
+    for doc_id, text in rows:
+        toks = _python_tokens(text.lower())
+        if not toks:
+            continue
+        n_sub = sum(enc_cache[w] for w in toks)
+        import math
+        want[doc_id] = (len(toks), n_sub,
+                        math.floor(n_sub / len(toks) * 10000) / 10000)
+    got = {r.doc_id: (r.n_words, r.n_subwords, r.avg_subwords) for r in
+           entrymod.queries()["bpe_encode"](spark, sf_dir).collect()}
+    assert got == want

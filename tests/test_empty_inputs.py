@@ -81,6 +81,7 @@ REPRESENTATIVE = [
     "user_scd2",
     "similarity_triangles",
     "bpe_train",
+    "bpe_encode",
 ]
 
 # un-grouped audit/summary queries keep their fixed rows on empty input

@@ -29,7 +29,7 @@ CARTESIAN_OK = {"embedding_neardup_exact", "embedding_neardup"}
 # materialized result only
 MATERIALIZING = {"stream_hourly_counts", "stream_dedup_events",
                  "stream_user_totals", "dedup_groups", "ivf_train",
-                 "doc_pagerank", "bpe_train"}
+                 "doc_pagerank", "bpe_train", "bpe_encode"}
 
 
 def main() -> int:
