@@ -113,7 +113,9 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges, "rank INT, left STRING, right STRING, pair_count BIGINT")
 
 
-def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_encode(spark: SparkSession, sf_dir: str,
+               merge_rules: list[tuple[int, str, str]] | None = None
+               ) -> DataFrame:
     """Apply the trained merge table to the corpus — the serving half
     of the tokenizer: every distinct word encodes ONCE (the merge rules
     chain as BPE_MERGES nested JVM folds over its symbol array), then
@@ -126,10 +128,15 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ivf_train rule, not a row-data leak; at any corpus scale it
     stays BPE_MERGES rows. Rows-only like its trainer (the chained
     rewrite is not SQL-expressible); pinned against the same
-    pure-Python reference end to end by tests/test_bpe.py."""
-    merges = sorted(
-        ((r.rank, r.left, r.right)
-         for r in bpe_train(spark, sf_dir).collect()))
+    pure-Python reference end to end by tests/test_bpe.py.
+
+    ``merge_rules``: a pre-trained [(rank, left, right), ...] table —
+    a real pipeline trains once and encodes many times (the
+    dedup_keep_best labels_df lesson); the gate default retrains so
+    the registered query stays self-contained."""
+    merges = sorted(merge_rules) if merge_rules is not None else sorted(
+        (r.rank, r.left, r.right)
+        for r in bpe_train(spark, sf_dir).collect())
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     doc_words = (docs.select(
         "doc_id", F.explode(tokenize(F.lower(F.col("text")))).alias("w"))

@@ -132,3 +132,17 @@ def test_bpe_encode_matches_python_reference(spark, sf_dir, word_counts):
     got = {r.doc_id: (r.n_words, r.n_subwords, r.avg_subwords) for r in
            entrymod.queries()["bpe_encode"](spark, sf_dir).collect()}
     assert got == want
+
+
+def test_bpe_encode_accepts_pretrained_merges(spark, sf_dir, word_counts):
+    """Passing a pre-trained merge table must skip retraining and give
+    the identical result (the train-once-encode-many path)."""
+    from mit_6_5840_mapreduce_spark.operators.bpe import bpe_encode
+    rules = [(r, a, b) for r, a, b, _c in
+             _reference_bpe(word_counts, BPE_MERGES)]
+    got = {x.doc_id: (x.n_words, x.n_subwords, x.avg_subwords)
+           for x in bpe_encode(spark, sf_dir, merge_rules=rules).collect()}
+    default = {x.doc_id: (x.n_words, x.n_subwords, x.avg_subwords)
+               for x in entrymod.queries()["bpe_encode"](
+                   spark, sf_dir).collect()}
+    assert got == default
