@@ -827,3 +827,88 @@ ORACLES["user_scd2"] = """
                     AS INT) AS is_current
         FROM runs
 """
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a CDC changelog into a keyed snapshot (the warehouse
+    upsert/delete primitive the reference's batch jobs would feed:
+    latest-wins per key, then insert/update/delete against the base).
+
+    The events stream is read as the changelog for the ``customer``
+    snapshot: key = user_id = c_custkey, sequence = (ts, event_id),
+    op = DELETE when event_type = 'error', else UPSERT carrying
+    (value -> acctbal, upper(event_type) -> mktsegment). Latest op per
+    key wins; UPSERT updates an existing customer or inserts a new key;
+    DELETE drops the row; untouched customers pass through as 'keep'.
+
+    Scale (100 TB changelog): latest-per-key is a ``max(struct(seq,
+    payload))`` hash aggregate — NOT a row_number window — so Spark
+    partial-aggregates map-side and shuffles one row per key per map
+    task instead of sorting the full changelog. The merge itself is one
+    co-partitioned full-outer sort-merge join on the key. No driver
+    loops, no Python row path.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value")
+    # (ts, event_id) is unique per user, so the lexicographic struct max
+    # is the deterministic latest op
+    latest = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value"))
+             .alias("last"))
+        .select(
+            F.col("user_id").alias("key"),
+            F.when(F.col("last.event_type") == "error", F.lit("D"))
+             .otherwise(F.lit("U")).alias("op"),
+            F.col("last.value").alias("new_bal"),
+            F.upper(F.col("last.event_type")).alias("new_seg"),
+        ))
+    cust = load_table(spark, sf_dir, "customer")
+    merged = cust.join(latest, cust.c_custkey == latest.key, "full_outer")
+    return (
+        merged
+        .where(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            F.coalesce("c_custkey", "key").alias("c_custkey"),
+            F.coalesce("c_name", F.lit("cdc-insert")).alias("c_name"),
+            F.coalesce(F.col("c_nationkey"), F.lit(-1)).cast("int")
+                .alias("c_nationkey"),
+            F.when(F.col("op") == "U", F.col("new_bal"))
+             .otherwise(F.col("c_acctbal")).alias("acctbal"),
+            F.when(F.col("op") == "U", F.col("new_seg"))
+             .otherwise(F.col("c_mktsegment")).alias("mktsegment"),
+            F.when(F.col("op").isNull(), F.lit("keep"))
+             .when(F.col("c_custkey").isNull(), F.lit("insert"))
+             .otherwise(F.lit("update")).alias("cdc_op"),
+        ))
+
+
+QUERIES["cdc_apply"] = cdc_apply
+
+ORACLES["cdc_apply"] = """
+        WITH latest AS (
+            SELECT user_id AS key,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END
+                       AS op,
+                   value AS new_bal,
+                   upper(event_type) AS new_seg
+            FROM (SELECT user_id, event_type, value,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC,
+                                                     event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        )
+        SELECT coalesce(c_custkey, key) AS c_custkey,
+               coalesce(c_name, 'cdc-insert') AS c_name,
+               CAST(coalesce(c_nationkey, -1) AS INT) AS c_nationkey,
+               CASE WHEN op = 'U' THEN new_bal ELSE c_acctbal END
+                   AS acctbal,
+               CASE WHEN op = 'U' THEN new_seg ELSE c_mktsegment END
+                   AS mktsegment,
+               CASE WHEN op IS NULL THEN 'keep'
+                    WHEN c_custkey IS NULL THEN 'insert'
+                    ELSE 'update' END AS cdc_op
+        FROM customer FULL JOIN latest ON c_custkey = key
+        WHERE op IS NULL OR op = 'U'
+"""

@@ -1,0 +1,59 @@
+"""cdc_apply: MERGE semantics on a constructed changelog/snapshot pair
+where every path (insert / update / delete / keep / latest-wins) is
+exercised and the expected snapshot is computable by hand.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import __spark_entry__ as entrymod
+
+
+def _mini_sf(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cdc"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([0, 1, 2, 3], pa.int64()),
+        "c_name": pa.array([f"Customer#{i}" for i in range(4)]),
+        "c_nationkey": pa.array([7, 8, 9, 10], pa.int32()),
+        "c_acctbal": pa.array([100.25, 200.5, 300.75, 400.0]),
+        "c_mktsegment": pa.array(["BUILDING"] * 4),
+    }), os.path.join(out, "customer.parquet"))
+    # user 0: error THEN click  -> latest wins -> update (not delete)
+    # user 1: click THEN error  -> delete
+    # user 5: not in snapshot, purchase -> insert
+    # users 2, 3: untouched -> keep
+    ts = [1_700_000_000_000_000_000 + i * 10**9 for i in range(5)]
+    pq.write_table(pa.table({
+        "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("ns")),
+        "user_id": pa.array([0, 0, 1, 1, 5], pa.int64()),
+        "event_type": pa.array(
+            ["error", "click", "click", "error", "purchase"]),
+        "value": pa.array([1.0, 11.5, 2.0, 3.0, 42.75]),
+        "props": pa.array(["{}"] * 5),
+    }), os.path.join(out, "events.parquet"))
+    return out
+
+
+def test_cdc_apply_all_paths(spark, tmp_path_factory):
+    d = _mini_sf(tmp_path_factory)
+    rows = {r.c_custkey: r for r in
+            entrymod.queries()["cdc_apply"](spark, d).collect()}
+    # user 1 deleted; 0 updated; 5 inserted; 2 and 3 kept
+    assert set(rows) == {0, 2, 3, 5}
+    upd = rows[0]
+    assert (upd.cdc_op, upd.acctbal, upd.mktsegment) == (
+        "update", 11.5, "CLICK")
+    assert upd.c_name == "Customer#0" and upd.c_nationkey == 7
+    ins = rows[5]
+    assert (ins.cdc_op, ins.c_name, ins.c_nationkey,
+            ins.acctbal, ins.mktsegment) == (
+        "insert", "cdc-insert", -1, 42.75, "PURCHASE")
+    for k in (2, 3):
+        r = rows[k]
+        assert (r.cdc_op, r.acctbal, r.mktsegment) == (
+            "keep", [300.75, 400.0][k - 2], "BUILDING")

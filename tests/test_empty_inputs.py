@@ -82,6 +82,8 @@ REPRESENTATIVE = [
     "similarity_triangles",
     "bpe_train",
     "bpe_encode",
+    # session-3 surface
+    "cdc_apply",
 ]
 
 # un-grouped audit/summary queries keep their fixed rows on empty input
