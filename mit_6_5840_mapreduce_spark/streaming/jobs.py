@@ -556,6 +556,113 @@ def stream_topk_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         _memq("topkstate"), output_mode="append")
 
 
+def run_cdc_upsert_stream(spark: SparkSession, changelog: DataFrame,
+                          customer: DataFrame,
+                          timeout_sec: int = 120) -> DataFrame:
+    """Execute a CDC changelog stream through a VERSIONED-SNAPSHOT
+    foreachBatch merge (shared by the gate query and the multi-batch
+    test). Batch N reads snapshot v{N} and writes v{N+1}, so a retried
+    micro-batch simply overwrites its own output — the idempotent-sink
+    discipline foreachBatch requires. The snapshot carries each key's
+    op + sequence (ts, event_id) as a TOMBSTONE column instead of
+    physically deleting, so a late-arriving older upsert in a later
+    micro-batch can never resurrect a deleted key: latest-wins is
+    decided by sequence comparison, which makes the merge independent
+    of how the changelog is split into batches.
+
+    Scale: each micro-batch is one hash-aggregate (latest-per-key,
+    partial map-side) + one co-partitioned full-outer merge join
+    against the snapshot — the same plan shape as the batch
+    ``cdc_apply``, applied incrementally.
+    """
+    import glob
+
+    from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
+    root = scratch_dir("stream_cdc")
+    base = customer.select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit(True).alias("base"),
+        F.lit(None).cast("string").alias("op"),
+        F.lit(None).cast("timestamp").alias("seq_ts"),
+        F.lit(None).cast("bigint").alias("seq_eid"))
+    base.write.mode("overwrite").parquet(os.path.join(root, "v0"))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        snap = spark.read.parquet(os.path.join(root, f"v{batch_id}"))
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type", "value"))
+                 .alias("l"))
+            .select(
+                F.col("user_id").alias("key"),
+                F.when(F.col("l.event_type") == "error", F.lit("D"))
+                 .otherwise(F.lit("U")).alias("l_op"),
+                F.col("l.value").alias("new_bal"),
+                F.upper(F.col("l.event_type")).alias("new_seg"),
+                F.col("l.ts").alias("l_ts"),
+                F.col("l.event_id").alias("l_eid")))
+        m = snap.join(latest, snap.c_custkey == latest.key, "full_outer")
+        # the batch entry wins iff the key is in this batch AND its
+        # sequence beats the stored one (base rows have NULL = -inf)
+        newer = F.col("key").isNotNull() & (
+            F.col("seq_ts").isNull()
+            | (F.struct(F.col("l_ts"), F.col("l_eid"))
+               > F.struct(F.col("seq_ts"), F.col("seq_eid"))))
+        upsert = newer & (F.col("l_op") == "U")
+        merged = m.select(
+            F.coalesce("c_custkey", "key").alias("c_custkey"),
+            F.coalesce("c_name", F.lit("cdc-insert")).alias("c_name"),
+            F.coalesce(F.col("c_nationkey"), F.lit(-1)).cast("int")
+                .alias("c_nationkey"),
+            F.when(upsert, F.col("new_bal")).otherwise(F.col("acctbal"))
+                .alias("acctbal"),
+            F.when(upsert, F.col("new_seg")).otherwise(F.col("mktsegment"))
+                .alias("mktsegment"),
+            F.coalesce("base", F.lit(False)).alias("base"),
+            F.when(newer, F.col("l_op")).otherwise(F.col("op")).alias("op"),
+            F.when(newer, F.col("l_ts")).otherwise(F.col("seq_ts"))
+                .alias("seq_ts"),
+            F.when(newer, F.col("l_eid")).otherwise(F.col("seq_eid"))
+                .alias("seq_eid"))
+        merged.write.mode("overwrite").parquet(
+            os.path.join(root, f"v{batch_id + 1}"))
+
+    q = (
+        changelog.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    versions = sorted(
+        int(os.path.basename(p)[1:])
+        for p in glob.glob(os.path.join(root, "v*")))
+    final = spark.read.parquet(os.path.join(root, f"v{versions[-1]}"))
+    return (
+        final.where(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            "c_custkey", "c_name", "c_nationkey", "acctbal", "mktsegment",
+            F.when(F.col("op").isNull(), F.lit("keep"))
+             .when(~F.col("base"), F.lit("insert"))
+             .otherwise(F.lit("update")).alias("cdc_op")))
+
+
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC merge — the incremental twin of
+    ``operators/events.cdc_apply``: the event changelog streams through
+    a foreachBatch upsert/delete merge into a versioned keyed snapshot
+    (the sink pattern for warehouse MERGE targets Structured Streaming
+    has no native sink for). Both forms share one oracle, so the gate
+    value-checks that the incremental merge converges to exactly the
+    batch MERGE result regardless of micro-batching; cross-batch
+    ordering (latest-wins over batch boundaries, tombstones blocking
+    resurrection) is pinned by tests/test_cdc.py's split-file test."""
+    return run_cdc_upsert_stream(
+        spark, read_events_stream(spark, sf_dir),
+        load_table(spark, sf_dir, "customer"))
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts,
     "stream_sliding_counts": stream_sliding_counts,
@@ -573,6 +680,7 @@ QUERIES = {
 LATE_QUERIES = {
     "stream_sessionize": stream_sessionize,
     "stream_attribution": stream_attribution,
+    "stream_cdc_upsert": stream_cdc_upsert,
 }
 
 ORACLES = {
@@ -701,3 +809,11 @@ LATE_ORACLES = {
         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     """,
 }
+
+# the incremental foreachBatch merge must converge to exactly the batch
+# MERGE result, so the streaming form shares cdc_apply's oracle
+from mit_6_5840_mapreduce_spark.operators.events import (  # noqa: E402
+    ORACLES as _EVENT_ORACLES,
+)
+
+LATE_ORACLES["stream_cdc_upsert"] = _EVENT_ORACLES["cdc_apply"]

@@ -57,3 +57,62 @@ def test_cdc_apply_all_paths(spark, tmp_path_factory):
         r = rows[k]
         assert (r.cdc_op, r.acctbal, r.mktsegment) == (
             "keep", [300.75, 400.0][k - 2], "BUILDING")
+
+
+def test_stream_cdc_upsert_multi_batch_order_independent(
+        spark, tmp_path_factory):
+    """Split the changelog into 3 single-file micro-batches where the
+    DECISIVE (newest) op for key 0 arrives in batch 0 and older ops for
+    it arrive later, and key 1's delete arrives before an older upsert:
+    the incremental merge must still equal the batch cdc_apply result
+    (latest-wins across batches; tombstones block resurrection)."""
+    from mit_6_5840_mapreduce_spark.sources.tables import load_table
+    from mit_6_5840_mapreduce_spark.streaming.jobs import (
+        run_cdc_upsert_stream,
+    )
+
+    d = _mini_sf(tmp_path_factory)
+    src = str(tmp_path_factory.mktemp("cdc_stream_src"))
+
+    def write_events(name, rows):
+        eid, ts, uid, et, val = zip(*rows)
+        pq.write_table(pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("ns")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(list(et)),
+            "value": pa.array(val),
+            "props": pa.array(["{}"] * len(rows)),
+        }), os.path.join(src, name))
+
+    t0 = 1_700_000_000_000_000_000
+    # batch 0: key 0's NEWEST op (upsert) + key 1's delete (newest)
+    write_events("b0.parquet", [
+        (11, t0 + 9 * 10**9, 0, "click", 11.5),
+        (13, t0 + 8 * 10**9, 1, "error", 3.0),
+    ])
+    # batch 1: OLDER ops for both keys — must lose to batch 0's state
+    write_events("b1.parquet", [
+        (10, t0 + 1 * 10**9, 0, "error", 1.0),
+        (12, t0 + 2 * 10**9, 1, "click", 2.0),
+    ])
+    # batch 2: insert of a key absent from the snapshot
+    write_events("b2.parquet", [
+        (14, t0 + 5 * 10**9, 5, "purchase", 42.75),
+    ])
+
+    raw_schema = spark.read.parquet(os.path.join(src, "b0.parquet")).schema
+    from mit_6_5840_mapreduce_spark.sources.tables import normalize_event_ts
+    changelog = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        target="timestamp")
+    got = run_cdc_upsert_stream(
+        spark, changelog, load_table(spark, d, "customer"))
+    rows = {r.c_custkey: r for r in got.collect()}
+    assert set(rows) == {0, 2, 3, 5}
+    assert (rows[0].cdc_op, rows[0].acctbal, rows[0].mktsegment) == (
+        "update", 11.5, "CLICK")
+    assert (rows[5].cdc_op, rows[5].c_name, rows[5].acctbal) == (
+        "insert", "cdc-insert", 42.75)
+    assert rows[2].cdc_op == "keep" and rows[3].cdc_op == "keep"

@@ -84,6 +84,7 @@ REPRESENTATIVE = [
     "bpe_encode",
     # session-3 surface
     "cdc_apply",
+    "stream_cdc_upsert",
 ]
 
 # un-grouped audit/summary queries keep their fixed rows on empty input
