@@ -381,3 +381,124 @@ ORACLES["doc_lm_score"] = rf"""
         JOIN cu USING (w1)
         GROUP BY doc_id
 """
+
+
+# Count-min sketch shape: 4 independent md5-salted rows x 512 columns.
+# Items are word BIGRAMS: the synthetic corpus has only ~31 distinct
+# unigrams (collision-free in any reasonable sketch) but ~900 distinct
+# bigrams, so the gate corpus produces REAL CMS collisions and the
+# overestimate column carries signal instead of constant zeros.
+CMS_ROWS = 4
+CMS_WIDTH = 512
+CMS_TOPK = 20
+
+
+def _cms_col(r, item):
+    """Column index of `item` in sketch row `r` — the md5-salted hash
+    both engines compute bit-identically (functions/hashing.py)."""
+    from mit_6_5840_mapreduce_spark.functions.hashing import md5_int32
+    return md5_int32(
+        F.concat(F.lit("cms"), r.cast("string"), F.lit(":"), item)
+    ) % CMS_WIDTH
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a count-min sketch, with exact error
+    accounting: build a 4x512 CMS over the corpus word-bigram stream,
+    then report — for the CMS_TOPK most frequent bigrams — the exact
+    count, the CMS estimate (min over the 4 salted rows), and the
+    guaranteed non-negative overestimate. Deterministic md5 row hashes
+    make the sketch reproducible bit-for-bit in the DuckDB oracle, so
+    the gate value-checks the sketch itself, not just the final
+    ranking.
+
+    Scale (100 TB): the only corpus-sized work is ONE bigram hash
+    aggregate with map-side partial aggregation; the sketch is built
+    from the aggregated vocabulary (a second, vocabulary-sized agg into
+    a fixed 2,048-cell table) — the pattern that lets the sketch stand
+    in for the exact count table when the item domain no longer fits
+    (URLs, n-grams, user ids). Probing joins the 20 candidates to the
+    broadcast sketch; nothing corpus-sized shuffles twice.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        tokenize(F.lower(F.col("text"))).alias("toks"))
+    items = (
+        toks.where(F.size("toks") >= 2)
+        .select(F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1)))).alias("item")))
+    item_counts = items.groupBy("item").agg(
+        F.count("*").alias("exact_count"))
+    rows_ = F.explode(
+        F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r")
+    hashed = (
+        item_counts.select("item", "exact_count", rows_)
+        .withColumn("col", _cms_col(F.col("r"), F.col("item"))))
+    sketch = hashed.groupBy("r", "col").agg(
+        F.sum("exact_count").alias("cell"))
+    top = (item_counts
+           .orderBy(F.desc("exact_count"), F.asc("item"))
+           .limit(CMS_TOPK))
+    probe = (
+        top.select("item", "exact_count", rows_)
+        .withColumn("col", _cms_col(F.col("r"), F.col("item"))))
+    est = (
+        probe.join(F.broadcast(sketch), ["r", "col"])
+        .groupBy("item")
+        .agg(F.max("exact_count").alias("exact_count"),
+             F.min("cell").alias("cms_estimate")))
+    return est.select(
+        "item", "exact_count", "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count"))
+            .alias("overestimate"))
+
+
+QUERIES["heavy_hitters_cms"] = heavy_hitters_cms
+
+ORACLES["heavy_hitters_cms"] = rf"""
+        WITH toks AS (
+            SELECT list_filter(
+                       regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                       x -> x <> '') AS ts
+            FROM documents
+        ),
+        items AS (
+            SELECT ts[i] || ' ' || ts[i + 1] AS item
+            FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks)
+        ),
+        item_counts AS (
+            SELECT item, count(*) AS exact_count FROM items GROUP BY item
+        ),
+        rows_ AS (SELECT unnest(range(0, {CMS_ROWS})) AS r),
+        hashed AS (
+            SELECT item, exact_count, r,
+                   CAST(concat('0x', substring(md5(concat('cms',
+                        CAST(r AS VARCHAR), ':', item)), 1, 8))
+                        AS BIGINT) % {CMS_WIDTH} AS col
+            FROM item_counts CROSS JOIN rows_
+        ),
+        sketch AS (
+            SELECT r, col, sum(exact_count) AS cell
+            FROM hashed GROUP BY r, col
+        ),
+        top AS (
+            SELECT item, exact_count FROM item_counts
+            ORDER BY exact_count DESC, item ASC LIMIT {CMS_TOPK}
+        )
+        SELECT t.item,
+               max(t.exact_count) AS exact_count,
+               CAST(min(s.cell) AS BIGINT) AS cms_estimate,
+               CAST(min(s.cell) - max(t.exact_count) AS BIGINT)
+                   AS overestimate
+        FROM top t
+        CROSS JOIN rows_
+        JOIN sketch s
+          ON s.r = rows_.r
+         AND s.col = CAST(concat('0x', substring(md5(concat('cms',
+                          CAST(rows_.r AS VARCHAR), ':', t.item)), 1, 8))
+                          AS BIGINT) % {CMS_WIDTH}
+        GROUP BY t.item
+"""

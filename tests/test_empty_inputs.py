@@ -85,6 +85,7 @@ REPRESENTATIVE = [
     # session-3 surface
     "cdc_apply",
     "stream_cdc_upsert",
+    "heavy_hitters_cms",
 ]
 
 # un-grouped audit/summary queries keep their fixed rows on empty input

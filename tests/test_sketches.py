@@ -38,3 +38,15 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
         # GK sketch at accuracy 10000 over this corpus: sub-percent error
         assert abs(approx - true) <= max(1.0, 0.01 * true), (approx, true)
     assert row.n_orders > 0
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """The count-min guarantee: every estimate >= the exact count, and
+    the gate corpus actually produces collisions (vocabulary of ~900
+    bigrams into 512 columns) so the sketch is not trivially exact."""
+    import __spark_entry__ as entrymod
+    rows = entrymod.queries()["heavy_hitters_cms"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.cms_estimate == r.exact_count + r.overestimate
+               for r in rows)
