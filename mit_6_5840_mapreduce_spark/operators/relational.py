@@ -1865,3 +1865,94 @@ ORACLES = {
         GROUP BY ROLLUP (r_name, n_name)
     """,
 }
+
+
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts over three objectives:
+    MINIMIZE retail price, MAXIMIZE size, MAXIMIZE demand (total
+    lineitem quantity sold). A part is on the skyline iff no other part
+    is at least as good on every objective and strictly better on one.
+
+    Distributed skyline, the classic two-phase algorithm: (1) each
+    Arrow batch computes its LOCAL skyline with a vectorized numpy
+    dominance filter — sound because dominance is transitive, so every
+    globally-dominated point is dominated by some local survivor — then
+    (2) the small candidate set self-joins once (broadcast nested loop,
+    anti on the dominance predicate) for the exact global answer. On
+    randomly-distributed data the candidate set is O(log^d n), so phase
+    2 is trivially broadcastable at any corpus size; a fully
+    anti-correlated worst case (skyline ~ n) would need a sort-merge
+    skyline merge instead — documented bound, not hit by TPC-H-shaped
+    data. All comparisons are exact (2dp cents, integer sizes, exact
+    integer-valued quantity sums), so both engines agree bit-for-bit.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size")
+    demand = (load_table(spark, sf_dir, "lineitem")
+              .groupBy("l_partkey")
+              .agg(F.round(F.sum("l_quantity"), 2).alias("demand")))
+    m = (part.join(demand, part.p_partkey == demand.l_partkey, "left")
+         .select("p_partkey",
+                 F.col("p_retailprice").alias("price"),
+                 F.col("p_size").cast("bigint").alias("size"),
+                 F.coalesce("demand", F.lit(0.0)).alias("demand")))
+
+    out_schema = "p_partkey bigint, price double, size bigint, demand double"
+
+    def local_skyline(batches):
+        import numpy as np
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            price = pdf["price"].to_numpy()
+            size = pdf["size"].to_numpy()
+            dem = pdf["demand"].to_numpy()
+            dominated = np.zeros(n, dtype=bool)
+            # chunk the (candidates x all) dominance matrix so memory
+            # stays bounded at any Arrow batch size
+            for lo in range(0, n, 512):
+                sl = slice(lo, min(n, lo + 512))
+                ge = ((price[None, :] <= price[sl, None])
+                      & (size[None, :] >= size[sl, None])
+                      & (dem[None, :] >= dem[sl, None]))
+                strict = ((price[None, :] < price[sl, None])
+                          | (size[None, :] > size[sl, None])
+                          | (dem[None, :] > dem[sl, None]))
+                dominated[sl] = (ge & strict).any(axis=1)
+            yield pdf[~dominated]
+
+    cand = m.mapInPandas(local_skyline, out_schema)
+    a, b = cand.alias("a"), cand.alias("b")
+    dom = ((F.col("b.price") <= F.col("a.price"))
+           & (F.col("b.size") >= F.col("a.size"))
+           & (F.col("b.demand") >= F.col("a.demand"))
+           & ((F.col("b.price") < F.col("a.price"))
+              | (F.col("b.size") > F.col("a.size"))
+              | (F.col("b.demand") > F.col("a.demand"))))
+    return (a.join(F.broadcast(b), dom, "left_anti")
+            .select("p_partkey", "price", "size", "demand"))
+
+
+QUERIES["skyline_pareto"] = skyline_pareto
+
+ORACLES["skyline_pareto"] = """
+        WITH demand AS (
+            SELECT l_partkey, round(sum(l_quantity), 2) AS demand
+            FROM lineitem GROUP BY l_partkey
+        ),
+        m AS (
+            SELECT p_partkey, p_retailprice AS price,
+                   CAST(p_size AS BIGINT) AS size,
+                   coalesce(demand, 0.0) AS demand
+            FROM part LEFT JOIN demand ON l_partkey = p_partkey
+        )
+        SELECT p_partkey, price, size, demand
+        FROM m a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM m b
+            WHERE b.price <= a.price AND b.size >= a.size
+              AND b.demand >= a.demand
+              AND (b.price < a.price OR b.size > a.size
+                   OR b.demand > a.demand))
+"""

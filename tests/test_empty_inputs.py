@@ -86,6 +86,7 @@ REPRESENTATIVE = [
     "cdc_apply",
     "stream_cdc_upsert",
     "heavy_hitters_cms",
+    "skyline_pareto",
 ]
 
 # un-grouped audit/summary queries keep their fixed rows on empty input

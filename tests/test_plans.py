@@ -34,8 +34,10 @@ PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
                                        # numpy inside one applyInPandas
                   "hnsw_search_persisted",   # cogroup search over the
                                              # persisted adjacency
-                  "doc_chunks_udtf"}   # UDTF API demo; JVM doc_chunks
+                  "doc_chunks_udtf",   # UDTF API demo; JVM doc_chunks
                                        # is the scale path
+                  "skyline_pareto"}    # partition-local skyline is
+                                       # vectorized numpy per Arrow batch
 # tiny-side cross joins (broadcast) are fine; a plain cartesian is not
 CARTESIAN_OK = {"embedding_neardup_exact", "embedding_neardup"}
 

@@ -23,7 +23,9 @@ PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
                   "media_decode_stats", "hnsw_search",
                   "hnsw_search_persisted",
                   # decoded-pixel perceptual hash: real codec in the batch
-                  "image_phash", "image_phash_neardup"}
+                  "image_phash", "image_phash_neardup",
+                  # partition-local skyline: vectorized numpy per batch
+                  "skyline_pareto"}
 CARTESIAN_OK = {"embedding_neardup_exact", "embedding_neardup"}
 # executes a stream / an iterative loop when called — plan of the final
 # materialized result only
