@@ -1024,3 +1024,98 @@ ORACLES["similarity_triangles"] = f"""
         JOIN e bc ON bc.doc_a = ab.doc_b
         JOIN e ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
 """
+
+
+BFS_MAX_HOPS = 4
+BFS_SEED_MOD = 5
+
+
+def doc_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the lexical similarity graph: hop distance
+    from the nearest SEED document (doc_id % BFS_SEED_MOD == 0) for
+    every graph node, capped at BFS_MAX_HOPS (unreached -> -1). The
+    graph-traversal primitive next to doc_pagerank's power iteration —
+    'how far is every document from a curated anchor set'.
+
+    Pregel shape, frontier-only expansion: round i joins ONLY the nodes
+    first reached in round i-1 against the (persisted, edge-partitioned)
+    edge list, so each round shuffles the frontier, not the node set,
+    and settled distances are never recomputed. Distances are exact
+    integers and the round count is fixed, so the DuckDB oracle unrolls
+    the same rounds as chained CTEs and hash-matches (the doc_pagerank
+    pattern).
+    """
+    pairs = tfidf_cosine_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"),
+                            F.col("doc_a").alias("dst")))
+    )
+    return bfs_hops(edges)
+
+
+def bfs_hops(edges: DataFrame) -> DataFrame:
+    """Frontier-only BFS over an undirected (src, dst) edge frame —
+    shared by the gate query and the constructed-graph tests (the real
+    similarity graph is dense enough that everything sits 1 hop from a
+    seed, so multi-hop and unreached paths are pinned on hand-built
+    chains)."""
+    edges = edges.persist()
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    dist = nodes.select(
+        "doc_id",
+        F.when(F.col("doc_id") % BFS_SEED_MOD == 0, F.lit(0))
+         .cast("int").alias("d")).localCheckpoint(eager=True)
+    for i in range(1, BFS_MAX_HOPS + 1):
+        frontier = dist.where(F.col("d") == i - 1) \
+            .select(F.col("doc_id").alias("src"))
+        msgs = (edges.join(frontier, "src")
+                .select(F.col("dst").alias("doc_id"))
+                .distinct()
+                .withColumn("nd", F.lit(i).cast("int")))
+        dist = (dist.join(msgs, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("d", "nd").alias("d"))
+                .localCheckpoint(eager=True))
+    edges.unpersist()
+    return dist.select(
+        "doc_id", F.coalesce("d", F.lit(-1)).cast("bigint").alias("hops"))
+
+
+QUERIES["doc_bfs"] = doc_bfs
+
+
+def _bfs_oracle() -> str:
+    steps = []
+    for i in range(1, BFS_MAX_HOPS + 1):
+        steps.append(f"""
+    m{i} AS (
+        SELECT DISTINCT e.dst AS doc_id, {i} AS nd
+        FROM edges e JOIN d{i - 1} p
+          ON p.doc_id = e.src AND p.d = {i - 1}
+    ),
+    d{i} AS (
+        SELECT p.doc_id, coalesce(p.d, m.nd) AS d
+        FROM d{i - 1} p LEFT JOIN m{i} m ON p.doc_id = m.doc_id
+    )""")
+    return f"""
+    WITH pairs AS MATERIALIZED ({ORACLES["tfidf_cosine_pairs"]}),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    d0 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {BFS_SEED_MOD} = 0 THEN 0 END AS d
+        FROM nodes
+    ),
+    {",".join(steps)}
+    SELECT doc_id, CAST(coalesce(d, -1) AS BIGINT) AS hops
+    FROM d{BFS_MAX_HOPS}
+    """
+
+
+ORACLES["doc_bfs"] = _bfs_oracle()

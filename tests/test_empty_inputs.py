@@ -87,6 +87,7 @@ REPRESENTATIVE = [
     "stream_cdc_upsert",
     "heavy_hitters_cms",
     "skyline_pareto",
+    "doc_bfs",
 ]
 
 # un-grouped audit/summary queries keep their fixed rows on empty input

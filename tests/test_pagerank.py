@@ -36,3 +36,31 @@ def test_pagerank_matches_numpy(spark, sf_dir):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-3)
     for d in nodes:
         assert got[d] == pytest.approx(r[idx[d]], abs=1e-5), d
+
+
+def test_bfs_hops_multi_hop_and_unreached(spark):
+    """Hand-built graph: chain 0-1-2-3-4-5-6 (seed 0 at doc_id%5==0...
+    seeds are implicit in doc_bfs, but bfs_hops itself seeds on
+    doc_id % BFS_SEED_MOD == 0) plus an isolated 11-12 component with
+    no seed: hops follow the chain up to BFS_MAX_HOPS=4, nodes beyond
+    the cap and the seedless component report -1. Node 10 is a seed
+    (10 % 5 == 0) inside its own pair, so 11 must resolve to 1 hop
+    through it — distinguishing 'unreached' from 'far'."""
+    from mit_6_5840_mapreduce_spark.operators.textstats import (
+        BFS_MAX_HOPS, BFS_SEED_MOD, bfs_hops,
+    )
+    assert (BFS_MAX_HOPS, BFS_SEED_MOD) == (4, 5)
+    chain = [(i, i + 1) for i in range(0, 8)]     # 0-1-...-8
+    extra = [(10, 11), (12, 13)]                  # 10 is a seed; 12/13 not
+    und = chain + extra
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long")
+    got = {r.doc_id: r.hops for r in bfs_hops(edges).collect()}
+    # seeds: 0 and 5 in the chain; 10 in its pair
+    assert got[0] == 0 and got[5] == 0 and got[10] == 0
+    assert got[1] == 1 and got[4] == 1 and got[6] == 1
+    assert got[2] == 2 and got[3] == 2 and got[7] == 2
+    assert got[8] == 3
+    assert got[11] == 1
+    assert got[12] == -1 and got[13] == -1

@@ -31,7 +31,7 @@ CARTESIAN_OK = {"embedding_neardup_exact", "embedding_neardup"}
 # materialized result only
 MATERIALIZING = {"stream_hourly_counts", "stream_dedup_events",
                  "stream_user_totals", "dedup_groups", "ivf_train",
-                 "doc_pagerank", "bpe_train", "bpe_encode"}
+                 "doc_pagerank", "bpe_train", "bpe_encode", "doc_bfs"}
 
 
 def main() -> int:
