@@ -1297,3 +1297,59 @@ ORACLES["ivfpq_search"] = f"""
             FROM scored
         ) WHERE rank <= {TOP_K}
 """
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@TOP_K of the IVF search path against the exact brute-force
+    top-k, per query — the evaluation harness that justifies deploying
+    an ANN index: 'how much of the true neighborhood does the
+    cell-probe approximation keep'. Composes two certified operators
+    (embedding_topk = ground truth, ivf_search = candidate), so the
+    gate value-checks the evaluation itself; a probe-count or
+    tie-break regression in either side moves the recall numbers and
+    fails the hash.
+
+    Scale: both sides are the already-scale-safe pipelines (broadcast
+    query block / cell-bucketed probe); the eval adds one
+    queries*TOP_K-sized equi-join and a per-query count — negligible
+    at any corpus size.
+    """
+    exact = embedding_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = ivf_search(spark, sf_dir).select("query_id", "cand_id")
+    hit = (exact.join(approx, ["query_id", "cand_id"])
+           .groupBy("query_id").agg(F.count("*").alias("n_hit")))
+    qids = exact.select("query_id").distinct()
+    return (qids.join(hit, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hit", F.lit(0)).cast("bigint")
+                        .alias("n_hit"),
+                    F.lit(TOP_K).cast("bigint").alias("k"),
+                    floor4(F.coalesce("n_hit", F.lit(0)) / F.lit(TOP_K))
+                        .alias("recall_at_k")))
+
+
+QUERIES["ann_recall_eval"] = ann_recall_eval
+
+ORACLES["ann_recall_eval"] = f"""
+        WITH exact AS MATERIALIZED ({{EXACT}}),
+        approx AS MATERIALIZED ({{APPROX}}),
+        hit AS (
+            SELECT e.query_id, count(*) AS n_hit
+            FROM exact e
+            JOIN approx a
+              ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+            GROUP BY e.query_id
+        )
+        SELECT q.query_id,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               CAST({TOP_K} AS BIGINT) AS k,
+               floor(coalesce(h.n_hit, 0) / {TOP_K} * 10000) / 10000
+                   AS recall_at_k
+        FROM (SELECT DISTINCT query_id FROM exact) q
+        LEFT JOIN hit h ON h.query_id = q.query_id
+"""
+ORACLES["ann_recall_eval"] = (
+    ORACLES["ann_recall_eval"]
+    .replace("{EXACT}", ORACLES["embedding_topk"])
+    .replace("{APPROX}", ORACLES["ivf_search"])
+)

@@ -88,6 +88,7 @@ REPRESENTATIVE = [
     "heavy_hitters_cms",
     "skyline_pareto",
     "doc_bfs",
+    "ann_recall_eval",
 ]
 
 # un-grouped audit/summary queries keep their fixed rows on empty input
