@@ -952,3 +952,71 @@ def _keep_best_oracle() -> str:
 
 
 ORACLES["dedup_keep_best"] = _keep_best_oracle()
+
+
+def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH near-dup path against exact
+    n-gram Jaccard — the dedup twin of similarity.ann_recall_eval:
+    truth = exact pairs with jaccard >= MIN_JACCARD
+    (``dedup_ngram_jaccard``), prediction = LSH candidate pairs whose
+    ESTIMATED jaccard clears the same threshold
+    (``dedup_minhash_lsh``). One summary row of exact integer counts +
+    floor4 ratios; both sides are certified operators, so a banding or
+    signature regression moves these numbers and fails the hash.
+
+    Scale: both inputs are the scale-safe inverted-index / banded
+    pipelines; the eval adds one pair-keyed equi-join over their
+    (already tiny) outputs.
+    """
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pred = (dedup_minhash_lsh(spark, sf_dir)
+            .where(F.col("est_jaccard") >= MIN_JACCARD)
+            .select("doc_a", "doc_b"))
+    hit = truth.join(pred, ["doc_a", "doc_b"])
+    counts = (truth.agg(F.count("*").alias("n_true"))
+              .crossJoin(pred.agg(F.count("*").alias("n_pred")))
+              .crossJoin(hit.agg(F.count("*").alias("n_hit"))))
+    return counts.select(
+        "n_true", "n_pred", "n_hit",
+        F.when(F.col("n_pred") > 0,
+               floor4(F.col("n_hit") / F.col("n_pred")))
+         .otherwise(F.lit(0.0)).alias("precision"),
+        F.when(F.col("n_true") > 0,
+               floor4(F.col("n_hit") / F.col("n_true")))
+         .otherwise(F.lit(0.0)).alias("recall"))
+
+
+QUERIES["dedup_eval"] = dedup_eval
+
+ORACLES["dedup_eval"] = f"""
+        WITH truth AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({{TRUTH}})
+        ),
+        pred AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({{PRED}})
+            WHERE est_jaccard >= {MIN_JACCARD}
+        ),
+        hit AS (
+            SELECT t.doc_a, t.doc_b
+            FROM truth t JOIN pred p
+              ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+        ),
+        c AS (
+            SELECT (SELECT count(*) FROM truth) AS n_true,
+                   (SELECT count(*) FROM pred) AS n_pred,
+                   (SELECT count(*) FROM hit) AS n_hit
+        )
+        SELECT n_true, n_pred, n_hit,
+               CASE WHEN n_pred > 0
+                    THEN floor(n_hit / n_pred * 10000) / 10000
+                    ELSE 0.0 END AS precision,
+               CASE WHEN n_true > 0
+                    THEN floor(n_hit / n_true * 10000) / 10000
+                    ELSE 0.0 END AS recall
+        FROM c
+"""
+ORACLES["dedup_eval"] = (
+    ORACLES["dedup_eval"]
+    .replace("{TRUTH}", ORACLES["dedup_ngram_jaccard"])
+    .replace("{PRED}", ORACLES["dedup_minhash_lsh"])
+)

@@ -912,3 +912,74 @@ ORACLES["cdc_apply"] = """
         FROM customer FULL JOIN latest ON c_custkey = key
         WHERE op IS NULL OR op = 'U'
 """
+
+
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the inverse of ``cdc_apply``: diff the
+    customer base snapshot against the CDC-merged snapshot and emit one
+    row per VALUE difference, classified added / removed / changed
+    (value-identical rows are not differences, whatever their lineage).
+    The audit primitive for verifying a replication or merge pipeline:
+    diffing a merge's input and output must reconstruct exactly the
+    net effect of the applied changelog.
+
+    Scale: one co-partitioned full-outer join on the key plus a
+    column-compare projection — no shuffle beyond the join, nothing
+    driver-side. Presence is tracked with indicator flags, not NULL
+    payloads, so NULL-valued columns can never masquerade as absence.
+    """
+    old = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("old_acctbal"),
+        F.col("c_mktsegment").alias("old_mktsegment"),
+        F.lit(1).alias("in_old"))
+    new = cdc_apply(spark, sf_dir).select(
+        "c_custkey",
+        F.col("acctbal").alias("new_acctbal"),
+        F.col("mktsegment").alias("new_mktsegment"),
+        F.lit(1).alias("in_new"))
+    j = old.join(new, "c_custkey", "full_outer")
+    changed = (
+        (F.col("old_acctbal") != F.col("new_acctbal"))
+        | (F.col("old_mktsegment") != F.col("new_mktsegment")))
+    return (
+        j.select(
+            "c_custkey", "old_acctbal", "new_acctbal",
+            "old_mktsegment", "new_mktsegment",
+            F.when(F.col("in_old").isNull(), F.lit("added"))
+             .when(F.col("in_new").isNull(), F.lit("removed"))
+             .when(changed, F.lit("changed")).alias("change"))
+        .where(F.col("change").isNotNull()))
+
+
+QUERIES["table_diff"] = table_diff
+
+ORACLES["table_diff"] = f"""
+        WITH new_snap AS MATERIALIZED ({{NEW}}),
+        old_side AS (
+            SELECT c_custkey, c_acctbal AS old_acctbal,
+                   c_mktsegment AS old_mktsegment, 1 AS in_old
+            FROM customer
+        ),
+        new_side AS (
+            SELECT c_custkey, acctbal AS new_acctbal,
+                   mktsegment AS new_mktsegment, 1 AS in_new
+            FROM new_snap
+        )
+        SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+               old_acctbal, new_acctbal,
+               old_mktsegment, new_mktsegment,
+               CASE WHEN in_old IS NULL THEN 'added'
+                    WHEN in_new IS NULL THEN 'removed'
+                    WHEN old_acctbal <> new_acctbal
+                         OR old_mktsegment <> new_mktsegment
+                        THEN 'changed' END AS change
+        FROM old_side o FULL JOIN new_side n ON o.c_custkey = n.c_custkey
+        WHERE CASE WHEN in_old IS NULL THEN 'added'
+                   WHEN in_new IS NULL THEN 'removed'
+                   WHEN old_acctbal <> new_acctbal
+                        OR old_mktsegment <> new_mktsegment
+                       THEN 'changed' END IS NOT NULL
+"""
+ORACLES["table_diff"] = ORACLES["table_diff"].replace(
+    "{NEW}", ORACLES["cdc_apply"])

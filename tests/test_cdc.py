@@ -116,3 +116,17 @@ def test_stream_cdc_upsert_multi_batch_order_independent(
     assert (rows[5].cdc_op, rows[5].c_name, rows[5].acctbal) == (
         "insert", "cdc-insert", 42.75)
     assert rows[2].cdc_op == "keep" and rows[3].cdc_op == "keep"
+
+
+def test_table_diff_reconstructs_applied_ops(spark, tmp_path_factory):
+    """Diffing cdc_apply's input and output must reconstruct the net
+    changelog effect: key 0 changed, key 1 removed, key 5 added, and
+    the untouched keys produce NO diff row."""
+    d = _mini_sf(tmp_path_factory)
+    rows = {r.c_custkey: r for r in
+            entrymod.queries()["table_diff"](spark, d).collect()}
+    assert {k: r.change for k, r in rows.items()} == {
+        0: "changed", 1: "removed", 5: "added"}
+    assert rows[0].old_acctbal == 100.25 and rows[0].new_acctbal == 11.5
+    assert rows[1].new_acctbal is None
+    assert rows[5].old_acctbal is None and rows[5].new_acctbal == 42.75

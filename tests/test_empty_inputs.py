@@ -89,6 +89,7 @@ REPRESENTATIVE = [
     "skyline_pareto",
     "doc_bfs",
     "ann_recall_eval",
+    "table_diff",
 ]
 
 # un-grouped audit/summary queries keep their fixed rows on empty input
@@ -163,3 +164,11 @@ def test_quality_audit_on_empty_tables_all_pass(spark, empty_sf_dir):
 def test_mv_refresh_on_empty_tables_is_empty(spark, empty_sf_dir):
     assert entrymod.queries()["mv_incremental_refresh"](
         spark, empty_sf_dir).count() == 0
+
+
+def test_dedup_eval_on_empty_tables_reports_zeros(spark, empty_sf_dir):
+    """The precision/recall audit keeps its single summary row on an
+    empty corpus — zero pairs on every side, ratios pinned to 0."""
+    row = entrymod.queries()["dedup_eval"](spark, empty_sf_dir).collect()[0]
+    assert (row.n_true, row.n_pred, row.n_hit,
+            row.precision, row.recall) == (0, 0, 0, 0.0, 0.0)
