@@ -983,3 +983,140 @@ ORACLES["table_diff"] = f"""
 """
 ORACLES["table_diff"] = ORACLES["table_diff"].replace(
     "{NEW}", ORACLES["cdc_apply"])
+
+
+FUNNEL_WINDOW_MIN = 60
+
+
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED ordered funnel (the windowFunnel analytic): per
+    user, the deepest view -> click -> purchase chain where every later
+    stage happens within FUNNEL_WINDOW_MIN minutes of the chain's
+    OPENING view. Complements funnel_view_click_purchase, which is the
+    unbounded-order form; bounding by a window is what makes a funnel a
+    conversion metric rather than a lifetime correlation.
+
+    Level semantics: 1 = has a view; 2 = some click in [v, v+W];
+    3 = some purchase after that click, still within [v, v+W]. Users
+    with no view emit no row.
+
+    Scale: stage joins are per-user equi-joins with a time-band
+    predicate, so fan-out per user is bounded by events-per-window —
+    never a cross product; the level reduction is one hash-agg. All
+    comparisons are integer microseconds.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    w_us = FUNNEL_WINDOW_MIN * 60 * 1_000_000
+    v = ev.where(F.col("event_type") == "view") \
+        .select("user_id", F.col("us").alias("v_us"))
+    c = ev.where(F.col("event_type") == "click") \
+        .select("user_id", F.col("us").alias("c_us"))
+    p = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("us").alias("p_us"))
+    vc = (v.join(c, "user_id")
+          .where((F.col("c_us") >= F.col("v_us"))
+                 & (F.col("c_us") <= F.col("v_us") + w_us)))
+    vcp = (vc.join(p, "user_id")
+           .where((F.col("p_us") >= F.col("c_us"))
+                  & (F.col("p_us") <= F.col("v_us") + w_us)))
+    l1 = v.select("user_id").distinct().withColumn("l1", F.lit(1))
+    l2 = vc.select("user_id").distinct().withColumn("l2", F.lit(1))
+    l3 = vcp.select("user_id").distinct().withColumn("l3", F.lit(1))
+    return (l1.join(l2, "user_id", "left").join(l3, "user_id", "left")
+            .select("user_id",
+                    (F.lit(1) + F.coalesce("l2", F.lit(0))
+                     + F.coalesce("l3", F.lit(0)))
+                    .cast("bigint").alias("funnel_level")))
+
+
+QUERIES["funnel_windowed"] = funnel_windowed
+
+ORACLES["funnel_windowed"] = f"""
+        WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        ),
+        v AS (SELECT user_id, us AS v_us FROM e
+              WHERE event_type = 'view'),
+        c AS (SELECT user_id, us AS c_us FROM e
+              WHERE event_type = 'click'),
+        p AS (SELECT user_id, us AS p_us FROM e
+              WHERE event_type = 'purchase'),
+        vc AS (
+            SELECT v.user_id, v_us, c_us
+            FROM v JOIN c ON c.user_id = v.user_id
+            WHERE c_us >= v_us
+              AND c_us <= v_us + {FUNNEL_WINDOW_MIN * 60 * 1_000_000}
+        ),
+        vcp AS (
+            SELECT vc.user_id
+            FROM vc JOIN p ON p.user_id = vc.user_id
+            WHERE p_us >= c_us
+              AND p_us <= v_us + {FUNNEL_WINDOW_MIN * 60 * 1_000_000}
+        )
+        SELECT u.user_id,
+               CAST(1 + CASE WHEN l2.user_id IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN l3.user_id IS NULL THEN 0 ELSE 1 END
+                    AS BIGINT) AS funnel_level
+        FROM (SELECT DISTINCT user_id FROM v) u
+        LEFT JOIN (SELECT DISTINCT user_id FROM vc) l2
+               ON l2.user_id = u.user_id
+        LEFT JOIN (SELECT DISTINCT user_id FROM vcp) l3
+               ON l3.user_id = u.user_id
+"""
+
+
+def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: per day — active users, NEW users
+    (first-ever activity that day), returning users, and the running
+    cumulative user count. The standard product-analytics decomposition
+    (new/retained) from a raw event stream.
+
+    Scale: one distinct over (day, user) + one min-per-user hash-agg;
+    the running sum windows over the per-DAY aggregate (thousands of
+    rows at any corpus size), never the event stream.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id")
+    daily = ev.distinct()
+    first_seen = daily.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    active = daily.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_active"))
+    new = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (active.join(new, "day", "left")
+            .select("day", "n_active",
+                    F.coalesce("n_new", F.lit(0)).alias("n_new"))
+            .withColumn("n_returning", F.col("n_active") - F.col("n_new"))
+            .withColumn("cumulative_users",
+                        F.sum("n_new").over(w).cast("bigint")))
+
+
+QUERIES["user_growth_accounting"] = user_growth_accounting
+
+ORACLES["user_growth_accounting"] = """
+        WITH daily AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+        ),
+        first_seen AS (
+            SELECT user_id, min(day) AS first_day FROM daily
+            GROUP BY user_id
+        ),
+        active AS (
+            SELECT day, count(DISTINCT user_id) AS n_active FROM daily
+            GROUP BY day
+        ),
+        new_users AS (
+            SELECT first_day AS day, count(*) AS n_new FROM first_seen
+            GROUP BY first_day
+        )
+        SELECT a.day, a.n_active,
+               coalesce(n.n_new, 0) AS n_new,
+               a.n_active - coalesce(n.n_new, 0) AS n_returning,
+               CAST(sum(coalesce(n.n_new, 0))
+                    OVER (ORDER BY a.day ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cumulative_users
+        FROM active a LEFT JOIN new_users n ON n.day = a.day
+"""

@@ -1956,3 +1956,131 @@ ORACLES["skyline_pareto"] = """
               AND (b.price < a.price OR b.size > a.size
                    OR b.demand > a.demand))
 """
+
+
+Z_BITS = 4
+Z_SIDE = 1 << Z_BITS            # 16 range buckets per dimension
+Z_FILES = 16
+Z_PRED_LO, Z_PRED_HI = 4, 7     # the probe box, inclusive, both dims
+
+
+def _z_interleave(xb: str, yb: str, idiv: str) -> str:
+    """SQL for the bit-interleaved Z-value of two Z_BITS-wide buckets —
+    shifts as integer-div/mul by powers of 2 on non-negative ints, with
+    the engine's integer-division operator injected (`div` in Spark
+    SQL, `//` in DuckDB); the arithmetic itself is identical."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({xb}) {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(
+            f"((({yb}) {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout optimization accounting: simulate laying orders out
+    in Z_FILES files either by DATE (the natural ingest order) or by
+    Z-ORDER (bit-interleaved custkey x orderdate range buckets), build
+    each file's zonemap (min/max per dimension), and report how many
+    files a 2-D predicate box could prune under each layout. The
+    space-filling curve keeps BOTH dimensions' min/max spans tight per
+    file, which is the entire argument for Z-ordering 100 TB tables:
+    date layout prunes only the date dimension; Z-order prunes both.
+
+    Everything is exact integer arithmetic (range buckets, interleave
+    by div/mod, zonemap mins/maxes, row counts), so the layout
+    simulation itself is hash-certified — floor4 only for the final
+    scan fraction. One pass over orders, one small agg per layout; the
+    bounds ride a broadcast 1-row cross join (single DAG, no driver
+    round-trip).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate")
+    bounds = orders.agg(
+        F.max("o_custkey").alias("mx"),
+        F.min("o_orderdate").alias("mnd"),
+        F.max("o_orderdate").alias("mxd"))
+    j = orders.join(F.broadcast(bounds))
+    xb = F.expr(f"(o_custkey * {Z_SIDE}) div (mx + 1)")
+    yb = F.expr(
+        f"(datediff(o_orderdate, mnd) * {Z_SIDE}) "
+        f"div (datediff(mxd, mnd) + 1)")
+    b = j.select(xb.alias("xb"), yb.alias("yb"))
+    z = F.expr(_z_interleave("xb", "yb", "div"))
+    per_file = Z_SIDE * Z_SIDE // Z_FILES
+    assigned = b.withColumn("z", z)
+    layouts = (
+        assigned.select(F.lit("zorder").alias("layout"),
+                        F.expr(f"z div {per_file}").alias("file_id"),
+                        "xb", "yb")
+        .unionByName(
+            assigned.select(F.lit("date").alias("layout"),
+                            F.col("yb").alias("file_id"), "xb", "yb")))
+    fs = layouts.groupBy("layout", "file_id").agg(
+        F.min("xb").alias("min_xb"), F.max("xb").alias("max_xb"),
+        F.min("yb").alias("min_yb"), F.max("yb").alias("max_yb"),
+        F.count("*").alias("n_rows"))
+    prunable = ((F.col("max_xb") < Z_PRED_LO)
+                | (F.col("min_xb") > Z_PRED_HI)
+                | (F.col("max_yb") < Z_PRED_LO)
+                | (F.col("min_yb") > Z_PRED_HI))
+    return fs.groupBy("layout").agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.when(prunable, 1).otherwise(0)).alias("n_pruned"),
+        F.sum("n_rows").alias("n_rows_total"),
+        F.sum(F.when(~prunable, F.col("n_rows")).otherwise(0))
+            .alias("rows_scanned"),
+    ).withColumn(
+        "scan_fraction",
+        floor4(F.col("rows_scanned") / F.col("n_rows_total")))
+
+
+QUERIES["zorder_layout_stats"] = zorder_layout_stats
+
+ORACLES["zorder_layout_stats"] = f"""
+        WITH bounds AS (
+            SELECT max(o_custkey) AS mx, min(o_orderdate) AS mnd,
+                   max(o_orderdate) AS mxd
+            FROM orders
+        ),
+        b AS (
+            SELECT (o_custkey * {Z_SIDE}) // (mx + 1) AS xb,
+                   (date_diff('day', mnd, o_orderdate) * {Z_SIDE})
+                       // (date_diff('day', mnd, mxd) + 1) AS yb
+            FROM orders CROSS JOIN bounds
+        ),
+        assigned AS (
+            SELECT xb, yb, {_z_interleave("xb", "yb", "//")} AS z FROM b
+        ),
+        layouts AS (
+            SELECT 'zorder' AS layout,
+                   z // {Z_SIDE * Z_SIDE // Z_FILES} AS file_id, xb, yb
+            FROM assigned
+            UNION ALL
+            SELECT 'date' AS layout, yb AS file_id, xb, yb FROM assigned
+        ),
+        fs AS (
+            SELECT layout, file_id,
+                   min(xb) AS min_xb, max(xb) AS max_xb,
+                   min(yb) AS min_yb, max(yb) AS max_yb,
+                   count(*) AS n_rows
+            FROM layouts GROUP BY layout, file_id
+        ),
+        flagged AS (
+            SELECT *,
+                   (max_xb < {Z_PRED_LO} OR min_xb > {Z_PRED_HI}
+                    OR max_yb < {Z_PRED_LO} OR min_yb > {Z_PRED_HI})
+                       AS prunable
+            FROM fs
+        )
+        SELECT layout,
+               count(*) AS n_files,
+               CAST(sum(CASE WHEN prunable THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pruned,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+               CAST(sum(CASE WHEN NOT prunable THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS rows_scanned,
+               floor(sum(CASE WHEN NOT prunable THEN n_rows ELSE 0 END)
+                     / sum(n_rows) * 10000) / 10000 AS scan_fraction
+        FROM flagged GROUP BY layout
+"""

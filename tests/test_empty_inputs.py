@@ -90,6 +90,9 @@ REPRESENTATIVE = [
     "doc_bfs",
     "ann_recall_eval",
     "table_diff",
+    "funnel_windowed",
+    "user_growth_accounting",
+    "zorder_layout_stats",
 ]
 
 # un-grouped audit/summary queries keep their fixed rows on empty input
