@@ -126,6 +126,25 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     ratios = {name: round(timings[name] / BASELINE_R1[name], 2)
               for name in HEADLINE if name in BASELINE_R1}
+    # Round-4 lesson (VERDICT r4 "What's wrong" #2): the driver captures
+    # a BOUNDED TAIL of stdout, so the machine-readable contract line
+    # must be the LAST line and must stay COMPACT. Diagnostic detail
+    # (per-query spreads, extra-query timings) goes to a sidecar file
+    # and a PRECEDING stdout line, never into the contract line.
+    detail = {
+        "per_query_stat": f"median_of_{repeat}",
+        "per_query_min_med_max": spread,
+        "extra_query_wall_single_run": extra,
+        "ratio_vs_baseline_r1": ratios,
+    }
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL",
+                                 "/tmp/bench_detail.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f)
+    except OSError:
+        pass
+    print("bench_detail: " + json.dumps(detail))
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -134,13 +153,11 @@ def main() -> None:
         "sf": sf,
         "notes": {
             "per_query_stat": f"median_of_{repeat}",
-            "per_query_min_med_max": spread,
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in load_after],
-            "ratio_vs_baseline_r1": ratios,
             "ratio_median": round(statistics.median(ratios.values()), 2),
             "ratio_max": round(max(ratios.values()), 2),
-            "extra_query_wall_single_run": extra,
+            "detail_file": detail_path,
         },
     }))
     spark.stop()

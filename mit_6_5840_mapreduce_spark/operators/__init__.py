@@ -34,45 +34,37 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # each round, so window composition is an explicit, reviewed list rather
-# than an accident of module ordering. Round-4 window (VERDICT r3 item
-# 1: no registered query's newest cert older than 2 rounds): the
-# sentinel set kept in-window EVERY round, all 28 rows whose newest
-# driver cert is round 1 (two rounds and one Spark-runtime upgrade
-# ago — the 4.1.2 nanos-ts break proved stale certs rot), the round-4
-# operators (first certification), and every query whose implementation
-# or oracle changed since its round-3 row (the capped-containment /
-# CC-fusion / codec-hardening / CSV-sentinel commits).
-# tests/test_registry_window.py pins this.
+# than an accident of module ordering. Round-5 window (VERDICT r4 item
+# 1: clear the certification backlog): the sentinel set kept in-window
+# EVERY round, ALL 41 registered queries that have never had a driver
+# CORRECTNESS row (tools/window_plan.py's must-pull list — everything
+# added after the round-4 window froze), and the remaining 5 slots for
+# round-5-changed queries (hnsw_search: shard-count scaling; the new
+# heavy_hitters_cms_direct) plus the three stalest-certified HEADLINE
+# queries (mr_indexer / sessionize / asof_join_orders, newest cert
+# round 2 — three rounds old). tests/test_registry_window.py pins this.
 WINDOW_SIZE = 50
 
 WINDOW_FIRST: tuple[str, ...] = (
     # sentinels (every round)
     "mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts",
-    # the 28 rows last driver-certified in round 1
-    "brand_price_stats", "cohort_retention", "column_histogram",
-    "customer_value_quartiles", "customers_no_orders",
-    "daily_revenue_trailing", "events_hourly_gapfilled",
-    "events_value_bands", "funnel_view_click_purchase",
-    "hourly_burst_detection", "latest_event_per_user",
-    "nation_customer_supplier_balance", "order_value_percentiles",
-    "orders_dow_stats", "orders_monthly_growth", "part_name_analysis",
-    "priority_status_cube", "q4_order_priority", "repeat_customers",
-    "sales_rollup", "skewsafe_type_user_counts", "table_profile",
-    "user_event_pivot", "user_event_sequences", "user_type_count_map",
-    "user_value_mad", "user_value_outliers", "user_value_trend",
-    # new round-4 operators (first driver certification)
-    "shingle_containment_capped", "q16_parts_supplier_relationship",
-    "pack_sequences", "training_shuffle", "decontaminate_split",
-    "stream_topk_event_types", "hnsw_search", "semantic_dedup",
-    # implementation/oracle changed since the round-3 row -> re-certify
-    # (image_decode_stats also saw the codec error-normalization change,
-    # but its exercised paths are covered by in-window media_decode_stats
-    # + local sf0.01 parity, and its r2 cert stays within the two-round
-    # freshness bound — semantic_dedup takes the slot)
-    "csv_roundtrip_stats", "jsonl_roundtrip_stats", "orc_roundtrip_stats",
-    "media_decode_stats", "embedding_quantize", "bigram_pmi",
-    "dedup_groups", "dedup_keep_best", "shingle_containment",
-    "stream_foreachbatch_roundtrip",
+    # the 41 never-driver-certified queries (round-4 backlog)
+    "duplicate_spans", "dedup_index_build", "dedup_incremental",
+    "dedup_eval", "hnsw_search_persisted", "pq_encode", "pq_search",
+    "ivfpq_search", "ann_recall_eval", "similarity_triangles",
+    "token_rarity", "doc_bfs", "xml_roundtrip_stats",
+    "pyds_roundtrip_stats", "stream_topk_stateful", "user_scd2",
+    "cdc_apply", "table_diff", "funnel_windowed",
+    "user_growth_accounting", "doc_lm_score", "heavy_hitters_cms",
+    "stream_cdc_upsert", "image_phash", "image_phash_neardup",
+    "customer_rfm", "bucketed_join_stats", "user_event_unpivot",
+    "bloom_prune_join", "q9_product_type_profit", "q11_important_stock",
+    "data_quality_audit", "mv_incremental_refresh", "skyline_pareto",
+    "zorder_layout_stats", "source_mix_weights", "temperature_resample",
+    "quality_ensemble", "bpe_train", "bpe_encode", "embedding_neardup",
+    # round-5 changed (re-certify) + new + stalest headline certs (r2)
+    "hnsw_search", "heavy_hitters_cms_direct",
+    "mr_indexer", "sessionize", "asof_join_orders",
 )
 
 
@@ -110,6 +102,14 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
         queries.update({name: _with_package(fn)
                         for name, fn in m.QUERIES.items()})
         oracles.update(m.ORACLES)
+    # legacy aliases (post-rename names kept for gate continuity). Round
+    # 5 rotates "embedding_neardup" INTO the window once so the alias
+    # name itself carries a driver row (it shares the callable and
+    # oracle of the already-certified embedding_neardup_exact).
+    for alias, target in (("embedding_neardup", "embedding_neardup_exact"),):
+        queries[alias] = queries[target]
+        if target in oracles:
+            oracles[alias] = oracles[target]
     # reorder so WINDOW_FIRST occupies the driver's certification window,
     # everything else follows in module order
     missing = [n for n in WINDOW_FIRST if n not in queries]
@@ -122,12 +122,6 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
     ordered = {n: queries[n] for n in WINDOW_FIRST}
     ordered.update((n, fn) for n, fn in queries.items() if n not in ordered)
     queries = ordered
-    # legacy aliases (post-rename names kept for gate continuity),
-    # appended LAST so they never consume a driver-window slot
-    for alias, target in (("embedding_neardup", "embedding_neardup_exact"),):
-        queries[alias] = queries[target]
-        if target in oracles:
-            oracles[alias] = oracles[target]
     unknown = set(oracles) - set(queries)
     if unknown:
         raise ValueError(f"oracles without queries: {unknown}")

@@ -458,6 +458,63 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["heavy_hitters_cms"] = heavy_hitters_cms
 
+
+def heavy_hitters_cms_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct-build count-min sketch — the form that survives item-domain
+    explosion: hash every bigram occurrence straight into the 4x512
+    cells with ONE corpus-pass aggregate (map-side partial aggregation
+    into at most 2,048 groups), never materializing an exact per-item
+    count table. When the domain is URLs / n-grams / user ids at 100 TB,
+    the exact table in ``heavy_hitters_cms`` no longer fits; this build
+    costs the same single shuffle regardless of domain size.
+
+    Returns the populated sketch cells (r, col, cell) so the gate
+    certifies bit-equality of the ENTIRE sketch against the oracle —
+    and, by summation associativity, against the vocabulary-built
+    sketch in ``heavy_hitters_cms`` (pinned by tests/test_cms.py).
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        tokenize(F.lower(F.col("text"))).alias("toks"))
+    items = (
+        toks.where(F.size("toks") >= 2)
+        .select(F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1)))).alias("item")))
+    rows_ = F.explode(
+        F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r")
+    return (
+        items.select("item", rows_)
+        .select("r", _cms_col(F.col("r"), F.col("item")).alias("col"))
+        .groupBy("r", "col")
+        .agg(F.count("*").alias("cell")))
+
+
+QUERIES["heavy_hitters_cms_direct"] = heavy_hitters_cms_direct
+
+ORACLES["heavy_hitters_cms_direct"] = rf"""
+        WITH toks AS (
+            SELECT list_filter(
+                       regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                       x -> x <> '') AS ts
+            FROM documents
+        ),
+        items AS (
+            SELECT ts[i] || ' ' || ts[i + 1] AS item
+            FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks)
+        ),
+        rows_ AS (SELECT unnest(range(0, {CMS_ROWS})) AS r)
+        SELECT r,
+               CAST(concat('0x', substring(md5(concat('cms',
+                    CAST(r AS VARCHAR), ':', item)), 1, 8))
+                    AS BIGINT) % {CMS_WIDTH} AS col,
+               count(*) AS cell
+        FROM items CROSS JOIN rows_
+        GROUP BY 1, 2
+"""
+
 ORACLES["heavy_hitters_cms"] = rf"""
         WITH toks AS (
             SELECT list_filter(

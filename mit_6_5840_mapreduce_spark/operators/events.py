@@ -850,8 +850,10 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", "value")
-    # (ts, event_id) is unique per user, so the lexicographic struct max
-    # is the deterministic latest op
+    # sequence = (ts, event_id); ties (should (ts, event_id) ever repeat
+    # within a user) break deterministically on (event_type, value) —
+    # the oracle orders by the same four columns, so both engines pick
+    # the identical row even without a uniqueness assumption
     latest = (
         ev.groupBy("user_id")
         .agg(F.max(F.struct("ts", "event_id", "event_type", "value"))
@@ -895,7 +897,9 @@ ORACLES["cdc_apply"] = """
             FROM (SELECT user_id, event_type, value,
                          row_number() OVER (PARTITION BY user_id
                                             ORDER BY ts DESC,
-                                                     event_id DESC) AS rn
+                                                     event_id DESC,
+                                                     event_type DESC,
+                                                     value DESC) AS rn
                   FROM events)
             WHERE rn = 1
         )
@@ -926,7 +930,9 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one co-partitioned full-outer join on the key plus a
     column-compare projection — no shuffle beyond the join, nothing
     driver-side. Presence is tracked with indicator flags, not NULL
-    payloads, so NULL-valued columns can never masquerade as absence.
+    payloads, so NULL-valued columns can never masquerade as absence,
+    and payload comparison is NULL-safe, so NULL<->value transitions
+    classify as 'changed' rather than silently dropping.
     """
     old = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -939,9 +945,11 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mktsegment").alias("new_mktsegment"),
         F.lit(1).alias("in_new"))
     j = old.join(new, "c_custkey", "full_outer")
+    # NULL-safe inequality: a NULL->value or value->NULL payload
+    # transition is a real change, not a NULL comparison to drop
     changed = (
-        (F.col("old_acctbal") != F.col("new_acctbal"))
-        | (F.col("old_mktsegment") != F.col("new_mktsegment")))
+        ~F.col("old_acctbal").eqNullSafe(F.col("new_acctbal"))
+        | ~F.col("old_mktsegment").eqNullSafe(F.col("new_mktsegment")))
     return (
         j.select(
             "c_custkey", "old_acctbal", "new_acctbal",
@@ -971,14 +979,14 @@ ORACLES["table_diff"] = f"""
                old_mktsegment, new_mktsegment,
                CASE WHEN in_old IS NULL THEN 'added'
                     WHEN in_new IS NULL THEN 'removed'
-                    WHEN old_acctbal <> new_acctbal
-                         OR old_mktsegment <> new_mktsegment
+                    WHEN old_acctbal IS DISTINCT FROM new_acctbal
+                         OR old_mktsegment IS DISTINCT FROM new_mktsegment
                         THEN 'changed' END AS change
         FROM old_side o FULL JOIN new_side n ON o.c_custkey = n.c_custkey
         WHERE CASE WHEN in_old IS NULL THEN 'added'
                    WHEN in_new IS NULL THEN 'removed'
-                   WHEN old_acctbal <> new_acctbal
-                        OR old_mktsegment <> new_mktsegment
+                   WHEN old_acctbal IS DISTINCT FROM new_acctbal
+                        OR old_mktsegment IS DISTINCT FROM new_mktsegment
                        THEN 'changed' END IS NOT NULL
 """
 ORACLES["table_diff"] = ORACLES["table_diff"].replace(

@@ -634,7 +634,15 @@ def run_cdc_upsert_stream(spark: SparkSession, changelog: DataFrame,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        # do NOT return a possibly-stale intermediate v{N} snapshot, and
+        # do NOT leave the query running against a scratch dir a later
+        # scratch_dir() call would rmtree from under it
+        q.stop()
+        raise RuntimeError(
+            f"stream_cdc_upsert: availableNow query did not terminate "
+            f"within {timeout_sec}s")
     versions = sorted(
         int(os.path.basename(p)[1:])
         for p in glob.glob(os.path.join(root, "v*")))

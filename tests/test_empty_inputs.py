@@ -86,6 +86,7 @@ REPRESENTATIVE = [
     "cdc_apply",
     "stream_cdc_upsert",
     "heavy_hitters_cms",
+    "heavy_hitters_cms_direct",
     "skyline_pareto",
     "doc_bfs",
     "ann_recall_eval",

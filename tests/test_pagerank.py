@@ -39,13 +39,13 @@ def test_pagerank_matches_numpy(spark, sf_dir):
 
 
 def test_bfs_hops_multi_hop_and_unreached(spark):
-    """Hand-built graph: chain 0-1-2-3-4-5-6 (seed 0 at doc_id%5==0...
-    seeds are implicit in doc_bfs, but bfs_hops itself seeds on
-    doc_id % BFS_SEED_MOD == 0) plus an isolated 11-12 component with
-    no seed: hops follow the chain up to BFS_MAX_HOPS=4, nodes beyond
-    the cap and the seedless component report -1. Node 10 is a seed
-    (10 % 5 == 0) inside its own pair, so 11 must resolve to 1 hop
-    through it — distinguishing 'unreached' from 'far'."""
+    """Hand-built graph: chain 0-1-...-8 (bfs_hops seeds on
+    doc_id % BFS_SEED_MOD == 0, so 0 and 5 are both seeds) plus a
+    seeded pair 10-11 (10 % 5 == 0) and a seedless isolated pair
+    12-13: hops follow the chain up to BFS_MAX_HOPS=4, nodes beyond
+    the cap and the seedless component report -1. Node 11 must
+    resolve to 1 hop through seed 10 — distinguishing 'unreached'
+    from 'far'."""
     from mit_6_5840_mapreduce_spark.operators.textstats import (
         BFS_MAX_HOPS, BFS_SEED_MOD, bfs_hops,
     )

@@ -1,12 +1,13 @@
 """Pin the registry's first-50 window composition.
 
 The driver's CORRECTNESS gate verifies only the FIRST 50 registry
-entries per round. Round 4 rotates in the 28 rows whose newest driver
-cert was round 1 (VERDICT r3 item 1: certification freshness — the
-Spark 4.1.2 nanos-ts break proved stale certs rot), keeps the sentinel
-set in-window every round, gives every new round-4 operator its first
-driver row, and re-certifies every query whose implementation or
-oracle changed since its round-3 row. This test fails loudly if a
+entries per round. Round 5 clears the certification backlog (VERDICT
+r4 item 1): the sentinel set stays in-window every round, ALL 41
+queries that had never had a driver CORRECTNESS row rotate in
+(tools/window_plan.py's must-pull list), and the remaining 5 slots go
+to round-5-changed queries (hnsw_search after shard-count scaling, the
+new heavy_hitters_cms_direct) plus the three stalest-certified
+headline queries (newest cert round 2). This test fails loudly if a
 future registration reorders them out.
 """
 
@@ -19,48 +20,44 @@ from mit_6_5840_mapreduce_spark.operators import (
 # regression sentinels: in-window EVERY round
 SENTINELS = {"mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts"}
 
-# rows whose newest driver cert is round 1 (two rounds stale)
-ROUND1_ONLY = {
-    "brand_price_stats", "cohort_retention", "column_histogram",
-    "customer_value_quartiles", "customers_no_orders",
-    "daily_revenue_trailing", "events_hourly_gapfilled",
-    "events_value_bands", "funnel_view_click_purchase",
-    "hourly_burst_detection", "latest_event_per_user",
-    "nation_customer_supplier_balance", "order_value_percentiles",
-    "orders_dow_stats", "orders_monthly_growth", "part_name_analysis",
-    "priority_status_cube", "q4_order_priority", "repeat_customers",
-    "sales_rollup", "skewsafe_type_user_counts", "table_profile",
-    "user_event_pivot", "user_event_sequences", "user_type_count_map",
-    "user_value_mad", "user_value_outliers", "user_value_trend",
+# the 41 queries with no driver CORRECTNESS row before round 5
+# (everything registered after the round-4 window froze)
+NEVER_CERTIFIED = {
+    "duplicate_spans", "dedup_index_build", "dedup_incremental",
+    "dedup_eval", "hnsw_search_persisted", "pq_encode", "pq_search",
+    "ivfpq_search", "ann_recall_eval", "similarity_triangles",
+    "token_rarity", "doc_bfs", "xml_roundtrip_stats",
+    "pyds_roundtrip_stats", "stream_topk_stateful", "user_scd2",
+    "cdc_apply", "table_diff", "funnel_windowed",
+    "user_growth_accounting", "doc_lm_score", "heavy_hitters_cms",
+    "stream_cdc_upsert", "image_phash", "image_phash_neardup",
+    "customer_rfm", "bucketed_join_stats", "user_event_unpivot",
+    "bloom_prune_join", "q9_product_type_profit", "q11_important_stock",
+    "data_quality_audit", "mv_incremental_refresh", "skyline_pareto",
+    "zorder_layout_stats", "source_mix_weights", "temperature_resample",
+    "quality_ensemble", "bpe_train", "bpe_encode", "embedding_neardup",
 }
 
-# first driver certification for the round-4 surface
-NEW_THIS_ROUND = {
-    "shingle_containment_capped", "q16_parts_supplier_relationship",
-    "pack_sequences", "training_shuffle", "decontaminate_split",
-    "stream_topk_event_types", "hnsw_search", "semantic_dedup",
-}
+# implementation changed in round 5 (re-certify) or first registered
+CHANGED_OR_NEW_THIS_ROUND = {"hnsw_search", "heavy_hitters_cms_direct"}
 
-# implementation or oracle changed since the round-3 row
-# (image_decode_stats' codec change is covered by in-window
-# media_decode_stats + local sf0.01 parity; its r2 cert stays within
-# the two-round freshness bound)
-CHANGED_THIS_ROUND = {
-    "csv_roundtrip_stats", "jsonl_roundtrip_stats", "orc_roundtrip_stats",
-    "media_decode_stats", "embedding_quantize", "bigram_pmi",
-    "dedup_groups", "dedup_keep_best", "shingle_containment",
-    "stream_foreachbatch_roundtrip",
-}
+# headline-bench queries whose newest driver cert is round 2
+STALEST_HEADLINE = {"mr_indexer", "sessionize", "asof_join_orders"}
 
-MUST_BE_IN_WINDOW = (SENTINELS | ROUND1_ONLY | NEW_THIS_ROUND
-                     | CHANGED_THIS_ROUND)
+MUST_BE_IN_WINDOW = (SENTINELS | NEVER_CERTIFIED
+                     | CHANGED_OR_NEW_THIS_ROUND | STALEST_HEADLINE)
 
 
-def test_first_window_contains_round4_surface():
+def test_first_window_contains_round5_surface():
     queries, _ = registry()
     window = list(queries)[:WINDOW_SIZE]
     missing = MUST_BE_IN_WINDOW - set(window)
     assert not missing, f"outside driver window: {sorted(missing)}"
+
+
+def test_window_is_exactly_the_must_list():
+    # 4 + 41 + 2 + 3 = 50: the round-5 window has no free slots
+    assert len(MUST_BE_IN_WINDOW) == WINDOW_SIZE
 
 
 def test_window_list_matches_registry_order():
@@ -83,10 +80,11 @@ def test_registry_queries_pin_utc_timezone(spark, sf_dir):
     assert got == baseline
 
 
-def test_aliases_register_after_window():
+def test_alias_resolves_to_target():
+    """`embedding_neardup` rotates INTO the round-5 window (its one
+    driver certification — it never had a row under the alias name);
+    it must still resolve to the same callable and oracle as its
+    target."""
     queries, oracles = registry()
-    names = list(queries)
-    assert names.index("embedding_neardup") >= WINDOW_SIZE
-    # alias resolves to the same callable and oracle as its target
     assert queries["embedding_neardup"] is queries["embedding_neardup_exact"]
     assert oracles["embedding_neardup"] == oracles["embedding_neardup_exact"]

@@ -50,3 +50,36 @@ def test_cms_never_underestimates(spark, sf_dir):
     assert all(r.overestimate >= 0 for r in rows)
     assert all(r.cms_estimate == r.exact_count + r.overestimate
                for r in rows)
+
+
+def test_cms_direct_build_matches_vocabulary_build(spark, sf_dir):
+    """Summation associativity: hashing every occurrence straight into
+    the cells (direct form, domain-size-independent) must produce the
+    bit-identical sketch to building from the exact vocabulary table —
+    and every populated cell must dominate the probed estimates."""
+    direct = {(r.r, r.col): r.cell
+              for r in entrymod.queries()["heavy_hitters_cms_direct"](
+                  spark, sf_dir).collect()}
+    assert len(direct) > 0
+    # rebuild the vocabulary-form sketch the way heavy_hitters_cms does
+    from mit_6_5840_mapreduce_spark.operators.corpus import (
+        CMS_ROWS, _cms_col, fan_out, tokenize,
+    )
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select(tokenize(F.lower(F.col("text"))).alias("toks"))
+    items = (
+        toks.where(F.size("toks") >= 2)
+        .select(F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1)))).alias("item")))
+    counts = items.groupBy("item").agg(F.count("*").alias("exact_count"))
+    rows_ = F.explode(
+        F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r")
+    vocab = {(r.r, r.col): r.cell for r in (
+        counts.select("item", "exact_count", rows_)
+        .withColumn("col", _cms_col(F.col("r"), F.col("item")))
+        .groupBy("r", "col").agg(F.sum("exact_count").alias("cell"))
+    ).collect()}
+    assert direct == vocab
