@@ -39,10 +39,11 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 # EVERY round, ALL 41 registered queries that have never had a driver
 # CORRECTNESS row (tools/window_plan.py's must-pull list — everything
 # added after the round-4 window froze), and the remaining 5 slots for
-# round-5-changed queries (hnsw_search: shard-count scaling; the new
-# heavy_hitters_cms_direct) plus the three stalest-certified HEADLINE
-# queries (mr_indexer / sessionize / asof_join_orders, newest cert
-# round 2 — three rounds old). tests/test_registry_window.py pins this.
+# round-5-changed queries (hnsw_search: shard-count scaling;
+# media_features: real-featurizer upgrade; the new
+# heavy_hitters_cms_direct) plus the two stalest-certified HEADLINE
+# queries (mr_indexer / sessionize, newest cert round 2 — three rounds
+# old). tests/test_registry_window.py pins this.
 WINDOW_SIZE = 50
 
 WINDOW_FIRST: tuple[str, ...] = (
@@ -62,9 +63,10 @@ WINDOW_FIRST: tuple[str, ...] = (
     "data_quality_audit", "mv_incremental_refresh", "skyline_pareto",
     "zorder_layout_stats", "source_mix_weights", "temperature_resample",
     "quality_ensemble", "bpe_train", "bpe_encode", "embedding_neardup",
-    # round-5 changed (re-certify) + new + stalest headline certs (r2)
-    "hnsw_search", "heavy_hitters_cms_direct",
-    "mr_indexer", "sessionize", "asof_join_orders",
+    # round-5 changed (re-certify: hnsw shard scaling, media_features
+    # real-featurizer upgrade) + new + stalest headline certs (r2)
+    "hnsw_search", "heavy_hitters_cms_direct", "media_features",
+    "mr_indexer", "sessionize",
 )
 
 

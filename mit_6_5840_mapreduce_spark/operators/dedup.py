@@ -505,6 +505,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str,
 # the rest is the "new batch" arriving against the persisted index.
 INCR_EXISTING_MOD = 8
 INCR_DUP_FRAC = 0.5
+INCR_INDEX_DB = "graft_dedup_index"
+INCR_INDEX_BUCKETS = 8
 
 
 def _incr_split(sh: DataFrame):
@@ -528,24 +530,30 @@ def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROBE side of incremental dedup: the new batch's documents
-    scored against the PERSISTED index — the index is materialized to
-    parquet and read back (the 'index is data' pattern
-    ``hnsw_search_persisted`` uses for ANN), so this gate certifies
-    the full write→read→probe path, not an in-plan shortcut. Per new
-    doc: distinct-shingle count, hits against the index, duplicated
-    fraction, and the is_dup decision at INCR_DUP_FRAC. New docs too
-    short to shingle carry no evidence and are kept.
+    scored against the PERSISTED index — the index is materialized as a
+    table BUCKETED BY the shingle hash and read back through the
+    catalog (the 'index is data' pattern ``hnsw_search_persisted``
+    uses for ANN), so this gate certifies the full write→catalog→probe
+    path, not an in-plan shortcut. Per new doc: distinct-shingle
+    count, hits against the index, duplicated fraction, and the is_dup
+    decision at INCR_DUP_FRAC. New docs too short to shingle carry no
+    evidence and are kept.
 
     Scale: the new batch is a day's increment — orders of magnitude
-    smaller than the index; the probe is one equi-join keyed by the
-    shingle hash against the bucketed index (co-located, no index
-    shuffle) + one count-agg."""
-    import os
-
+    smaller than the index. Because the index is stored bucketed on
+    ``hs``, its layout already satisfies the probe join's required
+    distribution: Catalyst plans NO Exchange on the index side (pinned
+    by tests/test_bucketing.py); only the small increment shuffles
+    into the bucket partitioning. Then one count-agg."""
+    from mit_6_5840_mapreduce_spark.sources.bucketing import write_bucketed
     from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
-    out = os.path.join(scratch_dir("dedup_index"), "index")
-    dedup_index_build(spark, sf_dir).write.mode("overwrite").parquet(out)
-    index = spark.read.parquet(out).select("hs")
+    loc = scratch_dir("dedup_index")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {INCR_INDEX_DB} "
+              f"LOCATION '{loc}'")
+    write_bucketed(dedup_index_build(spark, sf_dir),
+                   f"{INCR_INDEX_DB}.shingle_index", "hs",
+                   INCR_INDEX_BUCKETS)
+    index = spark.table(f"{INCR_INDEX_DB}.shingle_index").select("hs")
     _, new_sh = _incr_split(_doc_shingles(spark, sf_dir))
     totals = new_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     hits = (new_sh.join(index, "hs")

@@ -6,13 +6,13 @@ BMP/PPM (``functions/imaging.py``), RIFF/WAVE PCM
 (``functions/audio.py``), GIF with genuine LZW entropy decoding
 (``functions/gif.py``), and AVI (``functions/video.py``).
 ``multimodal_meta`` sniffs media types from MAGIC BYTES over a corpus of
-real containers; ``frame_sample`` and the ``*_decode_stats`` queries
-compute their outputs from DECODED pixels/samples/frames. Only the
-learned-encoder stage (``media_features``) uses a deterministic
-stand-in — CLIP/wav2vec-class models are genuinely out of scope for
-this container; the Arrow batch shape and schema are exactly what the
-real encoder stage has (see docs/MULTIMODAL_CODECS.md for the native
-codec swap point).
+real containers; ``frame_sample``, the ``*_decode_stats`` queries, and
+``media_features`` (classical per-channel/gradient/colorfulness
+descriptors) compute their outputs from DECODED pixels/samples/frames.
+A LEARNED encoder (CLIP/wav2vec-class) is the one documented extension
+point — no model library ships in this container; it swaps into
+``media_features``' per-batch body with the same Arrow shape and schema
+(see docs/MULTIMODAL_CODECS.md for the native codec swap point).
 
 Everything is oracle-checked: payload bytes derive deterministically
 from ``documents.text`` (UTF-8 encoding) and the codecs round-trip
@@ -201,29 +201,68 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_FEATURES = 8
 
 
+BRIGHT_LUM = 381                # R+G+B above this -> "bright" pixel
+
+
 def _extract_features(batches: Iterator[pd.DataFrame]
                       ) -> Iterator[pd.DataFrame]:
-    """Feature-extraction stub: N_FEATURES pseudo-features from md5 of
-    the payload (a real pipeline would run an image/audio encoder here —
-    same Arrow batch shape, same output schema). Deterministic, so the
-    oracle recomputes them exactly."""
-    import hashlib
+    """REAL classical image featurizer: wrap the payload in a genuine
+    24-bit BMP, decode it back through functions/imaging.py, and
+    compute N_FEATURES interpretable features from the DECODED pixels —
+    per-channel means, RMS intensity, bright-pixel fraction, horizontal
+    gradient energy, byte colorfulness, and channel-balance spread (the
+    classical descriptor family used for image triage/quality gates).
+    All features are exact integer sums -> one mirrored float chain ->
+    floor4, so the oracle recomputes them bit-identically.
+
+    A LEARNED encoder (CLIP/wav2vec) swaps in by replacing only the
+    per-batch body — same Arrow batch shape, same fixed-width output
+    schema; no such model library ships in this container."""
+    import numpy as np
+
+    from mit_6_5840_mapreduce_spark.functions.imaging import (
+        decode_image, encode_bmp)
+
     for pdf in batches:
-        cols: dict[str, list] = {"doc_id": list(pdf["doc_id"])}
-        feats = [
-            [int(hashlib.md5(p).hexdigest()[k * 4:k * 4 + 4], 16) / 65535.0
-             for k in range(N_FEATURES)]
-            for p in pdf["payload"]
-        ]
+        cols: dict[str, list] = {"doc_id": []}
         for k in range(N_FEATURES):
-            cols[f"f{k}"] = [f[k] for f in feats]
+            cols[f"f{k}"] = []
+
+        def fl4(x: float) -> float:
+            return float(np.floor(x * 10000) / 10000)
+
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            k = (len(payload) // _ROW_BYTES) * _ROW_BYTES
+            if k == 0:
+                continue            # payload too small for one pixel row
+            _w, _h, rgb = decode_image(
+                encode_bmp(payload[:k], PIX_W, k // _ROW_BYTES))
+            v = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+            n = v.shape[0]
+            px = v.reshape(-1, 3)
+            n_px = px.shape[0]
+            s_ch = [int(px[:, c].sum()) for c in range(3)]
+            s2 = int((v * v).sum())
+            n_bright = int((px.sum(axis=1) > BRIGHT_LUM).sum())
+            grad = int(np.abs(v[3:] - v[:-3]).sum())
+            n_distinct = int(np.unique(v).shape[0])
+            cols["doc_id"].append(doc_id)
+            cols["f0"].append(fl4(s_ch[0] / n_px / 255))
+            cols["f1"].append(fl4(s_ch[1] / n_px / 255))
+            cols["f2"].append(fl4(s_ch[2] / n_px / 255))
+            cols["f3"].append(fl4(np.sqrt(s2 / n) / 255))
+            cols["f4"].append(fl4(n_bright / n_px))
+            cols["f5"].append(fl4(grad / (n - 3) / 255))
+            cols["f6"].append(fl4(n_distinct / 256))
+            cols["f7"].append(fl4((max(s_ch) - min(s_ch)) / n_px / 255))
         yield pd.DataFrame(cols)
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encoder-stub feature extraction over binary payloads via
+    """Classical image features from really-decoded pixels via
     mapInPandas (Arrow batches in, fixed-width feature schema out —
-    exactly the shape a real CLIP/wav2vec stage has)."""
+    exactly the shape a learned CLIP/wav2vec stage has; see
+    _extract_features for the swap point)."""
     docs = load_table(spark, sf_dir, "documents")
     with_payload = docs.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload"))
@@ -537,12 +576,62 @@ LATE_QUERIES = {
     "image_phash_neardup": image_phash_neardup,
 }
 
-# md5(text) == md5 of the payload: the payload IS text's UTF-8 bytes,
-# and DuckDB's md5(VARCHAR) hashes the string's UTF-8 encoding
-_FEATURE_COLS = ", ".join(
-    f"CAST(concat('0x', substring(md5(text), {k * 4 + 1}, 4)) "
-    f"AS BIGINT) / 65535.0 AS f{k}"
-    for k in range(N_FEATURES))
+# decode(encode_bmp(x)) == x, so every feature is a function of the raw
+# payload byte stream — recomputed here on the hex expansion of the same
+# UTF-8 bytes, with each float chain written in the identical order as
+# the numpy side (exact integer sums -> mirrored divisions -> floor4)
+_MEDIA_FEATURES_ORACLE = f"""
+        WITH b AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   (octet_length(encode(text)) // {_ROW_BYTES})
+                       * {_ROW_BYTES} AS k
+            FROM documents
+        ),
+        vals AS (
+            SELECT doc_id, k, i,
+                   CAST(concat('0x', substring(hx, CAST(i * 2 + 1 AS INT), 2))
+                        AS INT) AS v
+            FROM (SELECT doc_id, k, hx, unnest(range(0, k)) AS i
+                  FROM b WHERE k > 0)
+        ),
+        agg AS (
+            SELECT doc_id, k,
+                   CAST(sum(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS s_r,
+                   CAST(sum(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS s_g,
+                   CAST(sum(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS s_b,
+                   CAST(sum(v * v) AS BIGINT) AS s2,
+                   count(DISTINCT v) AS n_distinct
+            FROM vals GROUP BY doc_id, k
+        ),
+        g AS (
+            SELECT doc_id, CAST(sum(abs(nxt - v)) AS BIGINT) AS grad
+            FROM (SELECT doc_id, v,
+                         lead(v, 3) OVER (PARTITION BY doc_id
+                                          ORDER BY i) AS nxt
+                  FROM vals)
+            WHERE nxt IS NOT NULL
+            GROUP BY doc_id
+        ),
+        br AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN lum > {BRIGHT_LUM}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_bright
+            FROM (SELECT doc_id, i // 3 AS j, sum(v) AS lum
+                  FROM vals GROUP BY doc_id, i // 3)
+            GROUP BY doc_id
+        )
+        SELECT a.doc_id,
+               floor(s_r / (k // 3)::DOUBLE / 255 * 10000) / 10000 AS f0,
+               floor(s_g / (k // 3)::DOUBLE / 255 * 10000) / 10000 AS f1,
+               floor(s_b / (k // 3)::DOUBLE / 255 * 10000) / 10000 AS f2,
+               floor(sqrt(s2 / k::DOUBLE) / 255 * 10000) / 10000 AS f3,
+               floor(n_bright / (k // 3)::DOUBLE * 10000) / 10000 AS f4,
+               floor(grad / (k - 3)::DOUBLE / 255 * 10000) / 10000 AS f5,
+               floor(n_distinct / 256.0 * 10000) / 10000 AS f6,
+               floor((greatest(s_r, s_g, s_b) - least(s_r, s_g, s_b))
+                     / (k // 3)::DOUBLE / 255 * 10000) / 10000 AS f7
+        FROM agg a JOIN g USING (doc_id) JOIN br USING (doc_id)
+"""
 
 _THUMB_PIECES = " || ".join(
     f"(CASE WHEN {i} * stride < n THEN "
@@ -913,9 +1002,7 @@ _MEDIA_DECODE_ORACLE = f"""
 ORACLES = {
     "image_decode_stats": _DECODE_STATS_ORACLE,
     "media_decode_stats": _MEDIA_DECODE_ORACLE,
-    "media_features": f"""
-        SELECT doc_id, {_FEATURE_COLS} FROM documents
-    """,
+    "media_features": _MEDIA_FEATURES_ORACLE,
     "payload_thumbnail": f"""
         SELECT doc_id, {_THUMB_PIECES} AS thumb_hex, stride
         FROM (

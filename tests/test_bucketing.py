@@ -52,6 +52,55 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed):
     assert agg_plan.count("Exchange hashpartitioning") == 1
 
 
+def test_incremental_dedup_index_side_has_no_exchange(spark, sf_dir):
+    """dedup_incremental's probe join must read the persisted shingle
+    index IN PLACE: the index is written bucketed by ``hs``, so the
+    plan has no Exchange above the index scan — only the (small) new
+    batch shuffles into the bucket partitioning. Forces the sort-merge
+    path so the bucketing, not a broadcast, is what eliminates the
+    index-side exchange."""
+    from mit_6_5840_mapreduce_spark.operators.dedup import (
+        INCR_INDEX_BUCKETS, INCR_INDEX_DB, dedup_index_build, _incr_split,
+        _doc_shingles,
+    )
+    from mit_6_5840_mapreduce_spark.sources.bucketing import write_bucketed
+    from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        loc = scratch_dir("dedup_index_plan")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {INCR_INDEX_DB} "
+                  f"LOCATION '{loc}'")
+        write_bucketed(dedup_index_build(spark, sf_dir),
+                       f"{INCR_INDEX_DB}.shingle_index_plan", "hs",
+                       INCR_INDEX_BUCKETS)
+        index = spark.table(
+            f"{INCR_INDEX_DB}.shingle_index_plan").select("hs")
+        _, new_sh = _incr_split(_doc_shingles(spark, sf_dir))
+        plan = (new_sh.join(index, "hs")._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "SortMergeJoin" in plan
+        # the index scan reads its buckets in place...
+        assert "Bucketed: true" in plan
+        # ...with no Exchange anywhere on the index branch: the index
+        # scan is the join's last child, so its branch is everything
+        # after the final Sort — which must be exchange-free
+        index_branch = plan[plan.rindex("+- Sort"):]
+        assert "shingle_index_plan" in index_branch
+        assert "Exchange" not in index_branch
+        # and the twin joined against the UNBUCKETED same files needs
+        # exactly one MORE exchange — the index-side one we eliminated
+        flat = spark.read.parquet(
+            f"{loc}/shingle_index_plan").select("hs")
+        flat_plan = (new_sh.join(flat, "hs")._jdf.queryExecution()
+                     .executedPlan().toString())
+        assert (flat_plan.count("Exchange hashpartitioning")
+                == plan.count("Exchange hashpartitioning") + 1)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(
+            f"DROP TABLE IF EXISTS {INCR_INDEX_DB}.shingle_index_plan")
+
+
 def test_bucketed_join_matches_shuffled_join(spark, sf_dir, bucketed):
     orders_t, lineitem_t = bucketed
     got = {tuple(r) for r in _joined(spark, orders_t, lineitem_t).collect()}

@@ -48,6 +48,44 @@ def test_hnsw_persisted_equals_inline(spark, sf_dir):
     assert inline == persisted and len(inline) > 0
 
 
+def test_hnsw_shard_count_scales_with_corpus():
+    """The shard count is a pure, monotone function of corpus size —
+    per-shard graph build is serial Python, so shards must grow with
+    the data (a fixed count makes the build the 100x bottleneck) while
+    staying independent of cluster parallelism for reproducibility."""
+    from mit_6_5840_mapreduce_spark.operators.similarity import (
+        HNSW_VECS_PER_SHARD, _hnsw_n_shards,
+    )
+    assert _hnsw_n_shards(0) == 1
+    assert _hnsw_n_shards(1) == 1
+    assert _hnsw_n_shards(HNSW_VECS_PER_SHARD) == 1
+    assert _hnsw_n_shards(HNSW_VECS_PER_SHARD + 1) == 2
+    assert _hnsw_n_shards(500) == 2          # the test corpus: 2 shards
+    assert _hnsw_n_shards(2000) == 8         # sf0.1
+    # growth keeps per-shard build work bounded by the target
+    for n in (2000, 200000, 20_000_000):
+        assert n <= _hnsw_n_shards(n) * HNSW_VECS_PER_SHARD
+
+
+def test_hnsw_multi_shard_at_test_scale(spark, sf_dir):
+    """The derived shard count at the gate corpus must be > 1 so every
+    hnsw test above actually exercises the shard-and-merge path, and
+    the physical grouping must produce exactly that many shards."""
+    from pyspark.sql import functions as F
+
+    from mit_6_5840_mapreduce_spark.operators.similarity import (
+        _hnsw_n_shards,
+    )
+    from mit_6_5840_mapreduce_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_shards = _hnsw_n_shards(emb.count())
+    assert n_shards > 1
+    got = (emb.select(F.pmod(F.xxhash64("vec_id"), F.lit(n_shards))
+                      .alias("shard"))
+           .distinct().count())
+    assert got == n_shards
+
+
 def test_hnsw_row_contract(spark, sf_dir):
     """Exactly TOP_K ranked rows per query, rank dense from 1, scores
     non-increasing within a query."""

@@ -39,10 +39,11 @@ NEVER_CERTIFIED = {
 }
 
 # implementation changed in round 5 (re-certify) or first registered
-CHANGED_OR_NEW_THIS_ROUND = {"hnsw_search", "heavy_hitters_cms_direct"}
+CHANGED_OR_NEW_THIS_ROUND = {"hnsw_search", "heavy_hitters_cms_direct",
+                             "media_features"}
 
 # headline-bench queries whose newest driver cert is round 2
-STALEST_HEADLINE = {"mr_indexer", "sessionize", "asof_join_orders"}
+STALEST_HEADLINE = {"mr_indexer", "sessionize"}
 
 MUST_BE_IN_WINDOW = (SENTINELS | NEVER_CERTIFIED
                      | CHANGED_OR_NEW_THIS_ROUND | STALEST_HEADLINE)
@@ -56,7 +57,7 @@ def test_first_window_contains_round5_surface():
 
 
 def test_window_is_exactly_the_must_list():
-    # 4 + 41 + 2 + 3 = 50: the round-5 window has no free slots
+    # 4 + 41 + 3 + 2 = 50: the round-5 window has no free slots
     assert len(MUST_BE_IN_WINDOW) == WINDOW_SIZE
 
 
