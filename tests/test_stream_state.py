@@ -208,6 +208,68 @@ def test_stateful_topk_matches_append_on_watermark_equality(
     assert (datetime.datetime(2024, 1, 1, 10, 0), "a") in got_state
 
 
+@pytest.mark.parametrize("offset_ms", [-1000, -1, 0, 1, 1000, 1_800_000])
+def test_topk_forms_agree_across_window_edge_sweep(spark, tmp_path,
+                                                   offset_ms):
+    """Property form of the watermark-equality pin: sweep the stream's
+    max event time so the watermark lands BEFORE, EXACTLY ON, and
+    AFTER a window end (±1 s, ±1 ms, 0, +30 min). For every offset the
+    append-mode and EventTimeTimeout top-k forms must emit the same
+    window set, and the probe window [10:00, 11:00) must finalize
+    exactly when append's inclusive rule (end <= wm) says so. The
+    0/+1 ms cases are the ones the round-4 bug hid in (append
+    inclusive vs timeout strictly-greater); the sweep pins the whole
+    edge neighborhood, including an event sitting exactly ON the next
+    window's start."""
+    import datetime
+
+    from mit_6_5840_mapreduce_spark.streaming.jobs import (
+        run_stream_to_memory,
+        topk_stateful_from_events,
+        windowed_counts_from_events,
+    )
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    anchor = (datetime.datetime(2024, 1, 1, 12, 0, 0)
+              + datetime.timedelta(milliseconds=offset_ms))
+    rows = [(1, base + datetime.timedelta(minutes=5), "a", 1.0),
+            (2, base + datetime.timedelta(minutes=10), "b", 1.0),
+            # exactly ON the next window's start: belongs to [11, 12)
+            (3, datetime.datetime(2024, 1, 1, 11, 0, 0), "d", 1.0),
+            # wm = anchor - 1h = 11:00 + offset
+            (4, anchor, "c", 1.0)]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, event_type STRING, "
+              "value DOUBLE")
+    tag = f"m{abs(offset_ms)}" if offset_ms < 0 else f"p{offset_ms}"
+    src = str(tmp_path / f"edge_events_{tag}")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return (spark.readStream.schema(schema).parquet(src)
+                .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    got_append = {(r.hour, r.event_type) for r in run_stream_to_memory(
+        spark, windowed_counts_from_events(stream()),
+        f"edge_sweep_append_{tag}",
+        output_mode="append").collect()}
+    got_state = {(r.hour, r.event_type) for r in run_stream_to_memory(
+        spark, topk_stateful_from_events(stream()),
+        f"edge_sweep_state_{tag}",
+        output_mode="append").collect()}
+    assert got_append == got_state, (
+        f"forms diverge at offset {offset_ms} ms")
+    probe = (datetime.datetime(2024, 1, 1, 10, 0), "a")
+    if offset_ms >= 0:       # end (11:00) <= wm (11:00 + offset)
+        assert probe in got_state
+        # [11:00, 12:00) holds the boundary event d; it finalizes only
+        # when 12:00 <= 11:00 + offset, never within this sweep
+        assert all(h != datetime.datetime(2024, 1, 1, 11, 0)
+                   for h, _ in got_state)
+    else:
+        assert probe not in got_state
+
+
 def test_session_window_state_is_watermark_bounded(spark, split_src):
     src_dir, n_events = split_src
     progresses = _run_batched(spark, src_dir, sessionized_from_events,
