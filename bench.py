@@ -145,7 +145,7 @@ def main() -> None:
     except OSError:
         pass
     print("bench_detail: " + json.dumps(detail))
-    print(json.dumps({
+    contract_line = json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -159,7 +159,12 @@ def main() -> None:
             "ratio_max": round(max(ratios.values()), 2),
             "detail_file": detail_path,
         },
-    }))
+    })
+    # hard guard: the contract line must stay inside the driver's
+    # bounded stdout-tail capture (r4 lost its official record to a
+    # line that outgrew it)
+    assert len(contract_line) < 4000, len(contract_line)
+    print(contract_line)
     spark.stop()
 
 

@@ -413,12 +413,15 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking.
 
     Scale (100 TB): the only corpus-sized work is ONE bigram hash
-    aggregate with map-side partial aggregation; the sketch is built
-    from the aggregated vocabulary (a second, vocabulary-sized agg into
-    a fixed 2,048-cell table) — the pattern that lets the sketch stand
-    in for the exact count table when the item domain no longer fits
-    (URLs, n-grams, user ids). Probing joins the 20 candidates to the
-    broadcast sketch; nothing corpus-sized shuffles twice.
+    aggregate with map-side partial aggregation; the sketch here is
+    built from the aggregated vocabulary because this gate needs the
+    EXACT counts anyway for error accounting. When the item domain
+    explodes (URLs, n-grams, user ids) and the exact table no longer
+    fits, the sketch must be built WITHOUT it — that direct one-pass
+    form (hash every occurrence straight into the cells) is
+    ``heavy_hitters_cms_direct``, certified cell-identical to this
+    build. Probing joins the 20 candidates to the broadcast sketch;
+    nothing corpus-sized shuffles twice.
     """
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = docs.select(
