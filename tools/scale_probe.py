@@ -28,10 +28,18 @@ PROBES = ("mr_wc", "simhash_docs", "minhash_signatures",
           "bigram_pmi", "pii_scrub", "url_domain_stats",
           "token_length_histogram", "embedding_quantize",
           "multimodal_meta",
-          # round-4 linear operators (decontaminate/semantic/hnsw are
+          # round-4 linear operators (decontaminate/semantic are
           # excluded like the other pairwise ops: replication
           # manufactures artificial duplicates)
           "pack_sequences", "training_shuffle", "token_rarity",
+          # graph ANN: included since round 5 to evidence the
+          # scale-proportional sharding — shard count grows with the
+          # corpus (ceil(n/HNSW_VECS_PER_SHARD)), so the per-shard
+          # serial-Python build stays bounded and wall grows
+          # ~linearly (replicated vectors only add degenerate
+          # similarity ties, absorbed by vec_id tiebreaks; wall-clock
+          # is the signal here, not recall)
+          "hnsw_search",
           # session-2 linear operators (duplicate_spans and the phash
           # PAIR query are excluded: replication manufactures duplicate
           # spans / hash collisions; per-doc image_phash and the
