@@ -87,6 +87,7 @@ REPRESENTATIVE = [
     "stream_cdc_upsert",
     "heavy_hitters_cms",
     "heavy_hitters_cms_direct",
+    "media_features",
     "skyline_pareto",
     "doc_bfs",
     "ann_recall_eval",
