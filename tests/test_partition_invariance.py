@@ -1,0 +1,46 @@
+"""Results must not depend on the shuffle-partition count.
+
+The driver certifies queries from its OWN SparkSession, whose
+``spark.sql.shuffle.partitions`` differs from this suite's (32 vs 10) —
+and at 100 TB the count is retuned per deployment. Any operator whose
+VALUES depend on physical partitioning (per-partition ids leaking into
+output, partition-local sampling, non-commutative merges) would pass a
+fixed-conf oracle check and still break under retuning. Representative
+queries from every partition-sensitive family — deterministic shuffle,
+sequence packing, span windows, iterative CC, sketch build, window
+functions, RDD-path MR — are pinned to produce the identical row
+multiset under deliberately awkward counts (5 and 37: below and above
+parallelism, prime, non-dividing).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SWEEP = ("mr_wc", "training_shuffle", "pack_sequences",
+         "duplicate_spans", "dedup_groups", "heavy_hitters_cms_direct",
+         "sessionize", "user_scd2")
+
+
+def _rows(spark, sf_dir, name):
+    df = entrymod.queries()[name](spark, sf_dir)
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_result_invariant_under_shuffle_partition_count(spark, sf_dir,
+                                                        name):
+    base_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = _rows(spark, sf_dir, name)
+    assert baseline, name
+    try:
+        for n in ("5", "37"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            spark.catalog.clearCache()
+            assert _rows(spark, sf_dir, name) == baseline, (
+                f"{name}: result changed at shuffle.partitions={n}")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base_conf)
+        spark.catalog.clearCache()
