@@ -30,6 +30,24 @@ def _rows(spark, sf_dir, name):
 
 
 @pytest.mark.parametrize("name", SWEEP)
+def test_result_invariant_with_aqe_disabled(spark, sf_dir, name):
+    """Same property for Adaptive Query Execution: AQE re-plans
+    shuffles and coalesces partitions at runtime — results must be
+    identical with it off (a driver/production session may disable
+    it)."""
+    baseline = _rows(spark, sf_dir, name)
+    assert baseline, name
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.catalog.clearCache()
+        assert _rows(spark, sf_dir, name) == baseline, (
+            f"{name}: result changed with AQE disabled")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("name", SWEEP)
 def test_result_invariant_under_shuffle_partition_count(spark, sf_dir,
                                                         name):
     base_conf = spark.conf.get("spark.sql.shuffle.partitions")
