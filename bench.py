@@ -131,7 +131,11 @@ def main() -> None:
     # must be the LAST line and must stay COMPACT. Diagnostic detail
     # (per-query spreads, extra-query timings) goes to a sidecar file
     # and a PRECEDING stdout line, never into the contract line.
+    # bench_id ties the contract line to its detail records, so a stale
+    # sidecar from a previous run can never be mistaken for this run's
+    bench_id = int(time.time())
     detail = {
+        "bench_id": bench_id,
         "per_query_stat": f"median_of_{repeat}",
         "per_query_min_med_max": spread,
         "extra_query_wall_single_run": extra,
@@ -143,7 +147,7 @@ def main() -> None:
         with open(detail_path, "w") as f:
             json.dump(detail, f)
     except OSError:
-        pass
+        detail_path = None          # advertise the failure, not a path
     print("bench_detail: " + json.dumps(detail))
     contract_line = json.dumps({
         "metric": "headline_queries_total_wall",
@@ -157,6 +161,7 @@ def main() -> None:
             "loadavg_after": [round(x, 2) for x in load_after],
             "ratio_median": round(statistics.median(ratios.values()), 2),
             "ratio_max": round(max(ratios.values()), 2),
+            "bench_id": bench_id,
             "detail_file": detail_path,
         },
     })

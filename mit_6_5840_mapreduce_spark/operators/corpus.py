@@ -474,7 +474,7 @@ def heavy_hitters_cms_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the populated sketch cells (r, col, cell) so the gate
     certifies bit-equality of the ENTIRE sketch against the oracle —
     and, by summation associativity, against the vocabulary-built
-    sketch in ``heavy_hitters_cms`` (pinned by tests/test_cms.py).
+    sketch in ``heavy_hitters_cms`` (pinned by tests/test_sketches.py).
     """
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = docs.select(

@@ -60,21 +60,27 @@ def test_incremental_dedup_index_side_has_no_exchange(spark, sf_dir):
     path so the bucketing, not a broadcast, is what eliminates the
     index-side exchange."""
     from mit_6_5840_mapreduce_spark.operators.dedup import (
-        INCR_INDEX_BUCKETS, INCR_INDEX_DB, dedup_index_build, _incr_split,
+        INCR_INDEX_BUCKETS, dedup_index_build, _incr_split,
         _doc_shingles,
     )
     from mit_6_5840_mapreduce_spark.sources.bucketing import write_bucketed
     from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
+    # a test-owned database, NOT the operator's INCR_INDEX_DB: CREATE
+    # DATABASE IF NOT EXISTS ignores LOCATION when the DB already
+    # exists, so sharing the name would make this test order-dependent
+    # with any earlier dedup_incremental run in the session (and would
+    # leave the operator's index under the test's location afterwards)
+    test_db = "graft_dedup_index_plan_test"
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         loc = scratch_dir("dedup_index_plan")
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {INCR_INDEX_DB} "
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {test_db} "
                   f"LOCATION '{loc}'")
         write_bucketed(dedup_index_build(spark, sf_dir),
-                       f"{INCR_INDEX_DB}.shingle_index_plan", "hs",
+                       f"{test_db}.shingle_index_plan", "hs",
                        INCR_INDEX_BUCKETS)
         index = spark.table(
-            f"{INCR_INDEX_DB}.shingle_index_plan").select("hs")
+            f"{test_db}.shingle_index_plan").select("hs")
         _, new_sh = _incr_split(_doc_shingles(spark, sf_dir))
         plan = (new_sh.join(index, "hs")._jdf.queryExecution()
                 .executedPlan().toString())
@@ -97,8 +103,8 @@ def test_incremental_dedup_index_side_has_no_exchange(spark, sf_dir):
                 == plan.count("Exchange hashpartitioning") + 1)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.sql(
-            f"DROP TABLE IF EXISTS {INCR_INDEX_DB}.shingle_index_plan")
+        spark.sql(f"DROP TABLE IF EXISTS {test_db}.shingle_index_plan")
+        spark.sql(f"DROP DATABASE IF EXISTS {test_db}")
 
 
 def test_bucketed_join_matches_shuffled_join(spark, sf_dir, bucketed):

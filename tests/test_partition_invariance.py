@@ -35,6 +35,7 @@ def test_result_invariant_with_aqe_disabled(spark, sf_dir, name):
     shuffles and coalesces partitions at runtime — results must be
     identical with it off (a driver/production session may disable
     it)."""
+    base_conf = spark.conf.get("spark.sql.adaptive.enabled")
     baseline = _rows(spark, sf_dir, name)
     assert baseline, name
     try:
@@ -43,7 +44,7 @@ def test_result_invariant_with_aqe_disabled(spark, sf_dir, name):
         assert _rows(spark, sf_dir, name) == baseline, (
             f"{name}: result changed with AQE disabled")
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", base_conf)
         spark.catalog.clearCache()
 
 

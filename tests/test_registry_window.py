@@ -5,9 +5,11 @@ entries per round. Round 5 clears the certification backlog (VERDICT
 r4 item 1): the sentinel set stays in-window every round, ALL 41
 queries that had never had a driver CORRECTNESS row rotate in
 (tools/window_plan.py's must-pull list), and the remaining 5 slots go
-to round-5-changed queries (hnsw_search after shard-count scaling, the
-new heavy_hitters_cms_direct) plus the three stalest-certified
-headline queries (newest cert round 2). This test fails loudly if a
+to the three round-5-changed/new queries (hnsw_search after
+shard-count scaling, media_features after the real-featurizer
+upgrade, the new heavy_hitters_cms_direct) plus the two
+stalest-certified headline queries (mr_indexer and sessionize,
+newest cert round 2). This test fails loudly if a
 future registration reorders them out.
 """
 
