@@ -105,16 +105,23 @@ def main() -> None:
                         round(max(runs), 3)]
     load_after = os.getloadavg()
 
-    # session-2 operators: timed once each OUTSIDE the headline total so
-    # the cross-round contract (value vs BASELINE.md) stays comparable,
-    # while new-op wall clock is still visible per round
+    # post-round-3 operators: timed once each OUTSIDE the headline total
+    # so the cross-round contract (value vs BASELINE.md) stays
+    # comparable, while new-op wall clock is still visible per round
+    # (timings land in the detail sidecar, never the contract line)
     EXTRA = ("duplicate_spans", "source_mix_weights",
              "temperature_resample", "quality_ensemble",
              "bloom_prune_join", "q9_product_type_profit",
              "q11_important_stock", "doc_lm_score", "pq_encode",
              "pq_search", "ivfpq_search", "image_phash",
              "image_phash_neardup", "user_scd2", "similarity_triangles",
-             "data_quality_audit", "mv_incremental_refresh")
+             "data_quality_audit", "mv_incremental_refresh",
+             "cdc_apply", "table_diff", "skyline_pareto", "doc_bfs",
+             "heavy_hitters_cms", "heavy_hitters_cms_direct",
+             "funnel_windowed", "user_growth_accounting",
+             "zorder_layout_stats", "dedup_eval", "ann_recall_eval",
+             "dedup_index_build", "dedup_incremental", "token_rarity",
+             "customer_rfm", "bucketed_join_stats", "user_event_unpivot")
     extra: dict[str, float] = {}
     for name in EXTRA:
         spark.catalog.clearCache()
