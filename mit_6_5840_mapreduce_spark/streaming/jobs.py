@@ -261,6 +261,18 @@ def click_purchase_attribution_batch(spark: SparkSession,
              "purchase_ts", "click_id", "click_ts", "purchase_value")
 
 
+def _await_or_fail(q, timeout_sec: int, what: str) -> None:
+    """availableNow queries must FINISH inside the timeout: a silent
+    timeout would hand back a partial sink (and leave the query running
+    against a scratch dir a later scratch_dir() call would rmtree).
+    Same contract as the CDC runner's check."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise RuntimeError(
+            f"{what}: availableNow query did not terminate within "
+            f"{timeout_sec}s")
+
+
 def run_stream_to_memory(spark: SparkSession, df: DataFrame, name: str,
                          output_mode: str = "complete",
                          timeout_sec: int = 120) -> DataFrame:
@@ -272,7 +284,7 @@ def run_stream_to_memory(spark: SparkSession, df: DataFrame, name: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _await_or_fail(q, timeout_sec, f"stream->memory[{name}]")
     return spark.table(name)
 
 
@@ -292,7 +304,7 @@ def run_stream_to_parquet(spark: SparkSession, df: DataFrame, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _await_or_fail(q, timeout_sec, "stream->parquet")
 
 
 # ---- Driver-gate surface --------------------------------------------------
@@ -465,7 +477,7 @@ def run_topk_stream(spark: SparkSession, hourly: DataFrame,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _await_or_fail(q, timeout_sec, "stream_topk")
     if not glob.glob(os.path.join(out, "*.parquet")):
         return spark.createDataFrame(
             [], "hour TIMESTAMP, event_type STRING, n_events BIGINT, "
@@ -634,15 +646,7 @@ def run_cdc_upsert_stream(spark: SparkSession, changelog: DataFrame,
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(timeout_sec)
-    if not finished:
-        # do NOT return a possibly-stale intermediate v{N} snapshot, and
-        # do NOT leave the query running against a scratch dir a later
-        # scratch_dir() call would rmtree from under it
-        q.stop()
-        raise RuntimeError(
-            f"stream_cdc_upsert: availableNow query did not terminate "
-            f"within {timeout_sec}s")
+    _await_or_fail(q, timeout_sec, "stream_cdc_upsert")
     versions = sorted(
         int(os.path.basename(p)[1:])
         for p in glob.glob(os.path.join(root, "v*")))
