@@ -24,6 +24,11 @@ ARTIFACT_QUERIES = (
     "mv_incremental_refresh",   # incremental MV base + delta state
     "stream_cdc_upsert",        # versioned foreachBatch snapshots
     "csv_roundtrip_stats",      # scratch-file format round trip
+    "xml_roundtrip_stats",      # scratch-file XML round trip
+    "pyds_roundtrip_stats",     # Python DataSource write+read
+    "dedup_index_build",        # index artifact (value-checked rows)
+    "stream_foreachbatch_roundtrip",  # foreachBatch parquet sink
+    "stream_topk_event_types",  # append-sink ranking over scratch files
 )
 
 
