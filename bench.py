@@ -105,10 +105,11 @@ def main() -> None:
                         round(max(runs), 3)]
     load_after = os.getloadavg()
 
-    # post-round-3 operators: timed once each OUTSIDE the headline total
-    # so the cross-round contract (value vs BASELINE.md) stays
-    # comparable, while new-op wall clock is still visible per round
-    # (timings land in the detail sidecar, never the contract line)
+    # operators added after round 1 (non-headline): timed once each
+    # OUTSIDE the headline total so the cross-round contract (value vs
+    # BASELINE.md) stays comparable, while new-op wall clock is still
+    # visible per round (timings land in the detail sidecar, never the
+    # contract line)
     EXTRA = ("duplicate_spans", "source_mix_weights",
              "temperature_resample", "quality_ensemble",
              "bloom_prune_join", "q9_product_type_profit",

@@ -75,6 +75,10 @@ def get_spark(app_name: str = "mit-6-5840-mapreduce-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # bound StreamingQuery.stop() so a wedged availableNow
+        # micro-batch fails loudly instead of hanging the caller
+        # (default stopTimeout=0 joins the stream thread forever)
+        .config("spark.sql.streaming.stopTimeout", "30s")
         # the reference's jobcount test requires exactly-once task
         # execution absent failures (SURVEY.md section 2.5.2)
         .config("spark.speculation", "false")

@@ -265,9 +265,15 @@ def _await_or_fail(q, timeout_sec: int, what: str) -> None:
     """availableNow queries must FINISH inside the timeout: a silent
     timeout would hand back a partial sink (and leave the query running
     against a scratch dir a later scratch_dir() call would rmtree).
-    Same contract as the CDC runner's check."""
+    The stop is bounded (spark.sql.streaming.stopTimeout, session.py —
+    the default 0 waits forever on a wedged micro-batch) and
+    best-effort: the timeout is the error to surface, never a stop
+    failure."""
     if not q.awaitTermination(timeout_sec):
-        q.stop()
+        try:
+            q.stop()
+        except Exception:
+            pass
         raise RuntimeError(
             f"{what}: availableNow query did not terminate within "
             f"{timeout_sec}s")

@@ -70,7 +70,7 @@ def _run_batched(spark, src_dir, transform, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "availableNow run timed out"
     return [p for p in q.recentProgress if p.get("stateOperators")]
 
 

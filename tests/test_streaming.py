@@ -130,7 +130,7 @@ def test_checkpoint_resume_processes_nothing_new(spark, sf_dir, tmp_path):
         q = (ev.writeStream.format("parquet")
              .option("path", out).option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "availableNow run timed out"
 
     run_once()
     n1 = spark.read.parquet(out).count()
