@@ -59,4 +59,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    try:
+        raise SystemExit(main())
+    except BrokenPipeError:     # reader (e.g. `| head`) closed early
+        raise SystemExit(0)
