@@ -154,7 +154,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                "o_totalprice", F.col("total_qty").alias("total_qty"))
+                "o_totalprice", "total_qty")
     )
 
 
@@ -252,9 +252,9 @@ def column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_totalprice")
     N_BINS = 20
     mm = o.agg(F.min("o_totalprice").alias("lo"),
-               F.max("o_totalprice").alias("hi")).withColumn("k", F.lit(1))
+               F.max("o_totalprice").alias("hi"))
     binned = (
-        o.withColumn("k", F.lit(1)).join(broadcast(mm), "k")
+        o.crossJoin(broadcast(mm))
         # hi == lo (all values equal) would divide by zero — an ANSI-mode
         # error in Spark 4; degenerate corpus collapses to bin 0
         .select(F.when(F.col("hi") > F.col("lo"),
@@ -654,12 +654,17 @@ def nation_customer_supplier_balance(spark: SparkSession,
     )
 
 
+# shared by the pivot/unpivot pair: one source of truth for the event
+# vocabulary so the round trip can never drift on a rename
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
 def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: one column per event type with per-user counts (explicit
     value list — required for a deterministic schema, and what keeps the
     pivot a single pass at scale)."""
     ev = _t(spark, sf_dir, "events")
-    types = ["click", "error", "purchase", "signup", "view"]
+    types = list(EVENT_TYPES)
     pivoted = (
         ev.groupBy("user_id").pivot("event_type", types).count()
     )
@@ -675,7 +680,7 @@ def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     trip against the plain long-form aggregate: any pivot fill error or
     unpivot column mix-up breaks value parity. unpivot is a narrow
     projection (no shuffle beyond the pivot's own aggregate)."""
-    types = ["click", "error", "purchase", "signup", "view"]
+    types = list(EVENT_TYPES)
     wide = user_event_pivot(spark, sf_dir)
     return (
         wide.unpivot(
@@ -861,11 +866,12 @@ def q16_parts_supplier_relationship(spark: SparkSession,
           .select("l_partkey", "l_suppkey").distinct()
           .join(broadcast(bad_supp),
                 F.col("l_suppkey") == F.col("s_suppkey"), "leftanti"))
+    # no ORDER BY: there is no LIMIT, and the gate canonicalizes row
+    # order — an unbounded global sort would buy nothing at any scale
     return (
         ps.join(broadcast(part), ps.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
 
@@ -1165,7 +1171,12 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").alias("n_orders"),
                      F.sum(cents).alias("cents")))
 
-    base = partial(orders.where(F.col("o_orderdate") < split))
+    # NULL order dates fail BOTH date predicates and would silently
+    # vanish from the merge (while the full recompute counts them);
+    # route them to the base partition so every row lands in exactly
+    # one partial aggregate
+    base = partial(orders.where((F.col("o_orderdate") < split)
+                                | F.col("o_orderdate").isNull()))
     delta = partial(orders.where(F.col("o_orderdate") >= split))
     return (
         base.unionAll(delta)
@@ -1308,20 +1319,22 @@ ORACLES = {
         SELECT 'orders_custkey_fk',
                (SELECT count(*) FROM orders),
                (SELECT count(*) FROM orders
-                WHERE o_custkey NOT IN
-                      (SELECT c_custkey FROM customer)),
+                WHERE NOT EXISTS (SELECT 1 FROM customer
+                                  WHERE c_custkey = o_custkey)),
                CAST((SELECT count(*) FROM orders
-                     WHERE o_custkey NOT IN
-                           (SELECT c_custkey FROM customer)) = 0 AS INT)
+                     WHERE NOT EXISTS (SELECT 1 FROM customer
+                                       WHERE c_custkey = o_custkey))
+                    = 0 AS INT)
         UNION ALL
         SELECT 'lineitem_orderkey_fk',
                (SELECT count(*) FROM lineitem),
                (SELECT count(*) FROM lineitem
-                WHERE l_orderkey NOT IN
-                      (SELECT o_orderkey FROM orders)),
+                WHERE NOT EXISTS (SELECT 1 FROM orders
+                                  WHERE o_orderkey = l_orderkey)),
                CAST((SELECT count(*) FROM lineitem
-                     WHERE l_orderkey NOT IN
-                           (SELECT o_orderkey FROM orders)) = 0 AS INT)
+                     WHERE NOT EXISTS (SELECT 1 FROM orders
+                                       WHERE o_orderkey = l_orderkey))
+                    = 0 AS INT)
         UNION ALL
         SELECT 'lineitem_discount_range',
                (SELECT count(*) FROM lineitem),
@@ -1416,10 +1429,10 @@ ORACLES = {
         WHERE p_brand <> 'Brand#1'
           AND p_type <> 'PROMO'
           AND p_size IN ({", ".join(str(s) for s in Q16_SIZES)})
-          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                                WHERE s_acctbal < 0)
+          AND NOT EXISTS (SELECT 1 FROM supplier
+                          WHERE s_suppkey = l_suppkey
+                            AND s_acctbal < 0)
         GROUP BY p_brand, p_type, p_size
-        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
     "q8_market_share": """
         WITH vol AS (
@@ -1658,8 +1671,9 @@ ORACLES = {
         FROM pos CROSS JOIN thresh
         JOIN nation ON c_nationkey = n_nationkey
         WHERE bal_cents * n > s
-          AND c_custkey NOT IN (SELECT o_custkey FROM orders
-                                WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY n_name
     """,
     "q14_promo_revenue": """
@@ -1886,9 +1900,9 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     data. All comparisons are exact (2dp cents, integer sizes, exact
     integer-valued quantity sums), so both engines agree bit-for-bit.
     """
-    part = load_table(spark, sf_dir, "part").select(
+    part = _t(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size")
-    demand = (load_table(spark, sf_dir, "lineitem")
+    demand = (_t(spark, sf_dir, "lineitem")
               .groupBy("l_partkey")
               .agg(F.round(F.sum("l_quantity"), 2).alias("demand")))
     m = (part.join(demand, part.p_partkey == demand.l_partkey, "left")
@@ -1994,7 +2008,7 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds ride a broadcast 1-row cross join (single DAG, no driver
     round-trip).
     """
-    orders = load_table(spark, sf_dir, "orders").select(
+    orders = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate")
     bounds = orders.agg(
         F.max("o_custkey").alias("mx"),
