@@ -122,7 +122,11 @@ def main() -> None:
              "funnel_windowed", "user_growth_accounting",
              "zorder_layout_stats", "dedup_eval", "ann_recall_eval",
              "dedup_index_build", "dedup_incremental", "token_rarity",
-             "customer_rfm", "bucketed_join_stats", "user_event_unpivot")
+             "customer_rfm", "bucketed_join_stats", "user_event_unpivot",
+             # round 6: the rewritten distributed-rank form + the two
+             # new recall audits
+             "customer_value_quartiles", "pq_recall_eval",
+             "graph_recall_eval")
     extra: dict[str, float] = {}
     for name in EXTRA:
         spark.catalog.clearCache()
@@ -130,6 +134,46 @@ def main() -> None:
         queries[name](spark, sf_dir).write.mode("overwrite") \
             .format("noop").save()
         extra[name] = round(time.perf_counter() - t0, 3)
+
+    # Codec throughput ceiling (VERDICT r5 item 6): the pure-Python
+    # BMP/WAV/GIF/AVI codecs are the repo's one documented scale
+    # caveat — record the ceiling as a NUMBER (decoded payload MB/s at
+    # this host's parallelism), not a sentence. Denominator = raw
+    # payload bytes entering the wrap+decode path (docs.text as UTF-8).
+    from pyspark.sql import functions as F
+
+    from mit_6_5840_mapreduce_spark.sources.tables import load_table
+    corpus_mb = (load_table(spark, sf_dir, "documents")
+                 .agg(F.sum(F.octet_length("text"))).collect()[0][0]
+                 or 0) / 1e6
+    codec_mb_s: dict[str, float] = {}
+    for name in ("image_decode_stats", "audio_decode_stats",
+                 "gif_decode_stats", "video_frame_stats",
+                 "media_decode_stats"):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite") \
+            .format("noop").save()
+        codec_mb_s[name] = round(corpus_mb / (time.perf_counter() - t0), 2)
+
+    # CC-loop scale probe (VERDICT r5 item 5): cc_labels on synthetic
+    # disjoint 8-node chains — |edges| grows 16x while component
+    # diameter (= rounds) stays constant, the "more data, same graph
+    # depth" shape. Sized small so bench stays lean; the full
+    # 1x/4x/16x probe lives in tools/scale_probe.py.
+    from mit_6_5840_mapreduce_spark.operators.dedup import cc_labels
+    CC_NODES_1X = 50_000
+    cc_probe: dict[str, float] = {}
+    for factor in (1, 16):
+        n = CC_NODES_1X * factor
+        edges = (spark.range(n).where(F.col("id") % 8 != 7)
+                 .select(F.col("id").alias("a"),
+                         (F.col("id") + 1).alias("b")))
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        cc_labels(spark, edges, "a", "b").write.mode("overwrite") \
+            .format("noop").save()
+        cc_probe[f"{factor}x"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     ratios = {name: round(timings[name] / BASELINE_R1[name], 2)
@@ -148,6 +192,10 @@ def main() -> None:
         "per_query_min_med_max": spread,
         "extra_query_wall_single_run": extra,
         "ratio_vs_baseline_r1": ratios,
+        "codec_payload_mb_per_sec": codec_mb_s,
+        "codec_corpus_mb": round(corpus_mb, 2),
+        "cc_chain_probe_wall_sec": cc_probe,
+        "cc_chain_probe_nodes_1x": CC_NODES_1X,
     }
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL",
                                  "/tmp/bench_detail.json")
@@ -175,8 +223,16 @@ def main() -> None:
     })
     # hard guard: the contract line must stay inside the driver's
     # bounded stdout-tail capture (r4 lost its official record to a
-    # line that outgrew it)
-    assert len(contract_line) < 4000, len(contract_line)
+    # line that outgrew it). NOT an assert (stripped under -O), and on
+    # overflow a minimal record still lands instead of none (ADVICE r5).
+    if len(contract_line) >= 4000:
+        print(json.dumps({"metric": "headline_queries_total_wall",
+                          "value": total, "unit": "sec", "sf": sf,
+                          "notes": {"error": "contract_line_overflow",
+                                    "len": len(contract_line),
+                                    "bench_id": bench_id}}))
+        spark.stop()
+        raise SystemExit(1)
     print(contract_line)
     spark.stop()
 

@@ -34,39 +34,42 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # each round, so window composition is an explicit, reviewed list rather
-# than an accident of module ordering. Round-5 window (VERDICT r4 item
-# 1: clear the certification backlog): the sentinel set kept in-window
-# EVERY round, ALL 41 registered queries that have never had a driver
-# CORRECTNESS row (tools/window_plan.py's must-pull list — everything
-# added after the round-4 window froze), and the remaining 5 slots for
-# round-5-changed queries (hnsw_search: shard-count scaling;
-# media_features: real-featurizer upgrade; the new
-# heavy_hitters_cms_direct) plus the two stalest-certified HEADLINE
-# queries (mr_indexer / sessionize, newest cert round 2 — three rounds
-# old). tests/test_registry_window.py pins this.
+# than an accident of module ordering. Round-6 window — first round of
+# the STEADY-STATE policy (VERDICT r5 item 4; the never-certified
+# backlog cleared in round 5): the sentinel set kept in-window EVERY
+# round, every round-changed query (q3_shipping_priority: exact
+# floor-cents conversion; customer_value_quartiles: distributed exact
+# rank replacing the global ntile window), every newly registered query
+# (pq_recall_eval, graph_recall_eval), and ALL remaining slots filled
+# with the stalest certs from tools/window_plan.py's staleness report
+# (ceiling 4 rounds), oldest round first, name tiebreak — the 41 certs
+# at/over the ceiling (r1-r2) plus the first r3 cert
+# (audio_decode_stats). tests/test_registry_window.py pins this.
 WINDOW_SIZE = 50
 
 WINDOW_FIRST: tuple[str, ...] = (
     # sentinels (every round)
     "mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts",
-    # the 41 never-driver-certified queries (round-4 backlog)
-    "duplicate_spans", "dedup_index_build", "dedup_incremental",
-    "dedup_eval", "hnsw_search_persisted", "pq_encode", "pq_search",
-    "ivfpq_search", "ann_recall_eval", "similarity_triangles",
-    "token_rarity", "doc_bfs", "xml_roundtrip_stats",
-    "pyds_roundtrip_stats", "stream_topk_stateful", "user_scd2",
-    "cdc_apply", "table_diff", "funnel_windowed",
-    "user_growth_accounting", "doc_lm_score", "heavy_hitters_cms",
-    "stream_cdc_upsert", "image_phash", "image_phash_neardup",
-    "customer_rfm", "bucketed_join_stats", "user_event_unpivot",
-    "bloom_prune_join", "q9_product_type_profit", "q11_important_stock",
-    "data_quality_audit", "mv_incremental_refresh", "skyline_pareto",
-    "zorder_layout_stats", "source_mix_weights", "temperature_resample",
-    "quality_ensemble", "bpe_train", "bpe_encode", "embedding_neardup",
-    # round-5 changed (re-certify: hnsw shard scaling, media_features
-    # real-featurizer upgrade) + new + stalest headline certs (r2)
-    "hnsw_search", "heavy_hitters_cms_direct", "media_features",
-    "mr_indexer", "sessionize",
+    # round-6 changed (re-certify with changed values/plans)
+    "q3_shipping_priority", "customer_value_quartiles",
+    # round-6 new registrations
+    "pq_recall_eval", "graph_recall_eval",
+    # staleness rotation: the 2 r1 rows-only + 39 r2 certs ...
+    "events_user_sketch", "order_value_percentiles_approx",
+    "asof_join_orders", "curation_summary", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
+    "doc_chunks", "doc_fingerprint", "doc_quality", "doc_split",
+    "embedding_lsh_signatures", "embedding_neardup_exact",
+    "embedding_neardup_lsh", "embedding_topk", "embedding_topk_pandas",
+    "event_transitions", "events_hourly", "events_props_stats",
+    "image_decode_stats", "ivf_assign", "ivf_search", "ivf_train",
+    "lang_id", "minhash_signatures", "mr_doccount", "mr_docmeta",
+    "mr_indexer_rdd", "payload_thumbnail", "simhash_docs",
+    "source_quota_cap", "stratified_sample", "stream_dedup_events",
+    "stream_sliding_counts", "stream_user_totals", "tfidf_cosine_pairs",
+    "tfidf_top_terms", "token_stats", "user_stats", "user_value_mad_sql",
+    # ... plus the first r3 cert by name order
+    "audio_decode_stats",
 )
 
 

@@ -262,7 +262,13 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical image features from really-decoded pixels via
     mapInPandas (Arrow batches in, fixed-width feature schema out —
     exactly the shape a learned CLIP/wav2vec stage has; see
-    _extract_features for the swap point)."""
+    _extract_features for the swap point).
+
+    Output contract (ADVICE r5): documents whose UTF-8 payload is
+    shorter than one pixel row (_ROW_BYTES = 12 bytes) are OMITTED —
+    there is no pixel to featurize — so this is NOT one-row-per-doc;
+    downstream consumers needing full coverage must left-join back to
+    ``documents``. The oracle mirrors the drop (WHERE k > 0)."""
     docs = load_table(spark, sf_dir, "documents")
     with_payload = docs.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload"))

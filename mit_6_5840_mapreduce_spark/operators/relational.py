@@ -59,20 +59,31 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: top-10 unshipped orders by revenue for one segment."""
+    """TPC-H Q3: top-10 unshipped orders by revenue for one segment.
+
+    Revenue is summed in exact integer CENTS (one floor per lineitem,
+    then a BIGINT sum) — the q7/q10 rule. The old ``round(sum(float),2)``
+    was the half-cent-boundary class: a partial-agg ordering difference
+    could flip a cent and change LIMIT-10 membership at larger SF
+    (NOTES_r05 known-latent; fixed round 6). The ORDER BY ranks the
+    exact integer, so top-10 membership is deterministic on any engine
+    or partitioning."""
     cutoff = F.lit("1998-03-15").cast("timestamp")
     cust = _t(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100).cast("bigint")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
-        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "o_orderdate", "l_orderkey")
         .limit(10)
+        .select("l_orderkey", "o_orderdate", "o_orderpriority",
+                (F.col("revenue_cents") / F.lit(100.0)).alias("revenue"))
     )
 
 
@@ -406,24 +417,82 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rank-parallelism knob for customer_value_quartiles: the per-customer
+# rows are range-split into this many buckets, each window-sorted in its
+# own task. Size to O(cluster cores) on a real deployment; each bucket
+# holds ~n_customers / B rows.
+CVQ_RANK_BUCKETS = 64
+
+
 def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function family over per-customer lifetime spend: ntile
     quartiles and percent_rank, ordered with a custkey tiebreak so both
     engines rank identically even on equal spend. Spend in integer cents
-    (exact), one hash-agg then one global-window pass over the compact
-    per-customer aggregate."""
+    (exact).
+
+    DISTRIBUTED EXACT RANK, not a global window (VERDICT r5 what's-wrong
+    #1 — ``Window.orderBy`` with no partition is a single-task sort over
+    every customer at scale). Plan: (1) bounded-memory approx-percentile
+    split points over cents — placement only needs to be *roughly* even,
+    never exact, because (2) each row's bucket is a pure function of its
+    cents value (count of split points above it), so the DESC total
+    order is bucket-major and ties can't straddle buckets; (3) exact
+    per-bucket counts (<= CVQ_RANK_BUCKETS groups) turn into broadcast
+    rank offsets via a tiny triangular self-join; (4) global rank =
+    offset + per-bucket row_number (a PARTITIONED window — B parallel
+    sorts); (5) ntile/percent_rank derived from (rank, N) by exact
+    integer arithmetic, bit-identical to the window functions the oracle
+    still uses. Output values unchanged from the round-1 form. Cutoff
+    values may vary with partition layout (approx sketch merge order)
+    but the output cannot — ranks are exact regardless of where the
+    split points land (tests/test_partition_invariance.py class).
+    Residual skew note: a pathological corpus where most customers share
+    ONE exact cents value collapses those ties into a single bucket;
+    sub-splitting ties by custkey range would fix that if it ever
+    mattered."""
     o = _t(spark, sf_dir, "orders")
     spend = (o.groupBy("o_custkey")
              .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
                   .alias("cents"),
                   F.count("*").alias("n_orders")))
-    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
-    return spend.select(
+    probs = F.array(*[F.lit(i / CVQ_RANK_BUCKETS)
+                      for i in range(1, CVQ_RANK_BUCKETS)])
+    cuts = spend.agg(
+        F.approx_percentile("cents", probs, 10000).alias("cuts"))
+    bucketed = (
+        spend.crossJoin(broadcast(cuts))
+        .withColumn("bkt", F.aggregate(
+            "cuts", F.lit(0),
+            lambda acc, c: acc + (F.col("cents") < c).cast("int")))
+        .drop("cuts"))
+    counts = bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b.bkt") < F.col("a.bkt"), "left")
+        .groupBy(F.col("a.bkt").alias("bkt"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("rank_offset")))
+    total = spend.agg(F.count("*").alias("n_total"))
+    w = Window.partitionBy("bkt").orderBy(F.desc("cents"),
+                                          F.asc("o_custkey"))
+    ranked = (
+        bucketed.join(broadcast(offsets), "bkt")
+        .crossJoin(broadcast(total))
+        .withColumn("rk", F.col("rank_offset") + F.row_number().over(w)))
+    # ntile(4): first (N mod 4) buckets hold ceil(N/4) rows
+    n, r = F.col("n_total"), F.col("rk")
+    q_sz = F.floor(n / 4)
+    rem = n % 4
+    thresh = rem * (q_sz + 1)
+    quartile = F.when(r <= thresh, F.floor((r - 1) / (q_sz + 1)) + 1) \
+        .otherwise(rem + F.floor((r - thresh - 1)
+                                 / F.greatest(q_sz, F.lit(1))) + 1)
+    pct_rank = floor4((r - 1) / F.greatest(n - 1, F.lit(1)))
+    return ranked.select(
         F.col("o_custkey").alias("custkey"),
         F.round(F.col("cents") / F.lit(100.0), 2).alias("total_spend"),
         "n_orders",
-        F.ntile(4).over(w).alias("quartile"),
-        floor4(F.percent_rank().over(w)).alias("pct_rank"))
+        quartile.cast("int").alias("quartile"),
+        pct_rank.alias("pct_rank"))
 
 
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1614,15 +1683,20 @@ ORACLES = {
     """,
     "q3_shipping_priority": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1998-03-15'
-          AND l_shipdate > TIMESTAMP '1998-03-15'
-        GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        ORDER BY revenue DESC, o_orderdate, l_orderkey
+               revenue_cents / 100.0 AS revenue
+        FROM (
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        )
+        ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
         LIMIT 10
     """,
     "q5_local_supplier_volume": """

@@ -26,12 +26,16 @@ Scale design (100 TB of embeddings):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from mit_6_5840_mapreduce_spark.functions.numeric import floor4
+from mit_6_5840_mapreduce_spark.sources.scratch import (
+    scratch_dir, scratch_path)
 from mit_6_5840_mapreduce_spark.sources.tables import fan_out, load_table
 
 N_QUERY_VECS = 8        # embedding_topk: vec_id < 8 are the query set
@@ -1374,3 +1378,110 @@ ORACLES["ann_recall_eval"] = (
     .replace("{EXACT}", ORACLES["embedding_topk"])
     .replace("{APPROX}", ORACLES["ivf_search"])
 )
+
+
+def _recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Shared recall@TOP_K evaluation body (the ann_recall_eval shape):
+    per query, how many of the exact top-k the candidate set kept."""
+    hit = (exact.join(approx, ["query_id", "cand_id"])
+           .groupBy("query_id").agg(F.count("*").alias("n_hit")))
+    qids = exact.select("query_id").distinct()
+    return (qids.join(hit, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hit", F.lit(0)).cast("bigint")
+                        .alias("n_hit"),
+                    F.lit(TOP_K).cast("bigint").alias("k"),
+                    floor4(F.coalesce("n_hit", F.lit(0)) / F.lit(TOP_K))
+                        .alias("recall_at_k")))
+
+
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@TOP_K of the PQ/ADC search path against the exact
+    brute-force top-k — the quality audit the PQ family lacked
+    (VERDICT r5 next-round #3; ann_recall_eval is the IVF twin). Both
+    sides are fully SQL-expressible, so the gate hash-certifies the
+    recall numbers themselves: a codebook, encode, or ADC regression
+    moves recall and fails the hash.
+
+    Scale: both inputs are the already-scale-safe certified pipelines
+    (broadcast LUT / code-table scan); the eval adds one
+    queries*TOP_K-sized equi-join."""
+    exact = embedding_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = pq_search(spark, sf_dir).select("query_id", "cand_id")
+    return _recall_vs_exact(exact, approx)
+
+
+QUERIES["pq_recall_eval"] = pq_recall_eval
+
+ORACLES["pq_recall_eval"] = f"""
+        WITH exact AS MATERIALIZED ({{EXACT}}),
+        approx AS MATERIALIZED ({{APPROX}}),
+        hit AS (
+            SELECT e.query_id, count(*) AS n_hit
+            FROM exact e
+            JOIN approx a
+              ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+            GROUP BY e.query_id
+        )
+        SELECT q.query_id,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               CAST({TOP_K} AS BIGINT) AS k,
+               floor(coalesce(h.n_hit, 0) / {TOP_K} * 10000) / 10000
+                   AS recall_at_k
+        FROM (SELECT DISTINCT query_id FROM exact) q
+        LEFT JOIN hit h ON h.query_id = q.query_id
+""".replace("{EXACT}", ORACLES["embedding_topk"]) \
+   .replace("{APPROX}", ORACLES["pq_search"])
+
+
+def graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@TOP_K of the graph-ANN (HNSW-family) search against the
+    exact brute-force top-k — DRIVER-certified, closing the last
+    rows-only quality pocket (VERDICT r5 next-round #3). The beam
+    search itself has no SQL form (the path depends on the graph), so
+    the candidate set is MATERIALIZED to a scratch parquet artifact
+    that both engines read back: Spark joins it against its exact
+    top-k, the DuckDB oracle reads the same artifact with
+    ``read_parquet`` and joins it against an independently-computed
+    SQL exact top-k. What the hash certifies: the exact side, the
+    artifact round trip, and the recall arithmetic — computed over the
+    REAL hnsw_search output. The graph construction itself remains
+    pinned by tests/test_hnsw.py (recall 1.0, bit-determinism), the
+    honest division of labor for a non-SQL-expressible operator.
+
+    Scale: hnsw_search is the certified scale path (sharded build,
+    broadcast queries); the artifact is queries*TOP_K rows — constant-
+    tiny; the eval adds one equi-join."""
+    out = os.path.join(scratch_dir("graph_recall_cand"), "cand")
+    (hnsw_search(spark, sf_dir).select("query_id", "cand_id")
+     .write.mode("overwrite").parquet(out))
+    exact = embedding_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = spark.read.parquet(out)
+    return _recall_vs_exact(exact, approx)
+
+
+QUERIES["graph_recall_eval"] = graph_recall_eval
+
+_GRAPH_CAND_GLOB = os.path.join(scratch_path("graph_recall_cand"),
+                                "cand", "*.parquet")
+ORACLES["graph_recall_eval"] = f"""
+        WITH exact AS MATERIALIZED ({{EXACT}}),
+        approx AS (
+            SELECT query_id, cand_id
+            FROM read_parquet('{_GRAPH_CAND_GLOB}')
+        ),
+        hit AS (
+            SELECT e.query_id, count(*) AS n_hit
+            FROM exact e
+            JOIN approx a
+              ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+            GROUP BY e.query_id
+        )
+        SELECT q.query_id,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               CAST({TOP_K} AS BIGINT) AS k,
+               floor(coalesce(h.n_hit, 0) / {TOP_K} * 10000) / 10000
+                   AS recall_at_k
+        FROM (SELECT DISTINCT query_id FROM exact) q
+        LEFT JOIN hit h ON h.query_id = q.query_id
+""".replace("{EXACT}", ORACLES["embedding_topk"])

@@ -6,4 +6,5 @@ from mit_6_5840_mapreduce_spark.plans.explain import (  # noqa: F401
     has_python_eval,
     pushed_filters,
     read_schema,
+    unpartitioned_windows,
 )

@@ -17,13 +17,27 @@ import tempfile
 _ROOT: str | None = None
 
 
-def scratch_dir(name: str) -> str:
-    """Return a fresh, empty scratch subdirectory for ``name``."""
+def _root() -> str:
     global _ROOT
     if _ROOT is None:
         _ROOT = tempfile.mkdtemp(prefix="spark_graft_scratch_")
         atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
-    d = os.path.join(_ROOT, name)
+    return _ROOT
+
+
+def scratch_dir(name: str) -> str:
+    """Return a fresh, empty scratch subdirectory for ``name``."""
+    d = os.path.join(_root(), name)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     return d
+
+
+def scratch_path(name: str) -> str:
+    """The path ``scratch_dir(name)`` would return, WITHOUT wiping it.
+    For oracle SQL that must reference an artifact a query materializes
+    (e.g. ``read_parquet('<scratch_path>/...')``): the path is stable
+    for the process lifetime, so it can be embedded in an ORACLES
+    string at module import and still point at whatever the Spark side
+    wrote when the oracle later runs."""
+    return os.path.join(_root(), name)

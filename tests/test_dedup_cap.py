@@ -186,3 +186,22 @@ def test_cap_keeps_legit_pairs(spark, stop_shingle_dir, tmp_path_factory):
     rows = (dedup_ngram_jaccard(spark, str(d), max_df=10)
             .select("doc_a", "doc_b").collect())
     assert {(r.doc_a, r.doc_b) for r in rows} == {(20, 21)}
+
+
+def test_cc_bound_is_exactly_diameter_plus_one(spark, tmp_path_factory,
+                                               monkeypatch):
+    """Pin the convergence bound (VERDICT r5 item 5): K = CC_MAX_ITERS
+    rounds PROVE a diameter K-1 component (K-1 propagation rounds plus
+    one observing round with zero label changes), while diameter K
+    cannot be proven inside the cap and must raise — even though its
+    labels would in fact be correct, cc_labels refuses to return a
+    result it could not verify."""
+    from mit_6_5840_mapreduce_spark.operators import dedup as dmod
+    monkeypatch.setattr(dmod, "CC_MAX_ITERS", 5)
+    ok = _chain_corpus_dir(tmp_path_factory, 5)        # diameter 4
+    rows = dmod.dedup_groups(spark, ok).collect()
+    assert {r.group_id for r in rows} == {0}
+    assert all(r.group_size == 5 for r in rows)
+    too_deep = _chain_corpus_dir(tmp_path_factory, 6)  # diameter 5
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dmod.dedup_groups(spark, too_deep).collect()

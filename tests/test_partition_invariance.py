@@ -21,7 +21,10 @@ import __spark_entry__ as entrymod
 
 SWEEP = ("mr_wc", "training_shuffle", "pack_sequences",
          "duplicate_spans", "dedup_groups", "heavy_hitters_cms_direct",
-         "sessionize", "user_scd2")
+         "sessionize", "user_scd2",
+         # r6: distributed exact rank — approx-percentile split points
+         # vary with sketch merge order, output values must not
+         "customer_value_quartiles")
 
 
 def _rows(spark, sf_dir, name):

@@ -17,6 +17,7 @@ from mit_6_5840_mapreduce_spark.plans import (
     has_python_eval,
     pushed_filters,
     read_schema,
+    unpartitioned_windows,
 )
 
 QUERIES = entrymod.queries()
@@ -40,6 +41,12 @@ PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
                                        # vectorized numpy per Arrow batch
 # tiny-side cross joins (broadcast) are fine; a plain cartesian is not
 CARTESIAN_OK = {"embedding_neardup_exact", "embedding_neardup"}
+# unpartitioned (global-sort) Window nodes allowed ONLY where the frame
+# is calendar-bounded (one row per day/hour/month — grows with the
+# calendar, not the data). Mirrored in tools/explain_all.py
+# (GLOBAL_WINDOW_OK); VERDICT r5 what's-wrong #4.
+GLOBAL_WINDOW_OK = {"user_growth_accounting", "orders_monthly_growth",
+                    "daily_revenue_trailing", "hourly_burst_detection"}
 
 
 def q(spark, sf_dir, name):
@@ -73,7 +80,16 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
             assert name in CARTESIAN_OK, f"{name} plans a CartesianProduct"
 
 
-def test_mr_wc_stays_jvm_side(spark, sf_dir):
+def test_no_unpartitioned_data_windows(spark, sf_dir):
+    """No query may plan a Window with an empty partition spec over
+    data-cardinality rows — that is a single-task global sort at 100x
+    (the round-5 customer_value_quartiles class). Calendar-bounded
+    spines are the only whitelisted frames."""
+    for name in QUERIES:
+        gw = unpartitioned_windows(q(spark, sf_dir, name))
+        if gw:
+            assert name in GLOBAL_WINDOW_OK, \
+                f"{name} plans an unpartitioned data window: {gw[0]}"
     plan = executed_plan(q(spark, sf_dir, "mr_wc"))
     assert "BatchEvalPython" not in plan
     # AQE shows the pre-execution plan; JVM hash aggregation is the marker

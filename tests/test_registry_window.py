@@ -1,15 +1,12 @@
 """Pin the registry's first-50 window composition.
 
 The driver's CORRECTNESS gate verifies only the FIRST 50 registry
-entries per round. Round 5 clears the certification backlog (VERDICT
-r4 item 1): the sentinel set stays in-window every round, ALL 41
-queries that had never had a driver CORRECTNESS row rotate in
-(tools/window_plan.py's must-pull list), and the remaining 5 slots go
-to the three round-5-changed/new queries (hnsw_search after
-shard-count scaling, media_features after the real-featurizer
-upgrade, the new heavy_hitters_cms_direct) plus the two
-stalest-certified headline queries (mr_indexer and sessionize,
-newest cert round 2). This test fails loudly if a
+entries per round. Round 6 is the first round of the steady-state
+rotation policy (VERDICT r5 item 4; the never-certified backlog was
+cleared in round 5): sentinels every round, every round-changed and
+newly registered query, and all remaining slots filled from
+tools/window_plan.py's staleness report (ceiling 4 rounds), oldest
+cert round first with name tiebreak. This test fails loudly if a
 future registration reorders them out.
 """
 
@@ -22,36 +19,37 @@ from mit_6_5840_mapreduce_spark.operators import (
 # regression sentinels: in-window EVERY round
 SENTINELS = {"mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts"}
 
-# the 41 queries with no driver CORRECTNESS row before round 5
-# (everything registered after the round-4 window froze)
-NEVER_CERTIFIED = {
-    "duplicate_spans", "dedup_index_build", "dedup_incremental",
-    "dedup_eval", "hnsw_search_persisted", "pq_encode", "pq_search",
-    "ivfpq_search", "ann_recall_eval", "similarity_triangles",
-    "token_rarity", "doc_bfs", "xml_roundtrip_stats",
-    "pyds_roundtrip_stats", "stream_topk_stateful", "user_scd2",
-    "cdc_apply", "table_diff", "funnel_windowed",
-    "user_growth_accounting", "doc_lm_score", "heavy_hitters_cms",
-    "stream_cdc_upsert", "image_phash", "image_phash_neardup",
-    "customer_rfm", "bucketed_join_stats", "user_event_unpivot",
-    "bloom_prune_join", "q9_product_type_profit", "q11_important_stock",
-    "data_quality_audit", "mv_incremental_refresh", "skyline_pareto",
-    "zorder_layout_stats", "source_mix_weights", "temperature_resample",
-    "quality_ensemble", "bpe_train", "bpe_encode", "embedding_neardup",
+# implementation changed in round 6 (values/plans differ -> re-certify)
+CHANGED_THIS_ROUND = {"q3_shipping_priority", "customer_value_quartiles"}
+
+# first registered in round 6
+NEW_THIS_ROUND = {"pq_recall_eval", "graph_recall_eval"}
+
+# staleness rotation (window_plan.py, ceiling 4 rounds): the 2 r1
+# rows-only + 39 r2 certs at/over the ceiling, plus the first r3 cert
+# by name order filling the last slot
+STALE_ROTATION = {
+    "events_user_sketch", "order_value_percentiles_approx",
+    "asof_join_orders", "curation_summary", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
+    "doc_chunks", "doc_fingerprint", "doc_quality", "doc_split",
+    "embedding_lsh_signatures", "embedding_neardup_exact",
+    "embedding_neardup_lsh", "embedding_topk", "embedding_topk_pandas",
+    "event_transitions", "events_hourly", "events_props_stats",
+    "image_decode_stats", "ivf_assign", "ivf_search", "ivf_train",
+    "lang_id", "minhash_signatures", "mr_doccount", "mr_docmeta",
+    "mr_indexer_rdd", "payload_thumbnail", "simhash_docs",
+    "source_quota_cap", "stratified_sample", "stream_dedup_events",
+    "stream_sliding_counts", "stream_user_totals", "tfidf_cosine_pairs",
+    "tfidf_top_terms", "token_stats", "user_stats", "user_value_mad_sql",
+    "audio_decode_stats",
 }
 
-# implementation changed in round 5 (re-certify) or first registered
-CHANGED_OR_NEW_THIS_ROUND = {"hnsw_search", "heavy_hitters_cms_direct",
-                             "media_features"}
-
-# headline-bench queries whose newest driver cert is round 2
-STALEST_HEADLINE = {"mr_indexer", "sessionize"}
-
-MUST_BE_IN_WINDOW = (SENTINELS | NEVER_CERTIFIED
-                     | CHANGED_OR_NEW_THIS_ROUND | STALEST_HEADLINE)
+MUST_BE_IN_WINDOW = (SENTINELS | CHANGED_THIS_ROUND | NEW_THIS_ROUND
+                     | STALE_ROTATION)
 
 
-def test_first_window_contains_round5_surface():
+def test_first_window_contains_round6_surface():
     queries, _ = registry()
     window = list(queries)[:WINDOW_SIZE]
     missing = MUST_BE_IN_WINDOW - set(window)
@@ -59,7 +57,7 @@ def test_first_window_contains_round5_surface():
 
 
 def test_window_is_exactly_the_must_list():
-    # 4 + 41 + 3 + 2 = 50: the round-5 window has no free slots
+    # 4 + 2 + 2 + 42 = 50: the round-6 window has no free slots
     assert len(MUST_BE_IN_WINDOW) == WINDOW_SIZE
 
 
@@ -84,9 +82,8 @@ def test_registry_queries_pin_utc_timezone(spark, sf_dir):
 
 
 def test_alias_resolves_to_target():
-    """`embedding_neardup` rotates INTO the round-5 window (its one
-    driver certification — it never had a row under the alias name);
-    it must still resolve to the same callable and oracle as its
+    """`embedding_neardup` (driver-certified under the alias name in
+    round 5) must still resolve to the same callable and oracle as its
     target."""
     queries, oracles = registry()
     assert queries["embedding_neardup"] is queries["embedding_neardup_exact"]

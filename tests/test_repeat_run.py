@@ -29,6 +29,7 @@ ARTIFACT_QUERIES = (
     "dedup_index_build",        # index artifact (value-checked rows)
     "stream_foreachbatch_roundtrip",  # foreachBatch parquet sink
     "stream_topk_event_types",  # append-sink ranking over scratch files
+    "graph_recall_eval",        # scratch parquet candidate artifact
 )
 
 

@@ -159,3 +159,62 @@ def test_sql_registered_pandas_udf(spark, sf_dir):
     got = spark.sql(
         "SELECT sum(token_count(text)) AS total FROM documents").collect()
     assert got[0].total > 0
+
+
+def test_stream_failure_injection_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming twin of the batch retry-determinism test (VERDICT r5
+    item 7): an availableNow run killed mid-stream — a fault injected
+    BEFORE the sink write of micro-batch 1, after batch 0 committed —
+    then restarted from the SAME checkpoint must land exactly the rows
+    of an uninterrupted control run: the planned-but-uncommitted batch
+    replays with identical offsets, nothing is lost, nothing doubles.
+    The source is split into 8 files with maxFilesPerTrigger=2 so the
+    run genuinely spans multiple micro-batches."""
+    from pyspark.errors import StreamingQueryException
+
+    from mit_6_5840_mapreduce_spark.sources.tables import load_table
+
+    src = str(tmp_path / "src")
+    (load_table(spark, sf_dir, "events").select("event_id", "user_id")
+     .repartition(8).write.parquet(src))
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "2").parquet(src))
+
+    out_f = str(tmp_path / "out_fault")
+    ck_f = str(tmp_path / "ck_fault")
+    boom = {"armed": True}
+
+    def write_fault(bdf, bid):
+        if boom["armed"] and bid == 1:
+            boom["armed"] = False
+            raise RuntimeError("injected failure before batch 1 write")
+        bdf.write.mode("append").parquet(out_f)
+
+    q = (stream().writeStream.foreachBatch(write_fault)
+         .option("checkpointLocation", ck_f)
+         .trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException, match="injected failure"):
+        q.awaitTermination(120)
+
+    q2 = (stream().writeStream.foreachBatch(write_fault)
+          .option("checkpointLocation", ck_f)
+          .trigger(availableNow=True).start())
+    assert q2.awaitTermination(120), "restarted run timed out"
+
+    out_c = str(tmp_path / "out_ctrl")
+    ck_c = str(tmp_path / "ck_ctrl")
+
+    def write_ctrl(bdf, bid):
+        bdf.write.mode("append").parquet(out_c)
+
+    q3 = (stream().writeStream.foreachBatch(write_ctrl)
+          .option("checkpointLocation", ck_c)
+          .trigger(availableNow=True).start())
+    assert q3.awaitTermination(120), "control run timed out"
+
+    got = sorted(map(tuple, spark.read.parquet(out_f).collect()))
+    want = sorted(map(tuple, spark.read.parquet(out_c).collect()))
+    assert got == want and len(got) > 0

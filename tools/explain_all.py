@@ -10,6 +10,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mit_6_5840_mapreduce_spark.plans.explain import unpartitioned_window_lines
 from mit_6_5840_mapreduce_spark.session import get_spark
 
 import __spark_entry__ as entrymod
@@ -31,7 +32,21 @@ CARTESIAN_OK = {"embedding_neardup_exact", "embedding_neardup"}
 # materialized result only
 MATERIALIZING = {"stream_hourly_counts", "stream_dedup_events",
                  "stream_user_totals", "dedup_groups", "ivf_train",
-                 "doc_pagerank", "bpe_train", "bpe_encode", "doc_bfs"}
+                 "doc_pagerank", "bpe_train", "bpe_encode", "doc_bfs",
+                 # materializes the hnsw candidate artifact eagerly;
+                 # final plan = artifact scan + exact top-k join
+                 "graph_recall_eval"}
+# Unpartitioned (global-sort) Window nodes whose FRAME IS BOUNDED by
+# something other than data volume — the only acceptable class
+# (VERDICT r5 what's-wrong #4). Everything else with an empty partition
+# spec is a single-task sort over data-cardinality rows and gets
+# flagged. Mirrored in tests/test_plans.py.
+GLOBAL_WINDOW_OK = {
+    # calendar-bounded spines: one row per day/hour/month — the frame
+    # grows with the calendar, not the data
+    "user_growth_accounting", "orders_monthly_growth",
+    "daily_revenue_trailing", "hourly_burst_detection",
+}
 
 
 def main() -> int:
@@ -50,6 +65,9 @@ def main() -> int:
                   or "FlatMapGroupsInPandas" in plan)
             if py and name not in PYTHON_PATH_OK | MATERIALIZING:
                 flags.append((name, "python row path"))
+            gw = unpartitioned_window_lines(plan)
+            if gw and name not in GLOBAL_WINDOW_OK:
+                flags.append((name, f"unpartitioned window: {gw[0][:120]}"))
     for name, what in flags:
         print(f"FLAG {name}: {what}")
     print(f"{len(flags)} flags; plans -> {out_path}")

@@ -48,6 +48,21 @@ PROBES = ("mr_wc", "simhash_docs", "minhash_signatures",
           "source_mix_weights", "pq_encode", "image_phash")
 FACTORS = (1, 4, 16)
 
+# The CC loop probe (VERDICT r5 item 5) can't ride the replicated
+# corpus — replicating documents manufactures quadratic near-dup pairs.
+# Instead cc_labels runs on a SYNTHETIC edge list whose |edges| scales
+# with the factor while component diameter (= rounds) stays constant:
+# disjoint 8-node chains, so 16x input is 16x edges through the same
+# 8-round propagation — the shape of "more data, same graph depth".
+CC_CHAIN_NODES_1X = 400_000
+
+
+def _cc_chain_edges(spark, factor):
+    n = CC_CHAIN_NODES_1X * factor
+    ids = spark.range(n)
+    return (ids.where(F.col("id") % 8 != 7)
+            .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b")))
+
 
 def replicate(spark, sf_dir, out_dir, table, id_col, factor):
     src = load_table(spark, sf_dir, table)
@@ -92,6 +107,15 @@ def main() -> int:
                     .format("noop").save()
                 best = min(best, time.perf_counter() - t0)
             results[name][factor] = round(best, 2)
+        from mit_6_5840_mapreduce_spark.operators.dedup import cc_labels
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            cc_labels(spark, _cc_chain_edges(spark, factor), "a", "b") \
+                .write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        results.setdefault("cc_labels[chains]", {})[factor] = round(best, 2)
     print(f"{'operator':24s}" + "".join(f"{f}x".rjust(9) for f in FACTORS)
           + "   16x/1x")
     worst = 0.0

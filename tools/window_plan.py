@@ -8,7 +8,12 @@ reports:
 - queries with a green driver row in some past round,
 - queries checked rows-only (no_oracle) — by design,
 - queries with NO driver row yet -> the set the next round's window
-  rotation must cover.
+  rotation must cover,
+- a STALENESS report (VERDICT r5 item 4): greens whose newest cert is
+  >= STALE_ROUNDS rounds old by next round, oldest first — the
+  steady-state rotation pool once the never-certified backlog is
+  empty. Policy: every round's window = the 4 sentinels + all
+  round-changed/new queries + the stalest certs filling the rest.
 
 Usage: python tools/window_plan.py
 """
@@ -24,21 +29,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# a green cert this many rounds old (or older) by next round's gate
+# belongs in the rotation pool
+STALE_ROUNDS = 4
+
 
 def main() -> int:
     from mit_6_5840_mapreduce_spark.operators import registry
     queries, oracles = registry()
     names = list(queries)
 
-    green: dict[str, str] = {}
-    rows_only: dict[str, str] = {}
+    green: dict[str, int] = {}      # name -> NEWEST green round
+    rows_only: dict[str, int] = {}  # name -> NEWEST rows-only round
+    latest = 0
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
+        rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        latest = max(latest, rnd)
         with open(path) as f:
             rows = json.load(f)
         for name, r in rows.items():
             if r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
-                rows_only.setdefault(name, rnd)
+                rows_only[name] = rnd
             elif (r.get("rows_match") and r.get("schema_match")
                     and r.get("hash_match")):
                 green[name] = rnd
@@ -55,6 +66,22 @@ def main() -> int:
     uncovered_next = [n for n in never if n not in in_window]
     if uncovered_next:
         print(f"\nnext-round rotation must pull in: {uncovered_next}")
+
+    # staleness: a cert is stale when, by NEXT round's gate, it will be
+    # STALE_ROUNDS or more rounds old. Oldest first, name tiebreak —
+    # the deterministic fill order for the next window's free slots.
+    next_round = latest + 1
+    certified = {**rows_only, **green}  # green wins if somehow both
+    stale = sorted(
+        ((n, r) for n, r in certified.items()
+         if n in set(names) and next_round - r >= STALE_ROUNDS),
+        key=lambda t: (t[1], t[0]))
+    print(f"\nstaleness (ceiling {STALE_ROUNDS} rounds, next round "
+          f"r{next_round:02d}): {len(stale)} certs at/over the ceiling")
+    for n, r in stale:
+        kind = "green" if n in green else "rows-only"
+        mark = "in window" if n in in_window else ""
+        print(f"  r{r:02d} {n:35s} {kind:10s} {mark}")
     return 0
 
 
@@ -62,4 +89,9 @@ if __name__ == "__main__":
     try:
         raise SystemExit(main())
     except BrokenPipeError:     # reader (e.g. `| head`) closed early
+        # CPython flushes sys.stdout again at interpreter shutdown; with
+        # the pipe gone that flush raises a second time and turns the
+        # exit status into 120 (ADVICE r5). Point stdout at devnull so
+        # the shutdown flush has somewhere harmless to go.
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
         raise SystemExit(0)
