@@ -442,10 +442,18 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset + per-bucket row_number (a PARTITIONED window — B parallel
     sorts); (5) ntile/percent_rank derived from (rank, N) by exact
     integer arithmetic, bit-identical to the window functions the oracle
-    still uses. Output values unchanged from the round-1 form. Cutoff
-    values may vary with partition layout (approx sketch merge order)
-    but the output cannot — ranks are exact regardless of where the
-    split points land (tests/test_partition_invariance.py class).
+    still uses. Output values unchanged from the round-1 form.
+
+    The split points are COLLECTED once (<= B-1 bigints — the
+    model-sized-collect class of the k-means centroids) and embedded as
+    a literal, deliberately: the counts/offsets branch and the ranked
+    branch both consume the bucketing, and a lazy approx_percentile
+    subtree would be re-evaluated per branch with no guarantee the
+    sketch's partial-merge order (hence the cutoffs) repeats — two
+    branches bucketing differently would corrupt the rank offsets. A
+    literal makes bkt the same pure function of cents everywhere, and
+    the output exact on any partitioning
+    (tests/test_partition_invariance.py).
     Residual skew note: a pathological corpus where most customers share
     ONE exact cents value collapses those ties into a single bucket;
     sub-splitting ties by custkey range would fix that if it ever
@@ -457,14 +465,16 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.count("*").alias("n_orders")))
     probs = F.array(*[F.lit(i / CVQ_RANK_BUCKETS)
                       for i in range(1, CVQ_RANK_BUCKETS)])
-    cuts = spend.agg(
-        F.approx_percentile("cents", probs, 10000).alias("cuts"))
-    bucketed = (
-        spend.crossJoin(broadcast(cuts))
-        .withColumn("bkt", F.aggregate(
-            "cuts", F.lit(0),
-            lambda acc, c: acc + (F.col("cents") < c).cast("int")))
-        .drop("cuts"))
+    cuts_row = spend.agg(
+        F.approx_percentile("cents", probs, 10000)).first()[0]
+    cuts = sorted({int(c) for c in (cuts_row or [])})
+    if cuts:
+        bkt = F.aggregate(
+            F.array(*[F.lit(c) for c in cuts]), F.lit(0),
+            lambda acc, c: acc + (F.col("cents") < c).cast("int"))
+    else:                           # empty corpus: single empty bucket
+        bkt = F.lit(0)
+    bucketed = spend.withColumn("bkt", bkt)
     counts = bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
     offsets = (
         counts.alias("a")
