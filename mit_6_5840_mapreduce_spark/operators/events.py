@@ -404,21 +404,31 @@ def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomaly detection: events whose value is > ZSCORE_CUT standard
     deviations from the user's mean. Sufficient statistics (n, sum,
     sum-of-squares) are computed over integer CENTS, so they are exact
-    BIGINTs on any engine and partition order; the z-score is then a few
-    float ops on identical integers — deterministic without tolerance.
-    One hash-agg per user + one broadcast-back join; no window over the
-    raw stream."""
+    integers on any engine and partition order; the z-score is then a
+    few float ops on identical integers — deterministic without
+    tolerance. One hash-agg per user + one broadcast-back join; no
+    window over the raw stream.
+
+    Overflow discipline (r6): s2 and the variance numerator n*s2 - s1^2
+    accumulate in DECIMAL(38,0) (DuckDB: HUGEINT) — in BIGINT they
+    overflow, loudly under ANSI, once a user holds ~3e4+ events
+    (n * s2 > 2^63), which a 100 TB corpus will produce. The exact
+    integer converts to DOUBLE at the same point as before, so values
+    are bit-identical wherever the old BIGINT form didn't overflow."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("c"))
+    c_dec = F.col("c").cast("decimal(38,0)")
     stats = ev.groupBy("user_id").agg(
         F.count("*").alias("n"),
         F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"))
+        F.sum(c_dec * F.col("c")).alias("s2"))
     # var = (n*s2 - s1^2) / (n*(n-1)); z = (c - s1/n) / sqrt(var)
+    num = (F.col("n") * F.col("s2")
+           - F.col("s1").cast("decimal(38,0)") * F.col("s1"))
+    den = F.col("n").cast("double") * (F.col("n") - 1).cast("double")
     z = ((F.col("c") - F.col("s1") / F.col("n"))
-         / F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
-                  / (F.col("n") * (F.col("n") - 1))))
+         / F.sqrt(num.cast("double") / den))
     return (
         ev.join(stats, "user_id")
         .where(F.col("n") > 1)
@@ -583,23 +593,27 @@ ORACLES = {
                    CAST(round(value * 100) AS BIGINT) AS c
             FROM events
         ),
+        -- s2 / the variance numerator stay HUGEINT (Spark:
+        -- DECIMAL(38,0)): BIGINT overflows at ~3e4 events/user; the
+        -- exact integer converts to DOUBLE at the same point as the
+        -- BIGINT form did, so values are unchanged where both work
         stats AS (
             SELECT user_id, count(*) AS n,
                    CAST(sum(c) AS BIGINT) AS s1,
-                   CAST(sum(c * c) AS BIGINT) AS s2
+                   CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
             FROM ev GROUP BY user_id
         )
         SELECT user_id, event_id,
                c / 100.0 AS value,
                floor((c - s1 / n::DOUBLE)
-                     / sqrt((n * s2 - s1 * s1)
-                            / (n * (n - 1))::DOUBLE) * 10000) / 10000
+                     / sqrt((n * s2 - CAST(s1 AS HUGEINT) * s1)::DOUBLE
+                            / (n::DOUBLE * (n - 1))) * 10000) / 10000
                    AS zscore
         FROM ev JOIN stats USING (user_id)
         WHERE n > 1
           AND abs((c - s1 / n::DOUBLE)
-                  / sqrt((n * s2 - s1 * s1)
-                         / (n * (n - 1))::DOUBLE)) > {ZSCORE_CUT}
+                  / sqrt((n * s2 - CAST(s1 AS HUGEINT) * s1)::DOUBLE
+                         / (n::DOUBLE * (n - 1)))) > {ZSCORE_CUT}
     """,
     "latest_event_per_user": """
         SELECT user_id, event_id, ts, event_type, value

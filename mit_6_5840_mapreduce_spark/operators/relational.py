@@ -437,22 +437,25 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     never exact, because (2) each row's bucket is a pure function of its
     cents value (count of split points above it), so the DESC total
     order is bucket-major and ties can't straddle buckets; (3) exact
-    per-bucket counts (<= CVQ_RANK_BUCKETS groups) turn into broadcast
-    rank offsets via a tiny triangular self-join; (4) global rank =
-    offset + per-bucket row_number (a PARTITIONED window — B parallel
-    sorts); (5) ntile/percent_rank derived from (rank, N) by exact
-    integer arithmetic, bit-identical to the window functions the oracle
-    still uses. Output values unchanged from the round-1 form.
+    per-bucket counts (<= CVQ_RANK_BUCKETS rows) COLLECT to the driver
+    and become literal rank offsets; (4) global rank = offset +
+    per-bucket row_number (a PARTITIONED window — B parallel sorts);
+    (5) ntile/percent_rank derived from (rank, N) by exact integer
+    arithmetic, bit-identical to the window functions the oracle still
+    uses. Output values unchanged from the round-1 form.
 
-    The split points are COLLECTED once (<= B-1 bigints — the
-    model-sized-collect class of the k-means centroids) and embedded as
-    a literal, deliberately: the counts/offsets branch and the ranked
-    branch both consume the bucketing, and a lazy approx_percentile
-    subtree would be re-evaluated per branch with no guarantee the
-    sketch's partial-merge order (hence the cutoffs) repeats — two
-    branches bucketing differently would corrupt the rank offsets. A
-    literal makes bkt the same pure function of cents everywhere, and
-    the output exact on any partitioning
+    The sizing data (split points, bucket counts, total) is COLLECTED
+    once — <= B-1 bigints + <= B (bkt, count) rows, the
+    model-sized-collect class of the k-means centroids — and embedded
+    as literals, deliberately: (a) a lazy approx_percentile subtree
+    consumed by several DAG branches would be re-evaluated per branch
+    with no guarantee the sketch's partial-merge order (hence the
+    cutoffs) repeats, and branches bucketing differently would corrupt
+    the rank offsets; (b) literals leave the OUTPUT plan a single scan
+    + one exchange-by-bucket + B parallel window sorts — no offset
+    join, no re-aggregation. ``spend`` is eagerly localCheckpoint'ed so
+    the two sizing jobs and the output plan all reuse ONE scan+agg of
+    orders. Exact on any partitioning
     (tests/test_partition_invariance.py).
     Residual skew note: a pathological corpus where most customers share
     ONE exact cents value collapses those ties into a single bucket;
@@ -462,7 +465,8 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = (o.groupBy("o_custkey")
              .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
                   .alias("cents"),
-                  F.count("*").alias("n_orders")))
+                  F.count("*").alias("n_orders"))
+             .localCheckpoint(eager=True))
     probs = F.array(*[F.lit(i / CVQ_RANK_BUCKETS)
                       for i in range(1, CVQ_RANK_BUCKETS)])
     cuts_row = spend.agg(
@@ -475,28 +479,27 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:                           # empty corpus: single empty bucket
         bkt = F.lit(0)
     bucketed = spend.withColumn("bkt", bkt)
-    counts = bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
-    offsets = (
-        counts.alias("a")
-        .join(counts.alias("b"), F.col("b.bkt") < F.col("a.bkt"), "left")
-        .groupBy(F.col("a.bkt").alias("bkt"))
-        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("rank_offset")))
-    total = spend.agg(F.count("*").alias("n_total"))
+    cnts = {r["bkt"]: r["cnt"] for r in
+            bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
+            .collect()}
+    n_total = sum(cnts.values())
+    off_expr = F.lit(0)
+    if cnts:
+        acc, pairs = 0, []
+        for b in sorted(cnts):
+            pairs += [F.lit(b), F.lit(acc)]
+            acc += cnts[b]
+        off_expr = F.element_at(F.create_map(*pairs), F.col("bkt"))
     w = Window.partitionBy("bkt").orderBy(F.desc("cents"),
                                           F.asc("o_custkey"))
-    ranked = (
-        bucketed.join(broadcast(offsets), "bkt")
-        .crossJoin(broadcast(total))
-        .withColumn("rk", F.col("rank_offset") + F.row_number().over(w)))
+    ranked = bucketed.withColumn("rk", off_expr + F.row_number().over(w))
     # ntile(4): first (N mod 4) buckets hold ceil(N/4) rows
-    n, r = F.col("n_total"), F.col("rk")
-    q_sz = F.floor(n / 4)
-    rem = n % 4
+    q_sz, rem = n_total // 4, n_total % 4
     thresh = rem * (q_sz + 1)
+    r = F.col("rk")
     quartile = F.when(r <= thresh, F.floor((r - 1) / (q_sz + 1)) + 1) \
-        .otherwise(rem + F.floor((r - thresh - 1)
-                                 / F.greatest(q_sz, F.lit(1))) + 1)
-    pct_rank = floor4((r - 1) / F.greatest(n - 1, F.lit(1)))
+        .otherwise(rem + F.floor((r - thresh - 1) / max(q_sz, 1)) + 1)
+    pct_rank = floor4((r - 1) / max(n_total - 1, 1))
     return ranked.select(
         F.col("o_custkey").alias("custkey"),
         F.round(F.col("cents") / F.lit(100.0), 2).alias("total_spend"),

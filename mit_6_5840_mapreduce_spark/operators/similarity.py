@@ -1341,16 +1341,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     exact = embedding_topk(spark, sf_dir).select("query_id", "cand_id")
     approx = ivf_search(spark, sf_dir).select("query_id", "cand_id")
-    hit = (exact.join(approx, ["query_id", "cand_id"])
-           .groupBy("query_id").agg(F.count("*").alias("n_hit")))
-    qids = exact.select("query_id").distinct()
-    return (qids.join(hit, "query_id", "left")
-            .select("query_id",
-                    F.coalesce("n_hit", F.lit(0)).cast("bigint")
-                        .alias("n_hit"),
-                    F.lit(TOP_K).cast("bigint").alias("k"),
-                    floor4(F.coalesce("n_hit", F.lit(0)) / F.lit(TOP_K))
-                        .alias("recall_at_k")))
+    return _recall_vs_exact(exact, approx)
 
 
 QUERIES["ann_recall_eval"] = ann_recall_eval

@@ -95,6 +95,10 @@ REPRESENTATIVE = [
     "funnel_windowed",
     "user_growth_accounting",
     "zorder_layout_stats",
+    # round-6 surface (distributed exact rank + the two recall audits)
+    "customer_value_quartiles",
+    "pq_recall_eval",
+    "graph_recall_eval",
 ]
 
 # un-grouped audit/summary queries keep their fixed rows on empty input

@@ -84,12 +84,18 @@ def test_no_unpartitioned_data_windows(spark, sf_dir):
     """No query may plan a Window with an empty partition spec over
     data-cardinality rows — that is a single-task global sort at 100x
     (the round-5 customer_value_quartiles class). Calendar-bounded
-    spines are the only whitelisted frames."""
+    spines are the only whitelisted frames, and the whitelist must be
+    EXACT: an entry whose query no longer plans a global window is
+    stale cover a future regression could hide under."""
+    flagged = set()
     for name in QUERIES:
         gw = unpartitioned_windows(q(spark, sf_dir, name))
         if gw:
+            flagged.add(name)
             assert name in GLOBAL_WINDOW_OK, \
                 f"{name} plans an unpartitioned data window: {gw[0]}"
+    assert flagged == GLOBAL_WINDOW_OK, (
+        f"stale whitelist entries: {GLOBAL_WINDOW_OK - flagged}")
     plan = executed_plan(q(spark, sf_dir, "mr_wc"))
     assert "BatchEvalPython" not in plan
     # AQE shows the pre-execution plan; JVM hash aggregation is the marker
