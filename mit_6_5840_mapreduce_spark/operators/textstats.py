@@ -255,9 +255,15 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     TFIDF_COS_THRESHOLD over an inverted-index term join.
 
     Numerics: weights are INTEGER-exact — iw = (tf·N·SCALE) div (len·df)
-    — so dot products and squared norms are exact BIGINT sums in any
+    — so dot products and squared norms are exact integer sums in any
     order; floats appear only in the final sqrt/division, which both
-    engines compute identically from identical integers.
+    engines compute identically from identical integers. The weight
+    scale grows with corpus size (rarest terms carry iw ~ N·SCALE/len),
+    so the squared sums accumulate in DECIMAL(38,0) (DuckDB: HUGEINT):
+    in BIGINT, iw^2 overflows — loudly, under ANSI — once N passes
+    ~1e9 docs (r6, the user_value_outliers discipline). The exact
+    integer converts to DOUBLE at the same point either way, so values
+    are unchanged wherever BIGINT sufficed.
 
     Scale: stopword-frequency terms (df > N/DF_CAP_FRAC) are dropped
     BEFORE the self-join — they contribute negligible idf weight but
@@ -283,8 +289,9 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "(doc_len * df)").alias("iw"))
         .where(F.col("iw") > 0)
     )
-    norms = w.groupBy("doc_id").agg(F.sum(F.col("iw") * F.col("iw"))
-                                    .alias("norm2"))
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("iw").cast("decimal(38,0)") * F.col("iw"))
+        .alias("norm2"))
     a = w.select(F.col("doc_id").alias("doc_a"), "word",
                  F.col("iw").alias("iwa"))
     b = w.select(F.col("doc_id").alias("doc_b"), "word",
@@ -293,7 +300,8 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "word")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("iwa") * F.col("iwb")).alias("dot"))
+        .agg(F.sum(F.col("iwa").cast("decimal(38,0)") * F.col("iwb"))
+             .alias("dot"))
     )
     na = norms.select(F.col("doc_id").alias("doc_a"),
                       F.col("norm2").alias("na2"))
@@ -749,13 +757,19 @@ ORACLES = {
             WHERE df * {DF_CAP_FRAC} <= n_docs
               AND (cnt * n_docs * {TFIDF_W_SCALE}) // (doc_len * df) > 0
         ),
+        -- HUGEINT (Spark: DECIMAL(38,0)): iw^2 overflows BIGINT once
+        -- n_docs passes ~1e9; exact integer -> DOUBLE at the same
+        -- point, so values are unchanged where BIGINT sufficed
         norms AS (
-            SELECT doc_id, CAST(sum(iw * iw) AS BIGINT) AS norm2
+            SELECT doc_id,
+                   CAST(sum(CAST(iw AS HUGEINT) * iw) AS HUGEINT)
+                       AS norm2
             FROM w GROUP BY doc_id
         ),
         dots AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(sum(a.iw * b.iw) AS BIGINT) AS dot
+                   CAST(sum(CAST(a.iw AS HUGEINT) * b.iw) AS HUGEINT)
+                       AS dot
             FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
