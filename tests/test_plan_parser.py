@@ -1,0 +1,65 @@
+"""Unit tests for the physical-plan Window-node parser (no Spark).
+
+The unpartitioned-window audit rule rests on the shape of Spark's
+`Window [funcs], [partitionSpec], [orderSpec]` node string; these pin
+the bracket parser on captured plan-line shapes so a regression in the
+parsing (not just the rule) fails loudly and cheaply.
+"""
+
+from __future__ import annotations
+
+from mit_6_5840_mapreduce_spark.plans.explain import (
+    _top_level_bracket_groups,
+    unpartitioned_window_lines,
+)
+
+# captured from real Spark 4 executed plans (ids elided)
+UNPARTITIONED = (
+    "+- Window [ntile(4) windowspecdefinition(cents#1L DESC NULLS LAST, "
+    "o_custkey#2L ASC NULLS FIRST, specifiedwindowframe(RowFrame, "
+    "unboundedpreceding$(), currentrow$())) AS quartile#3], "
+    "[cents#1L DESC NULLS LAST, o_custkey#2L ASC NULLS FIRST]"
+)
+PARTITIONED = (
+    "+- Window [row_number() windowspecdefinition(g#1L, id#0L ASC NULLS "
+    "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+    "currentrow$())) AS r#9], [g#1L], [id#0L ASC NULLS FIRST]"
+)
+# partition-only window agg (no ordering): hash-partitions like groupBy
+PARTITION_ONLY = (
+    "+- Window [count(1) windowspecdefinition(group_id#5L, "
+    "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+    "unboundedfollowing$())) AS group_size#7L], [group_id#5L]"
+)
+
+
+def test_bracket_parser_counts_top_level_groups():
+    assert len(_top_level_bracket_groups(UNPARTITIONED,
+                                         UNPARTITIONED.find("Window ["))) == 2
+    assert len(_top_level_bracket_groups(PARTITIONED,
+                                         PARTITIONED.find("Window ["))) == 3
+    assert len(_top_level_bracket_groups(PARTITION_ONLY,
+                                         PARTITION_ONLY.find("Window ["))) == 2
+
+
+def test_rule_flags_only_ordered_unpartitioned_windows():
+    plan = "\n".join(["AdaptiveSparkPlan isFinalPlan=false",
+                      UNPARTITIONED, PARTITIONED, PARTITION_ONLY,
+                      "+- Exchange SinglePartition"])
+    got = unpartitioned_window_lines(plan)
+    assert got == [UNPARTITIONED.strip()]
+
+
+def test_rule_ignores_plans_without_windows():
+    assert unpartitioned_window_lines(
+        "+- HashAggregate(keys=[a#1], functions=[count(1)])\n"
+        "   +- Exchange hashpartitioning(a#1, 32)") == []
+
+
+def test_windowinpandas_is_covered():
+    line = ("+- WindowInPandas [pudf(v#2) AS out#3], "
+            "[ts#4 ASC NULLS FIRST]")
+    assert unpartitioned_window_lines(line) == [line.strip()]
+    part = ("+- WindowInPandas [pudf(v#2) AS out#3], [k#1], "
+            "[ts#4 ASC NULLS FIRST]")
+    assert unpartitioned_window_lines(part) == []
