@@ -101,3 +101,38 @@ def test_hnsw_row_contract(spark, sf_dir):
         sims = [r.cos_sim for r in rs]
         assert sims == sorted(sims, reverse=True)
         assert all(r.cand_id != q for r in rs)
+
+
+def test_graph_recall_eval_matches_direct_computation(spark, sf_dir):
+    """The driver-certified recall audit (r6) must report exactly the
+    recall a direct set intersection of its two inputs yields — pins
+    the artifact round trip (scratch parquet both engines read) against
+    the in-memory truth, so a stale or clobbered artifact can't
+    silently distort the certified numbers."""
+    from mit_6_5840_mapreduce_spark.operators.similarity import (
+        graph_recall_eval,
+    )
+    exact = _hits(embedding_topk(spark, sf_dir))
+    approx = _hits(hnsw_search(spark, sf_dir))
+    want = {}
+    for q, c in exact:
+        want.setdefault(q, [0, 0])[1] += 1
+        if (q, c) in approx:
+            want[q][0] += 1
+    got = {r.query_id: (r.n_hit, r.k)
+           for r in graph_recall_eval(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for q, (n_hit, k) in got.items():
+        assert (n_hit, k) == (want[q][0], TOP_K), q
+
+
+def test_graph_recall_oracle_embeds_the_artifact_path():
+    """The graph_recall_eval ORACLE reads the scratch artifact the
+    operator writes; the two sides must agree on the path (a rename in
+    one place would break the driver gate, not pytest, without this)."""
+    import os
+
+    from mit_6_5840_mapreduce_spark.operators.similarity import ORACLES
+    from mit_6_5840_mapreduce_spark.sources.scratch import scratch_path
+    expect = os.path.join(scratch_path("graph_recall_cand"), "cand")
+    assert expect in ORACLES["graph_recall_eval"]
