@@ -63,3 +63,33 @@ def test_windowinpandas_is_covered():
     part = ("+- WindowInPandas [pudf(v#2) AS out#3], [k#1], "
             "[ts#4 ASC NULLS FIRST]")
     assert unpartitioned_window_lines(part) == []
+
+
+def _ntile_reference(n: int, k: int = 4) -> list[int]:
+    """SQL-standard ntile assignment: first n % k buckets take
+    ceil(n/k) rows, the rest floor(n/k)."""
+    q, rem = divmod(n, k)
+    out = []
+    for b in range(1, k + 1):
+        out.extend([b] * (q + 1 if b <= rem else q))
+    return out
+
+
+def test_cvq_closed_form_matches_ntile_semantics():
+    """customer_value_quartiles derives ntile(4)/percent_rank from
+    (rank, N) by closed-form integer arithmetic instead of a global
+    window; pin the formula against the SQL-standard definition for
+    every N up to 200 (covers all four n%4 residues, N<4, N=1)."""
+    for n in range(1, 201):
+        q_sz, rem = divmod(n, 4)
+        thresh = rem * (q_sz + 1)
+        want = _ntile_reference(n)
+        for r in range(1, n + 1):
+            if r <= thresh:
+                got = (r - 1) // (q_sz + 1) + 1
+            else:
+                got = rem + (r - thresh - 1) // max(q_sz, 1) + 1
+            assert got == want[r - 1], (n, r)
+            # percent_rank over a unique ordering = (r-1)/(N-1), 0 if N=1
+            pr = (r - 1) / max(n - 1, 1)
+            assert 0.0 <= pr <= 1.0
