@@ -82,6 +82,22 @@ def main() -> int:
         kind = "green" if n in green else "rows-only"
         mark = "in window" if n in in_window else ""
         print(f"  r{r:02d} {n:35s} {kind:10s} {mark}")
+
+    # mechanical draft of the next window under the steady-state
+    # policy: sentinels + never-certified + oldest certs, oldest round
+    # first with name tiebreak. The builder must still insert the
+    # round's CHANGED queries (not knowable here) before freezing.
+    sentinels = ["mr_wc", "mr_wc_rdd", "dedup_exact",
+                 "stream_hourly_counts"]
+    fill = sorted(((n, r) for n, r in certified.items()
+                   if n in set(names) and n not in sentinels),
+                  key=lambda t: (t[1], t[0]))
+    draft = sentinels + never + [n for n, _ in fill]
+    draft = list(dict.fromkeys(draft))[:50]
+    print("\nsuggested next window (policy draft — splice in this "
+          "round's changed queries before freezing):")
+    for i in range(0, len(draft), 4):
+        print("  " + ", ".join(draft[i:i + 4]))
     return 0
 
 
