@@ -1440,14 +1440,29 @@ def graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_hnsw.py (recall 1.0, bit-determinism), the
     honest division of labor for a non-SQL-expressible operator.
 
+    Ordering contract, mechanically enforced (ADVICE r6): the oracle
+    is only meaningful when evaluated in the same process AFTER this
+    query materialized the artifact. The artifact therefore carries a
+    marker row (query_id = -1, cand_id = count(embeddings)) — a
+    content-derived nonce the oracle re-derives from its own
+    ``embeddings`` view and checks with DuckDB ``error()``, so an
+    artifact from a different corpus/sf surfaces as a LOUD error, not
+    a stale certification; a missing artifact already fails
+    ``read_parquet`` loudly.
+
     Scale: hnsw_search is the certified scale path (sharded build,
     broadcast queries); the artifact is queries*TOP_K rows — constant-
     tiny; the eval adds one equi-join."""
     out = os.path.join(scratch_dir("graph_recall_cand"), "cand")
+    nonce = load_table(spark, sf_dir, "embeddings").count()
+    marker = spark.range(1).select(
+        F.lit(-1).cast("bigint").alias("query_id"),
+        F.lit(nonce).cast("bigint").alias("cand_id"))
     (hnsw_search(spark, sf_dir).select("query_id", "cand_id")
+     .unionByName(marker)
      .write.mode("overwrite").parquet(out))
     exact = embedding_topk(spark, sf_dir).select("query_id", "cand_id")
-    approx = spark.read.parquet(out)
+    approx = spark.read.parquet(out).where(F.col("query_id") >= 0)
     return _recall_vs_exact(exact, approx)
 
 
@@ -1460,6 +1475,23 @@ ORACLES["graph_recall_eval"] = f"""
         approx AS (
             SELECT query_id, cand_id
             FROM read_parquet('{_GRAPH_CAND_GLOB}')
+            WHERE query_id >= 0
+        ),
+        nonce AS (
+            -- content-derived freshness check (ADVICE r6): the marker
+            -- row the Spark side wrote must equal THIS view's corpus
+            -- size, else the artifact is from a different corpus/run
+            SELECT CASE WHEN (SELECT cand_id
+                              FROM read_parquet('{_GRAPH_CAND_GLOB}')
+                              WHERE query_id = -1)
+                         = (SELECT count(*) FROM embeddings)
+                   THEN 1
+                   ELSE error('graph_recall_eval: scratch candidate '
+                              'artifact is missing its nonce or was '
+                              'written against a different corpus — '
+                              'run the Spark query first in this '
+                              'process')
+                   END AS ok
         ),
         hit AS (
             SELECT e.query_id, count(*) AS n_hit
@@ -1475,4 +1507,5 @@ ORACLES["graph_recall_eval"] = f"""
                    AS recall_at_k
         FROM (SELECT DISTINCT query_id FROM exact) q
         LEFT JOIN hit h ON h.query_id = q.query_id
+        WHERE (SELECT ok FROM nonce) = 1
 """.replace("{EXACT}", ORACLES["embedding_topk"])

@@ -96,8 +96,12 @@ def unpartitioned_window_lines(plan: str) -> list[str]:
             groups = _top_level_bracket_groups(line, i)
             if len(groups) >= 3:
                 continue            # funcs, partitionSpec, orderSpec
-            if len(groups) == 2 and (" ASC" in groups[-1]
-                                     or " DESC" in groups[-1]):
+            if len(groups) == 1:
+                # fully-global window: empty partition AND order spec
+                # still plans Exchange SinglePartition — flag it too
+                out.append(line.strip())
+            elif len(groups) == 2 and (" ASC" in groups[-1]
+                                       or " DESC" in groups[-1]):
                 out.append(line.strip())
     return out
 
@@ -110,10 +114,13 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
     all flow through ONE partition. Detection: the node prints
     ``Window [funcs], [partitionSpec], [orderSpec]`` when partitioned
     (3 top-level bracket groups) but ``Window [funcs], [orderSpec]``
-    when not (2 groups). A 2-group node whose last group is a partition
-    spec (partition-only window, no ordering — e.g. a per-group count)
-    carries no ASC/DESC tokens and is NOT flagged: it hash-partitions
-    like any groupBy. Returns the offending plan lines."""
+    when not (2 groups), and ``Window [funcs]`` when BOTH specs are
+    empty (1 group — an unordered global window, which still plans
+    Exchange SinglePartition and is flagged). A 2-group node whose
+    last group is a partition spec (partition-only window, no ordering
+    — e.g. a per-group count) carries no ASC/DESC tokens and is NOT
+    flagged: it hash-partitions like any groupBy. Returns the
+    offending plan lines."""
     return unpartitioned_window_lines(executed_plan(df))
 
 

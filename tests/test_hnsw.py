@@ -136,3 +136,31 @@ def test_graph_recall_oracle_embeds_the_artifact_path():
     from mit_6_5840_mapreduce_spark.sources.scratch import scratch_path
     expect = os.path.join(scratch_path("graph_recall_cand"), "cand")
     assert expect in ORACLES["graph_recall_eval"]
+
+
+def test_graph_recall_oracle_rejects_stale_artifact(spark, sf_dir):
+    """Ordering-contract enforcement (ADVICE r6): the oracle embeds a
+    process-lifetime artifact path, so it is only meaningful evaluated
+    AFTER the Spark side materialized the artifact for the SAME corpus.
+    The artifact carries a nonce marker (query_id=-1, cand_id=
+    count(embeddings)); an oracle whose embeddings view disagrees must
+    raise loudly, not certify a stale candidate set."""
+    import os
+
+    import duckdb
+    import pytest
+
+    from mit_6_5840_mapreduce_spark.operators.similarity import (
+        ORACLES, graph_recall_eval,
+    )
+    graph_recall_eval(spark, sf_dir).collect()   # writes artifact+nonce
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{emb}'")
+    assert len(con.execute(ORACLES["graph_recall_eval"]).df()) > 0
+    # same process, 'different corpus': a view with one row fewer
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{emb}' "
+                 "WHERE vec_id <> (SELECT max(vec_id) FROM '" + emb + "')")
+    with pytest.raises(duckdb.Error, match="different corpus"):
+        con2.execute(ORACLES["graph_recall_eval"]).df()

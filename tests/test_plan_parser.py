@@ -31,6 +31,13 @@ PARTITION_ONLY = (
     "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
     "unboundedfollowing$())) AS group_size#7L], [group_id#5L]"
 )
+# fully-global window: over () — empty partition AND order spec; Spark
+# prints a single bracket group yet still plans Exchange SinglePartition
+GLOBAL_UNORDERED = (
+    "+- Window [count(1) windowspecdefinition(specifiedwindowframe("
+    "RowFrame, unboundedpreceding$(), unboundedfollowing$())) "
+    "AS total#11L]"
+)
 
 
 def test_bracket_parser_counts_top_level_groups():
@@ -48,6 +55,15 @@ def test_rule_flags_only_ordered_unpartitioned_windows():
                       "+- Exchange SinglePartition"])
     got = unpartitioned_window_lines(plan)
     assert got == [UNPARTITIONED.strip()]
+
+
+def test_rule_flags_global_unordered_windows():
+    """A 1-group Window (empty partition AND order spec) funnels all
+    rows through one task just like the ordered form — flagged."""
+    assert len(_top_level_bracket_groups(
+        GLOBAL_UNORDERED, GLOBAL_UNORDERED.find("Window ["))) == 1
+    plan = "\n".join([GLOBAL_UNORDERED, PARTITIONED, PARTITION_ONLY])
+    assert unpartitioned_window_lines(plan) == [GLOBAL_UNORDERED.strip()]
 
 
 def test_rule_ignores_plans_without_windows():

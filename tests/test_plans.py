@@ -96,6 +96,9 @@ def test_no_unpartitioned_data_windows(spark, sf_dir):
                 f"{name} plans an unpartitioned data window: {gw[0]}"
     assert flagged == GLOBAL_WINDOW_OK, (
         f"stale whitelist entries: {GLOBAL_WINDOW_OK - flagged}")
+
+
+def test_mr_wc_stays_jvm_side(spark, sf_dir):
     plan = executed_plan(q(spark, sf_dir, "mr_wc"))
     assert "BatchEvalPython" not in plan
     # AQE shows the pre-execution plan; JVM hash aggregation is the marker

@@ -71,7 +71,14 @@ def main() -> int:
     # STALE_ROUNDS or more rounds old. Oldest first, name tiebreak —
     # the deterministic fill order for the next window's free slots.
     next_round = latest + 1
-    certified = {**rows_only, **green}  # green wins if somehow both
+    # newest cert round per name across BOTH kinds (ADVICE r6: letting
+    # green override a newer rows-only round would understate freshness
+    # and rotate recently re-checked queries back in early)
+    certified = dict(rows_only)
+    for n, r in green.items():
+        certified[n] = max(r, certified.get(n, 0))
+    for n, r in rows_only.items():
+        certified[n] = max(r, certified.get(n, 0))
     stale = sorted(
         ((n, r) for n, r in certified.items()
          if n in set(names) and next_round - r >= STALE_ROUNDS),
@@ -79,7 +86,8 @@ def main() -> int:
     print(f"\nstaleness (ceiling {STALE_ROUNDS} rounds, next round "
           f"r{next_round:02d}): {len(stale)} certs at/over the ceiling")
     for n, r in stale:
-        kind = "green" if n in green else "rows-only"
+        # kind of the NEWEST cert (the one whose age we report)
+        kind = "green" if green.get(n) == r else "rows-only"
         mark = "in window" if n in in_window else ""
         print(f"  r{r:02d} {n:35s} {kind:10s} {mark}")
 
