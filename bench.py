@@ -73,6 +73,67 @@ BASELINE_R1 = {
 }
 
 
+# Self-adjudication under load (VERDICT r6 "what's wrong" #1): a
+# per-query ratio spike in a run that started under host contention is
+# usually noise (the r6 official record carried a spurious 2.27x), but
+# proving that previously required a judge to re-run the query by hand.
+# When BOTH hold — ratio above RESAMPLE_RATIO and loadavg at either end
+# of the sweep above RESAMPLE_LOADAVG — bench re-samples the query once
+# after the sweep and records both numbers in the sidecar, so the
+# official record adjudicates itself. Env-overridable for testing.
+RESAMPLE_RATIO = 1.5
+RESAMPLE_LOADAVG = 4.0
+
+# Codec swap-rule enforcement (VERDICT r6 item 7): the documented rule
+# (docs/MULTIMODAL_CODECS.md) says the pure-Python codecs are an
+# acceptable tax only while DECODABLE MEDIA stays under ~1% of corpus
+# bytes. bench enforces it mechanically: magic-sniff the corpus for
+# real embedded media containers and fail loudly past the threshold.
+# (The synthetic wrap the decode QUERIES apply at runtime is harness,
+# not corpus — only bytes that already ARE containers count.)
+CODEC_MEDIA_SHARE_MAX = 0.01
+_MEDIA_MAGICS = ("BM", "RIFF", "GIF8")
+
+
+def media_magic_share(spark, sf_dir: str) -> float:
+    """Fraction of documents.text bytes whose content starts with a
+    decodable media container magic (BMP/RIFF/GIF) — the corpus share
+    the swap rule thresholds on. One narrow scan; no payload decode."""
+    from pyspark.sql import functions as F
+
+    from mit_6_5840_mapreduce_spark.sources.tables import load_table
+    is_media = None
+    for m in _MEDIA_MAGICS:
+        c = F.col("magic").startswith(m)
+        is_media = c if is_media is None else (is_media | c)
+    row = (load_table(spark, sf_dir, "documents")
+           .select(F.octet_length("text").alias("nb"),
+                   F.substring("text", 1, 4).alias("magic"))
+           .agg(F.sum(F.when(is_media, F.col("nb")).otherwise(0))
+                .alias("media_b"),
+                F.sum("nb").alias("total_b"))
+           .collect()[0])
+    return (row["media_b"] or 0) / max(row["total_b"] or 0, 1)
+
+
+def resample_candidates(ratios: dict[str, float],
+                        loadavg_before: tuple[float, ...],
+                        loadavg_after: tuple[float, ...],
+                        ratio_thresh: float | None = None,
+                        load_thresh: float | None = None) -> list[str]:
+    """Queries whose baseline ratio spiked in a load-contaminated run —
+    the set main() re-samples once after the sweep."""
+    if ratio_thresh is None:
+        ratio_thresh = float(os.environ.get(
+            "SPARK_GRAFT_RESAMPLE_RATIO", RESAMPLE_RATIO))
+    if load_thresh is None:
+        load_thresh = float(os.environ.get(
+            "SPARK_GRAFT_RESAMPLE_LOADAVG", RESAMPLE_LOADAVG))
+    if max(loadavg_before[0], loadavg_after[0]) <= load_thresh:
+        return []
+    return sorted(n for n, r in ratios.items() if r > ratio_thresh)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -178,6 +239,22 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     ratios = {name: round(timings[name] / BASELINE_R1[name], 2)
               for name in HEADLINE if name in BASELINE_R1}
+
+    # post-sweep resample of load-contaminated spikes (see
+    # resample_candidates): the contract keeps the PRIMARY number; the
+    # sidecar carries both so the record is self-adjudicating
+    resampled: dict[str, dict[str, float]] = {}
+    for name in resample_candidates(ratios, load_before, load_after):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite") \
+            .format("noop").save()
+        t = round(time.perf_counter() - t0, 3)
+        resampled[name] = {
+            "primary_sec": timings[name], "resample_sec": t,
+            "ratio_primary": ratios[name],
+            "ratio_resample": round(t / BASELINE_R1[name], 2),
+        }
     # Round-4 lesson (VERDICT r4 "What's wrong" #2): the driver captures
     # a BOUNDED TAIL of stdout, so the machine-readable contract line
     # must be the LAST line and must stay COMPACT. Diagnostic detail
@@ -196,6 +273,8 @@ def main() -> None:
         "codec_corpus_mb": round(corpus_mb, 2),
         "cc_chain_probe_wall_sec": cc_probe,
         "cc_chain_probe_nodes_1x": CC_NODES_1X,
+        "resampled_after_sweep": resampled,
+        "media_magic_share": round(media_magic_share(spark, sf_dir), 6),
     }
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL",
                                  "/tmp/bench_detail.json")
@@ -217,6 +296,7 @@ def main() -> None:
             "loadavg_after": [round(x, 2) for x in load_after],
             "ratio_median": round(statistics.median(ratios.values()), 2),
             "ratio_max": round(max(ratios.values()), 2),
+            **({"resampled": sorted(resampled)} if resampled else {}),
             "bench_id": bench_id,
             "detail_file": detail_path,
         },
@@ -234,6 +314,17 @@ def main() -> None:
         spark.stop()
         raise SystemExit(1)
     print(contract_line)
+    # swap-rule guard AFTER the contract line so the perf record still
+    # lands; nonzero exit makes the violation impossible to miss
+    share = detail["media_magic_share"]
+    if share > CODEC_MEDIA_SHARE_MAX:
+        print(f"codec_swap_guard VIOLATION: decodable media is "
+              f"{share:.1%} of corpus bytes (> "
+              f"{CODEC_MEDIA_SHARE_MAX:.0%}) while the pure-Python "
+              f"codecs are in place — swap the affected decode paths "
+              f"to native codecs (docs/MULTIMODAL_CODECS.md)")
+        spark.stop()
+        raise SystemExit(1)
     spark.stop()
 
 

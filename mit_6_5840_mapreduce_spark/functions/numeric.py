@@ -24,3 +24,41 @@ def floor4(col: Column) -> Column:
 
 def duckdb_floor4(expr: str) -> str:
     return f"(floor(({expr}) * {SCALE4}) / {SCALE4})"
+
+
+def exact_round_sum(col: Column, dp: int = 2) -> Column:
+    """``round(sum(col), 2)`` computed in EXACT integer arithmetic.
+
+    ``col`` must be a NON-NEGATIVE dp-decimal-valued DOUBLE expression
+    (native 2-dp money columns, or products of them: ep*(1-disc) is
+    4-dp, ep*(1-disc)*(1+tax) is 6-dp). Each row is scaled to integer
+    10^-dp-dollar units — exact, because the scaled value sits within
+    ~1e-5 of an integer for this corpus's magnitudes — summed in
+    DECIMAL(38,0) (no float accumulation, no BIGINT overflow at 100 TB
+    cardinalities), decimal-rounded HALF-UP to cents in integer
+    arithmetic (never a float .5 boundary, the Spark-vs-DuckDB round()
+    divergence class), and divided by 100.0 exactly once. Versus the
+    old ``F.round(F.sum(col), 2)`` this is value-identical whenever the
+    float sum's accumulated error did not cross a half-cent boundary —
+    and unlike it, deterministic under any partial-agg merge order.
+    Mirror: ``duckdb_exact_round_sum``."""
+    u = F.round(col * F.lit(10 ** dp)).cast("decimal(38,0)")
+    s = F.sum(u)
+    if dp <= 2:
+        cents = s * F.lit(10 ** (2 - dp))
+    else:
+        q = 10 ** (dp - 2)
+        cents = F.floor((s + F.lit(q // 2)) / F.lit(q))
+    return cents.cast("double") / F.lit(100.0)
+
+
+def duckdb_exact_round_sum(expr: str, dp: int = 2) -> str:
+    """DuckDB twin of ``exact_round_sum`` (sum(BIGINT) promotes to
+    HUGEINT; ``//`` keeps the cents rounding in integer arithmetic)."""
+    u = f"CAST(round(({expr}) * {10 ** dp}) AS BIGINT)"
+    if dp <= 2:
+        cents = f"(sum({u}) * {10 ** (2 - dp)})"
+    else:
+        q = 10 ** (dp - 2)
+        cents = f"((sum({u}) + {q // 2}) // {q})"
+    return f"(CAST({cents} AS DOUBLE) / 100.0)"

@@ -227,8 +227,14 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bg.join(cb, ["w1", "w2"]).join(cu, "w1")
         .groupBy("doc_id")
+        # the c_xy * LM_SCALE product goes through DECIMAL(20,0) (r7):
+        # BIGINT would overflow loudly once one bigram occurs ~9e12
+        # times; div still returns BIGINT, so values and schema are
+        # unchanged (the per-term quotient is <= LM_SCALE by c_xy <=
+        # c_w1, and lm_sum <= n_bigrams * LM_SCALE fits BIGINT)
         .agg(F.count("*").alias("n_bigrams"),
-             F.sum(F.expr(f"(c_xy * {LM_SCALE}) div c_w1"))
+             F.sum(F.expr(
+                 f"(CAST(c_xy AS DECIMAL(20,0)) * {LM_SCALE}) div c_w1"))
              .alias("lm_sum"))
         .select("doc_id", "n_bigrams", "lm_sum",
                 floor4(F.col("lm_sum")
@@ -372,8 +378,10 @@ ORACLES["doc_lm_score"] = rf"""
                FROM (SELECT unnest(toks) AS w1 FROM staged) GROUP BY w1),
         cb AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY w1, w2)
         SELECT doc_id, count(*) AS n_bigrams,
-               CAST(sum((c_xy * {LM_SCALE}) // c_w1) AS BIGINT) AS lm_sum,
-               floor(CAST(sum((c_xy * {LM_SCALE}) // c_w1) AS BIGINT)
+               CAST(sum((CAST(c_xy AS HUGEINT) * {LM_SCALE}) // c_w1)
+                    AS BIGINT) AS lm_sum,
+               floor(CAST(sum((CAST(c_xy AS HUGEINT) * {LM_SCALE}) // c_w1)
+                          AS BIGINT)
                      / (count(*) * {LM_SCALE})::DOUBLE * 10000) / 10000
                    AS avg_prob
         FROM bg

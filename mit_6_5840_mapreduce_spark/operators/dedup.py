@@ -255,6 +255,17 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 20
 CC_EDGES_PER_PARTITION = 100_000
 
+# probe/test instrumentation: rounds the most recent cc_labels call
+# used, INCLUDING the final observing round (zero label changes)
+_LAST_CC_ROUNDS = 0
+
+
+def last_cc_rounds() -> int:
+    """Rounds consumed by the most recent ``cc_labels`` call — lets the
+    bound test and the scale probe assert the pointer-jumping round
+    count (~log2(diameter)) instead of inferring it from wall clock."""
+    return _LAST_CC_ROUNDS
+
 
 def cc_labels(spark: SparkSession, pairs: DataFrame,
               a_col: str, b_col: str) -> DataFrame:
@@ -270,11 +281,18 @@ def cc_labels(spark: SparkSession, pairs: DataFrame,
     list is hash-partitioned by ``src`` into
     |edges|/CC_EDGES_PER_PARTITION partitions and cached in that
     layout, so each round reshuffles only the compact label vector
-    against stationary edges. Convergence is detected from the label
-    frame itself in ONE Spark job per round (the checkpoint is lazy, so
-    the changed-label count is the action that materializes it). Rounds
-    needed = component diameter; hard cap CC_MAX_ITERS with loud
-    failure. No row data ever reaches the driver."""
+    against stationary edges. Each round is propagate-then-shortcut
+    (r7, VERDICT r6 item 4): one hop of min-label propagation along the
+    edges, then POINTER JUMPING — ``label <- label(label)``, a self-join
+    of the compact label vector — so label distance doubles per round
+    and convergence needs ~ceil(log2(diameter)) + 1 rounds instead of
+    diameter + 1 (a 1000-hop near-dup chain converges in 10 rounds, not
+    1001). Per round: one eager checkpoint job for the propagate hop
+    (the edge join — the expensive part, unchanged) plus one light
+    labels-only job for the shortcut + changed-label count. Hard cap
+    CC_MAX_ITERS with loud failure. No row data ever reaches the
+    driver. Exact round counts are pinned against a sequential
+    reference in tests/test_dedup_cap.py."""
     edges_raw = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"),
@@ -289,22 +307,37 @@ def cc_labels(spark: SparkSession, pairs: DataFrame,
               .select("node_id", F.col("node_id").alias("label"))
               .localCheckpoint(eager=True))
     edges_raw.unpersist()
+    global _LAST_CC_ROUNDS
     changed = 0
+    rounds = 0
     for _ in range(CC_MAX_ITERS):
+        rounds += 1
         nb = (
             edges.join(labels.select(F.col("node_id").alias("src"),
                                      "label"), "src")
             .groupBy("dst").agg(F.min("label").alias("nb_label"))
         )
-        # lazy checkpoint: the count below is the ONLY job this round —
-        # it materializes the checkpoint blocks and counts changed
-        # labels in the same pass
-        new_labels = (
+        # eager checkpoint: the shortcut below self-joins this frame,
+        # and without materialization the edge-join subtree would be
+        # recomputed on both sides of that join
+        prop = (
             labels.join(nb, labels.node_id == nb.dst, "left")
             .select("node_id",
                     F.col("label").alias("old_label"),
                     F.least(F.col("label"),
                             F.coalesce("nb_label", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        # pointer jumping: label <- label(label). A label is always the
+        # id of a node IN the pair graph (it starts as own id and only
+        # ever moves to a smaller node id seen via edges), so the rep
+        # lookup always matches; coalesce guards the invariant anyway.
+        reps = prop.select(F.col("node_id").alias("rep_id"),
+                           F.col("label").alias("rep_label"))
+        new_labels = (
+            prop.join(reps, prop.label == reps.rep_id, "left")
+            .select("node_id", "old_label",
+                    F.coalesce("rep_label", "label").alias("label"))
             .localCheckpoint(eager=False)
         )
         changed = new_labels.where(
@@ -313,6 +346,7 @@ def cc_labels(spark: SparkSession, pairs: DataFrame,
         if changed == 0:
             break
     edges.unpersist()
+    _LAST_CC_ROUNDS = rounds
     if changed != 0:
         # a component with diameter > CC_MAX_ITERS would be silently
         # split into multiple groups — surface it instead of guessing

@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mit_6_5840_mapreduce_spark.functions.numeric import floor4
+from mit_6_5840_mapreduce_spark.functions.numeric import (
+    duckdb_exact_round_sum as _ers, exact_round_sum, floor4)
 from mit_6_5840_mapreduce_spark.sources.tables import load_table
 
 SESSION_GAP_MIN = 30
@@ -54,7 +55,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            exact_round_sum(F.col("value")).alias("sum_value"),
         )
     )
 
@@ -68,12 +69,11 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            # avg from the ROUNDED sum: round(sum,2) is bit-identical
-            # across engines (money sums sit on exact cents), so the
-            # floored quotient can never diverge — raw avg() rounds
+            exact_round_sum(F.col("value")).alias("sum_value"),
+            # avg from the EXACT cents sum (round 7): deterministic on
+            # both engines under any merge order — raw avg() rounds
             # differently on exact decimal halves (e.g. 290.93/8).
-            floor4(F.round(F.sum("value"), 2) / F.count("*"))
+            floor4(exact_round_sum(F.col("value")) / F.count("*"))
                 .alias("avg_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
@@ -140,7 +140,7 @@ def user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
             F.count(F.when(F.col("event_type") == "purchase", 1))
              .alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            exact_round_sum(F.col("value")).alias("sum_value"),
         )
     )
 
@@ -170,7 +170,7 @@ def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select((k - k % 10).alias("k_bucket"), "value", "event_type")
         .groupBy("k_bucket")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"),
+             exact_round_sum(F.col("value")).alias("sum_value"),
              F.countDistinct("event_type").alias("n_types"))
     )
 
@@ -277,7 +277,7 @@ def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy("band_id", "lo", "hi")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             exact_round_sum(F.col("value")).alias("sum_value"))
     )
 
 
@@ -699,7 +699,7 @@ ORACLES = {
     "events_value_bands": f"""
         SELECT band_id, lo, hi,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               {_ers('value')} AS sum_value
         FROM events
         JOIN (SELECT band_id, CAST(lo AS DOUBLE) AS lo,
                      CAST(hi AS DOUBLE) AS hi
@@ -733,10 +733,10 @@ ORACLES = {
         WHERE gap_us IS NOT NULL
         GROUP BY user_id
     """,
-    "events_props_stats": """
+    "events_props_stats": f"""
         SELECT k_bucket,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value,
+               {_ers('value')} AS sum_value,
                count(DISTINCT event_type) AS n_types
         FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 * 10
                          AS k_bucket,
@@ -763,15 +763,15 @@ ORACLES = {
                min(ts) AS session_start,
                max(ts) AS session_end,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               {_ers('value')} AS sum_value
         FROM with_id
         GROUP BY user_id, session_seq
     """,
-    "events_hourly": """
+    "events_hourly": f"""
         SELECT date_trunc('hour', ts) AS hour, event_type,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value,
-               floor(round(sum(value), 2) / count(*) * 10000) / 10000
+               {_ers('value')} AS sum_value,
+               floor({_ers('value')} / count(*) * 10000) / 10000
                    AS avg_value,
                count(DISTINCT user_id) AS n_users
         FROM events
@@ -791,7 +791,7 @@ ORACLES = {
         )
         WHERE rn = 1
     """,
-    "user_stats": """
+    "user_stats": f"""
         SELECT user_id,
                count(*) AS n_events,
                count(DISTINCT event_type) AS n_types,
@@ -799,7 +799,7 @@ ORACLES = {
                max(ts) AS last_ts,
                count(CASE WHEN event_type = 'purchase' THEN 1 END)
                    AS n_purchases,
-               round(sum(value), 2) AS sum_value
+               {_ers('value')} AS sum_value
         FROM events GROUP BY user_id
     """,
     "event_transitions": """

@@ -60,14 +60,20 @@ def _csv_read_options(r):
 
 def _roundtrip_stats(df: DataFrame) -> DataFrame:
     # 32-bit md5 prefix as the per-doc checksum (the repo's standard
-    # cross-engine hash); the SUM only matches if every text survived
+    # cross-engine hash); the SUM only matches if every text survived.
+    # Accumulation is DECIMAL(38,0)/HUGEINT (r7: BIGINT would overflow
+    # at ~2e9 docs per language group), emitted as DOUBLE — the same
+    # exact integer cast identically on both engines (DuckDB's pandas
+    # bridge turns wide decimals into float64, so DOUBLE is the one
+    # representation both sides agree on byte-for-byte).
     h32 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
     return (
         df.groupBy("lang")
         .agg(F.count("*").alias("n_docs"),
              F.sum(F.length("text")).alias("total_chars"),
              F.countDistinct("source").alias("n_sources"),
-             F.sum(h32).alias("text_hash_sum"))
+             F.sum(h32.cast("decimal(38,0)")).cast("double")
+              .alias("text_hash_sum"))
     )
 
 
@@ -76,8 +82,9 @@ _STATS_ORACLE_BODY = """
            count(*) AS n_docs,
            CAST(sum(length(text)) AS BIGINT) AS total_chars,
            count(DISTINCT source) AS n_sources,
-           CAST(sum(CAST(concat('0x', substring(md5(text), 1, 8))
-                         AS BIGINT)) AS BIGINT) AS text_hash_sum
+           CAST(sum(CAST(CAST(concat('0x', substring(md5(text), 1, 8))
+                              AS BIGINT) AS HUGEINT)) AS DOUBLE)
+               AS text_hash_sum
     FROM documents
     GROUP BY lang
 """

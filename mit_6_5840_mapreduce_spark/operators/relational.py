@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from mit_6_5840_mapreduce_spark.functions.numeric import floor4
+from mit_6_5840_mapreduce_spark.functions.numeric import (
+    duckdb_exact_round_sum as _ers, exact_round_sum, floor4)
 from mit_6_5840_mapreduce_spark.sources.tables import load_table
 
 
@@ -33,25 +34,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1: pricing summary report (single scan, hash-agg)."""
+    """TPC-H Q1: pricing summary report (single scan, hash-agg).
+
+    All money/rate sums go through ``exact_round_sum`` (round 7): each
+    row scales to exact integer units (quantity 0dp, price/discount
+    2dp, ep*(1-disc) 4dp, *(1+tax) 6dp), sums accumulate in
+    DECIMAL(38,0), and the 2-dp result is derived by integer
+    arithmetic — deterministic under any partial-agg merge order and
+    overflow-free at 100 TB cardinalities. Averages divide the exact
+    sum, then floor4 (the repo's cross-engine ratio rule)."""
     li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("sum_disc_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                          * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            # averages derived from rounded sums: cross-engine-stable
-            # (see functions/numeric.py and operators/events.py)
-            floor4(F.round(F.sum("l_quantity"), 2) / F.count("*"))
+            exact_round_sum(F.col("l_quantity"), 0).alias("sum_qty"),
+            exact_round_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            exact_round_sum(disc_price, 4).alias("sum_disc_price"),
+            exact_round_sum(charge, 6).alias("sum_charge"),
+            floor4(exact_round_sum(F.col("l_quantity"), 0) / F.count("*"))
                 .alias("avg_qty"),
-            floor4(F.round(F.sum("l_extendedprice"), 2) / F.count("*"))
+            floor4(exact_round_sum(F.col("l_extendedprice")) / F.count("*"))
                 .alias("avg_price"),
-            floor4(F.round(F.sum("l_discount"), 2) / F.count("*"))
+            floor4(exact_round_sum(F.col("l_discount")) / F.count("*"))
                 .alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -106,7 +113,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(exact_round_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
              .alias("revenue"))
     )
 
@@ -120,7 +128,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .agg(exact_round_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), 4)
              .alias("revenue"))
     )
 
@@ -189,8 +198,9 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 30))
     )
     return joined.where(branch).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2).alias("revenue"),
+        exact_round_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        .alias("revenue"),
         F.count("*").alias("n_lineitems"))
 
 
@@ -541,7 +551,7 @@ def brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.groupBy("p_brand")
         .agg(
             F.count("*").alias("n_parts"),
-            floor4(F.round(F.sum("p_retailprice"), 2) / F.count("*"))
+            floor4(exact_round_sum(F.col("p_retailprice")) / F.count("*"))
                 .alias("avg_price"),
             F.round(F.min("p_retailprice"), 2).alias("min_price"),
             F.round(F.max("p_retailprice"), 2).alias("max_price"),
@@ -576,7 +586,7 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.rollup("r_name", "n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+        .agg(exact_round_sum(F.col("o_totalprice")).alias("total_sales"),
              F.count("*").alias("n_orders"))
     )
 
@@ -616,7 +626,7 @@ def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.cube("o_orderpriority", "o_orderstatus")
         .agg(F.count("*").alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("total_value"))
+             exact_round_sum(F.col("o_totalprice")).alias("total_value"))
     )
 
 
@@ -644,7 +654,7 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     monthly = (
         orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("sales"),
+        .agg(exact_round_sum(F.col("o_totalprice")).alias("sales"),
              F.count("*").alias("n_orders"))
     )
     w = Window.orderBy("month")
@@ -668,8 +678,10 @@ def sql_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REVENUE_BY_SEGMENT_SQL = """
     SELECT c_mktsegment,
            count(DISTINCT o_orderkey) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue,
-           floor(round(sum(o_totalprice), 2) / count(DISTINCT o_orderkey)
+           CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0)))
+                AS DOUBLE) / 100.0 AS revenue,
+           floor(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0)))
+                      AS DOUBLE) / 100.0 / count(DISTINCT o_orderkey)
                  * 10000) / 10000 AS avg_order_value
     FROM customer
     JOIN orders ON o_custkey = c_custkey
@@ -683,7 +695,8 @@ _GROUPING_SETS_SQL = """
            grouping(o_orderpriority) AS g_priority,
            grouping(o_orderstatus) AS g_status,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0)))
+                AS DOUBLE) / 100.0 AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
 """
@@ -784,7 +797,7 @@ def orders_dow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy((F.weekday("o_orderdate") + 1).cast("bigint")
                        .alias("isodow"))
         .agg(F.count("*").alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+             exact_round_sum(F.col("o_totalprice")).alias("total_value"),
              F.min(F.year("o_orderdate")).alias("first_year"),
              F.max(F.year("o_orderdate")).alias("last_year"))
     )
@@ -867,7 +880,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li_b.join(cutoff, li_b.l_partkey == cutoff.ck_partkey)
         .where(F.col("l_quantity") < F.col("qty_cutoff"))
-        .agg(floor4(F.round(F.sum("l_extendedprice"), 2) / F.lit(7.0))
+        .agg(floor4(exact_round_sum(F.col("l_extendedprice")) / F.lit(7.0))
              .alias("avg_yearly"))
     )
 
@@ -1542,7 +1555,7 @@ ORACLES = {
                    AS mkt_share
         FROM vol GROUP BY o_year
     """,
-    "q17_small_quantity_revenue": """
+    "q17_small_quantity_revenue": f"""
         WITH li_b AS (
             SELECT l_partkey, l_quantity, l_extendedprice
             FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1553,7 +1566,7 @@ ORACLES = {
                    0.2 * (sum(l_quantity) / count(*)) AS qty_cutoff
             FROM li_b GROUP BY l_partkey
         )
-        SELECT floor(round(sum(l_extendedprice), 2) / 7.0 * 10000) / 10000
+        SELECT floor({_ers('l_extendedprice')} / 7.0 * 10000) / 10000
                    AS avg_yearly
         FROM li_b JOIN cutoff USING (l_partkey)
         WHERE l_quantity < qty_cutoff
@@ -1621,10 +1634,10 @@ ORACLES = {
                count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
         FROM events GROUP BY user_id
     """,
-    "orders_dow_stats": """
+    "orders_dow_stats": f"""
         SELECT isodow(o_orderdate) AS isodow,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_value,
+               {_ers('o_totalprice')} AS total_value,
                min(year(o_orderdate)) AS first_year,
                max(year(o_orderdate)) AS last_year
         FROM orders GROUP BY 1
@@ -1641,10 +1654,10 @@ ORACLES = {
                    AS edit_dist
         FROM part
     """,
-    "orders_monthly_growth": """
+    "orders_monthly_growth": f"""
         WITH monthly AS (
             SELECT date_trunc('month', o_orderdate) AS month,
-                   round(sum(o_totalprice), 2) AS sales,
+                   {_ers('o_totalprice')} AS sales,
                    count(*) AS n_orders
             FROM orders GROUP BY 1
         )
@@ -1670,24 +1683,24 @@ ORACLES = {
         FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
-    "priority_status_cube": """
+    "priority_status_cube": f"""
         SELECT o_orderpriority, o_orderstatus,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_value
+               {_ers('o_totalprice')} AS total_value
         FROM orders
         GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,
-    "q1_pricing_summary": """
+    "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               floor(round(sum(l_quantity), 2) / count(*) * 10000) / 10000
+               {_ers('l_quantity', 0)} AS sum_qty,
+               {_ers('l_extendedprice')} AS sum_base_price,
+               {_ers('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+               {_ers('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+               floor({_ers('l_quantity', 0)} / count(*) * 10000) / 10000
                    AS avg_qty,
-               floor(round(sum(l_extendedprice), 2) / count(*) * 10000) / 10000
+               floor({_ers('l_extendedprice')} / count(*) * 10000) / 10000
                    AS avg_price,
-               floor(round(sum(l_discount), 2) / count(*) * 10000) / 10000
+               floor({_ers('l_discount')} / count(*) * 10000) / 10000
                    AS avg_disc,
                count(*) AS count_order
         FROM lineitem
@@ -1712,9 +1725,9 @@ ORACLES = {
         ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
         LIMIT 10
     """,
-    "q5_local_supplier_volume": """
+    "q5_local_supplier_volume": f"""
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {_ers('l_extendedprice * (1 - l_discount)', 4)} AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -1885,8 +1898,8 @@ ORACLES = {
           ON o_orderkey = big.l_orderkey
         JOIN customer ON o_custkey = c_custkey
     """,
-    "q19_discounted_revenue": """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    "q19_discounted_revenue": f"""
+        SELECT {_ers('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
                count(*) AS n_lineitems
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -1896,8 +1909,8 @@ ORACLES = {
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
     """,
-    "q6_forecast_revenue": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    "q6_forecast_revenue": f"""
+        SELECT {_ers('l_extendedprice * l_discount', 4)} AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -1932,10 +1945,10 @@ ORACLES = {
               FROM orders)
         WHERE rn <= 3
     """,
-    "brand_price_stats": """
+    "brand_price_stats": f"""
         SELECT p_brand,
                count(*) AS n_parts,
-               floor(round(sum(p_retailprice), 2) / count(*) * 10000) / 10000
+               floor({_ers('p_retailprice')} / count(*) * 10000) / 10000
                    AS avg_price,
                round(min(p_retailprice), 2) AS min_price,
                round(max(p_retailprice), 2) AS max_price,
@@ -1955,9 +1968,9 @@ ORACLES = {
             WHERE year(o_orderdate) = 1998
         )
     """,
-    "sales_rollup": """
+    "sales_rollup": f"""
         SELECT r_name, n_name,
-               round(sum(o_totalprice), 2) AS total_sales,
+               {_ers('o_totalprice')} AS total_sales,
                count(*) AS n_orders
         FROM orders
         JOIN customer ON o_custkey = c_custkey
@@ -1991,7 +2004,7 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_retailprice", "p_size")
     demand = (_t(spark, sf_dir, "lineitem")
               .groupBy("l_partkey")
-              .agg(F.round(F.sum("l_quantity"), 2).alias("demand")))
+              .agg(exact_round_sum(F.col("l_quantity"), 0).alias("demand")))
     m = (part.join(demand, part.p_partkey == demand.l_partkey, "left")
          .select("p_partkey",
                  F.col("p_retailprice").alias("price"),
@@ -2037,9 +2050,9 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["skyline_pareto"] = skyline_pareto
 
-ORACLES["skyline_pareto"] = """
+ORACLES["skyline_pareto"] = f"""
         WITH demand AS (
-            SELECT l_partkey, round(sum(l_quantity), 2) AS demand
+            SELECT l_partkey, {_ers('l_quantity', 0)} AS demand
             FROM lineitem GROUP BY l_partkey
         ),
         m AS (

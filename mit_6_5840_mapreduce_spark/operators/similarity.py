@@ -1509,3 +1509,66 @@ ORACLES["graph_recall_eval"] = f"""
         LEFT JOIN hit h ON h.query_id = q.query_id
         WHERE (SELECT ok FROM nonce) = 1
 """.replace("{EXACT}", ORACLES["embedding_topk"])
+
+
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the random-projection LSH near-dup path
+    against the exact all-pairs baseline — the last approximate family
+    without a driver-certified quality audit (VERDICT r6 item 6;
+    ``dedup_eval`` is the MinHash twin, ``ann/pq/graph_recall_eval``
+    the search twins): truth = ``embedding_neardup_exact`` pairs,
+    prediction = ``embedding_neardup_lsh`` pairs at the same cosine
+    threshold. One summary row of exact integer counts + floor4
+    ratios; a banding or plane-weight regression moves recall and
+    fails the hash. Precision is 1.0 by construction (the LSH path
+    verifies candidates with exact cosine) — certified, not assumed.
+
+    Scale: the eval itself is one pair-keyed equi-join of two tiny
+    outputs. The TRUTH side is the quarantined exact cartesian — fine
+    at gate SF, and at 100 TB this audit runs on a SAMPLED slice the
+    same way the exact anchor does (documented anchor contract)."""
+    truth = embedding_neardup_exact(spark, sf_dir).select("vec_a", "vec_b")
+    pred = embedding_neardup_lsh(spark, sf_dir).select("vec_a", "vec_b")
+    hit = truth.join(pred, ["vec_a", "vec_b"])
+    counts = (truth.agg(F.count("*").alias("n_true"))
+              .crossJoin(pred.agg(F.count("*").alias("n_pred")))
+              .crossJoin(hit.agg(F.count("*").alias("n_hit"))))
+    return counts.select(
+        "n_true", "n_pred", "n_hit",
+        F.when(F.col("n_pred") > 0,
+               floor4(F.col("n_hit") / F.col("n_pred")))
+         .otherwise(F.lit(0.0)).alias("precision"),
+        F.when(F.col("n_true") > 0,
+               floor4(F.col("n_hit") / F.col("n_true")))
+         .otherwise(F.lit(0.0)).alias("recall"))
+
+
+QUERIES["lsh_recall_eval"] = lsh_recall_eval
+
+ORACLES["lsh_recall_eval"] = """
+        WITH truth AS MATERIALIZED (
+            SELECT vec_a, vec_b FROM ({TRUTH})
+        ),
+        pred AS MATERIALIZED (
+            SELECT vec_a, vec_b FROM ({PRED})
+        ),
+        hit AS (
+            SELECT t.vec_a, t.vec_b
+            FROM truth t JOIN pred p
+              ON p.vec_a = t.vec_a AND p.vec_b = t.vec_b
+        ),
+        c AS (
+            SELECT (SELECT count(*) FROM truth) AS n_true,
+                   (SELECT count(*) FROM pred) AS n_pred,
+                   (SELECT count(*) FROM hit) AS n_hit
+        )
+        SELECT n_true, n_pred, n_hit,
+               CASE WHEN n_pred > 0
+                    THEN floor(n_hit / n_pred * 10000) / 10000
+                    ELSE 0.0 END AS precision,
+               CASE WHEN n_true > 0
+                    THEN floor(n_hit / n_true * 10000) / 10000
+                    ELSE 0.0 END AS recall
+        FROM c
+""".replace("{TRUTH}", ORACLES["embedding_neardup_exact"]) \
+   .replace("{PRED}", ORACLES["embedding_neardup_lsh"])

@@ -46,6 +46,8 @@ from pyspark.sql.types import (
     LongType, StructField, StructType, TimestampType,
 )
 
+from mit_6_5840_mapreduce_spark.functions.numeric import (
+    duckdb_exact_round_sum as _ers, exact_round_sum)
 from mit_6_5840_mapreduce_spark.sources.tables import load_table
 
 
@@ -75,7 +77,7 @@ def windowed_counts_from_events(ev: DataFrame) -> DataFrame:
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             exact_round_sum(F.col("value")).alias("sum_value"))
         .select(F.col("win.start").alias("hour"), "event_type",
                 "n_events", "sum_value")
     )
@@ -110,7 +112,7 @@ def sessionized_from_events(ev: DataFrame) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("win"),
                  "user_id")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"),
+             exact_round_sum(F.col("value")).alias("sum_value"),
              F.min("ts").alias("session_start"),
              F.max("ts").alias("session_end"))
         .select("user_id", "session_start", "session_end",
@@ -147,7 +149,9 @@ def _update_totals(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     last_ts = None
     for pdf in pdfs:
         n += len(pdf)
-        cents += int(round(pdf["value"].sum() * 100))
+        # per-ROW cents then integer sum (round 7): exact at any batch
+        # size, where rounding one float batch-sum could drift
+        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
         ts_max = pdf["ts"].max()
         last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
     state.update((n, cents))
@@ -405,7 +409,7 @@ def stream_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         enriched.groupBy("c_mktsegment", "event_type")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             exact_round_sum(F.col("value")).alias("sum_value"))
     )
     return run_stream_to_memory(spark, agg, _memq("enriched"))
 
@@ -718,10 +722,10 @@ ORACLES = {
         )
         GROUP BY win_start, event_type
     """,
-    "stream_hourly_counts": """
+    "stream_hourly_counts": f"""
         SELECT date_trunc('hour', ts) AS hour, event_type,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               {_ers('value')} AS sum_value
         FROM events GROUP BY 1, 2
     """,
     # the stream source plants every event TWICE (two file copies), so
@@ -730,17 +734,19 @@ ORACLES = {
     "stream_dedup_events": """
         SELECT event_id, user_id, ts, event_type, value FROM events
     """,
-    # single-file availableNow = one micro-batch, so the stateful
-    # operator's cents accumulation equals one rounded batch sum
+    # the stateful operator rounds each row to cents then integer-sums,
+    # so the oracle is batching-independent (round 7; previously the
+    # engine rounded one float batch-sum and the oracle mirrored that)
     "stream_user_totals": """
         SELECT user_id, count(*) AS n_events,
-               CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_value_cents
         FROM events GROUP BY user_id
     """,
-    "stream_enriched_events": """
+    "stream_enriched_events": f"""
         SELECT c.c_mktsegment, e.event_type,
                count(*) AS n_events,
-               round(sum(e.value), 2) AS sum_value
+               {_ers('e.value')} AS sum_value
         FROM events e JOIN customer c ON c.c_custkey = e.user_id
         GROUP BY 1, 2
     """,
@@ -748,11 +754,11 @@ ORACLES = {
     # windows — those whose end has passed the final event-time
     # watermark (max ts - 1h delay); the open tail stays in state.
     # The oracle mirrors exactly that eviction rule.
-    "stream_foreachbatch_roundtrip": """
+    "stream_foreachbatch_roundtrip": f"""
         WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
         SELECT date_trunc('hour', ts) AS hour, event_type,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               {_ers('value')} AS sum_value
         FROM events, wm
         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
         GROUP BY 1, 2
@@ -789,7 +795,7 @@ ORACLES["stream_topk_stateful"] = ORACLES["stream_topk_event_types"]
 LATE_ORACLES = {
     # gap >= 30 min starts a new session (session_window's half-open
     # boundary; see stream_sessionize docstring)
-    "stream_sessionize": """
+    "stream_sessionize": f"""
         WITH flagged AS (
             SELECT user_id, ts, event_id, value,
                    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
@@ -808,7 +814,7 @@ LATE_ORACLES = {
                min(ts) AS session_start,
                max(ts) AS session_end,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               {_ers('value')} AS sum_value
         FROM with_id
         GROUP BY user_id, session_seq
     """,

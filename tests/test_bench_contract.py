@@ -21,6 +21,71 @@ def test_headline_queries_are_registered_with_oracles():
     assert not no_oracle, f"headline queries without oracles: {no_oracle}"
 
 
+def test_resample_triggers_only_on_spike_under_load():
+    """The post-sweep resample (r7) fires only when BOTH hold: a query's
+    baseline ratio spiked AND the host was loaded at either end of the
+    sweep — the load-contamination signature the r6 record needed a
+    manual re-run to adjudicate."""
+    ratios = {"a": 1.0, "b": 2.3, "c": 1.51}
+    # loaded at start -> both spikes resample, sorted
+    assert bench.resample_candidates(
+        ratios, (6.2, 0, 0), (1.0, 0, 0),
+        ratio_thresh=1.5, load_thresh=4.0) == ["b", "c"]
+    # loaded only at the END of the sweep counts too
+    assert bench.resample_candidates(
+        ratios, (1.0, 0, 0), (9.9, 0, 0),
+        ratio_thresh=1.5, load_thresh=4.0) == ["b", "c"]
+    # idle host: even a big spike is a real regression, not noise —
+    # no resample, the ratio stands
+    assert bench.resample_candidates(
+        ratios, (1.0, 0, 0), (2.0, 0, 0),
+        ratio_thresh=1.5, load_thresh=4.0) == []
+    # loaded but no spikes: nothing to adjudicate
+    assert bench.resample_candidates(
+        {"a": 1.2}, (8.0, 0, 0), (8.0, 0, 0),
+        ratio_thresh=1.5, load_thresh=4.0) == []
+
+
+def test_resample_thresholds_read_env(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_RESAMPLE_RATIO", "0.5")
+    monkeypatch.setenv("SPARK_GRAFT_RESAMPLE_LOADAVG", "0.1")
+    assert bench.resample_candidates(
+        {"a": 0.6}, (0.2, 0, 0), (0.0, 0, 0)) == ["a"]
+    monkeypatch.setenv("SPARK_GRAFT_RESAMPLE_LOADAVG", "99")
+    assert bench.resample_candidates(
+        {"a": 0.6}, (0.2, 0, 0), (0.0, 0, 0)) == []
+
+
+def test_media_magic_share_counts_only_container_bytes(spark,
+                                                       tmp_path_factory):
+    """The codec swap-rule guard (r7) thresholds on the fraction of
+    corpus bytes that already ARE media containers: one BMP-magic doc
+    among prose must yield exactly its byte share, and crossing the
+    documented 1% line must register as a violation."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    texts = ["plain prose " * 50] * 9 + ["BM" + "x" * 598]
+    d = tmp_path_factory.mktemp("media_share_sf")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["synthetic"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(str(d), "documents.parquet"))
+    share = bench.media_magic_share(spark, str(d))
+    total = sum(len(t) for t in texts)
+    assert abs(share - 600 / total) < 1e-9
+    assert share > bench.CODEC_MEDIA_SHARE_MAX       # would trip the guard
+
+
+def test_media_magic_share_is_zero_on_the_real_corpus(spark, sf_dir):
+    """The driver corpus is prose — the guard must pass there (0%)."""
+    assert bench.media_magic_share(spark, sf_dir) == 0.0
+
+
 def test_bench_extra_set_is_registered_with_oracles_or_rows_only():
     """Every extra-timed query must exist in the registry (the bench
     would crash at runtime otherwise)."""

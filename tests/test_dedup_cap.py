@@ -188,20 +188,58 @@ def test_cap_keeps_legit_pairs(spark, stop_shingle_dir, tmp_path_factory):
     assert {(r.doc_a, r.doc_b) for r in rows} == {(20, 21)}
 
 
-def test_cc_bound_is_exactly_diameter_plus_one(spark, tmp_path_factory,
-                                               monkeypatch):
-    """Pin the convergence bound (VERDICT r5 item 5): K = CC_MAX_ITERS
-    rounds PROVE a diameter K-1 component (K-1 propagation rounds plus
-    one observing round with zero label changes), while diameter K
-    cannot be proven inside the cap and must raise — even though its
-    labels would in fact be correct, cc_labels refuses to return a
-    result it could not verify."""
+def _pointer_jump_rounds(d: int) -> int:
+    """Sequential reference for cc_labels' propagate-then-shortcut loop
+    on a path graph 0-1-...-d: per round, every node takes the min of
+    its own and its neighbors' labels (one hop), then label <-
+    label(label) (pointer jump). Returns rounds until a full round
+    changes nothing (i.e. INCLUDING the observing round) — the exact
+    number of loop iterations the Spark implementation runs."""
+    lab = list(range(d + 1))
+    rounds = 0
+    while True:
+        rounds += 1
+        old = lab[:]
+        prop = [min([old[v]] + [old[u] for u in (v - 1, v + 1)
+                                if 0 <= u <= d])
+                for v in range(d + 1)]
+        lab = [prop[prop[v]] for v in range(d + 1)]
+        if lab == old:
+            return rounds
+
+
+def test_pointer_jump_reference_is_logarithmic():
+    """The reference itself shows the ~log2 shape the rewrite buys:
+    doubling label distance per round (old form: diameter + 1)."""
+    assert _pointer_jump_rounds(4) == 3
+    assert _pointer_jump_rounds(7) == 4        # old form: 8
+    assert _pointer_jump_rounds(127) == 8      # old form: 128
+    assert _pointer_jump_rounds(1000) == 10    # old form: 1001
+    import math
+    for d in range(2, 130):
+        assert _pointer_jump_rounds(d) <= math.ceil(math.log2(d)) + 1
+
+
+def test_cc_bound_is_pointer_jump_rounds(spark, tmp_path_factory,
+                                         monkeypatch):
+    """Pin the convergence bound (VERDICT r6 item 4, replacing the r6
+    diameter+1 contract): with the cap K = CC_MAX_ITERS, the deepest
+    provable chain is the largest diameter whose pointer-jumping round
+    count (per the sequential reference) fits K, and one more hop must
+    raise — even though its labels would in fact be correct, cc_labels
+    refuses a result it could not verify. Also pins the EXACT round
+    count via last_cc_rounds, so a silent regression to one-hop
+    propagation (rounds = diameter + 1) fails loudly here."""
     from mit_6_5840_mapreduce_spark.operators import dedup as dmod
-    monkeypatch.setattr(dmod, "CC_MAX_ITERS", 5)
-    ok = _chain_corpus_dir(tmp_path_factory, 5)        # diameter 4
+    K = 4
+    monkeypatch.setattr(dmod, "CC_MAX_ITERS", K)
+    d_ok = max(d for d in range(1, 40) if _pointer_jump_rounds(d) <= K)
+    assert _pointer_jump_rounds(d_ok + 1) == K + 1
+    ok = _chain_corpus_dir(tmp_path_factory, d_ok + 1)
     rows = dmod.dedup_groups(spark, ok).collect()
     assert {r.group_id for r in rows} == {0}
-    assert all(r.group_size == 5 for r in rows)
-    too_deep = _chain_corpus_dir(tmp_path_factory, 6)  # diameter 5
+    assert all(r.group_size == d_ok + 1 for r in rows)
+    assert dmod.last_cc_rounds() == _pointer_jump_rounds(d_ok)
+    too_deep = _chain_corpus_dir(tmp_path_factory, d_ok + 2)
     with pytest.raises(RuntimeError, match="did not converge"):
         dmod.dedup_groups(spark, too_deep).collect()

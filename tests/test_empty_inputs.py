@@ -181,3 +181,12 @@ def test_dedup_eval_on_empty_tables_reports_zeros(spark, empty_sf_dir):
     row = entrymod.queries()["dedup_eval"](spark, empty_sf_dir).collect()[0]
     assert (row.n_true, row.n_pred, row.n_hit,
             row.precision, row.recall) == (0, 0, 0, 0.0, 0.0)
+
+
+def test_lsh_recall_eval_on_empty_tables_reports_zeros(spark,
+                                                       empty_sf_dir):
+    """Same fixed-row contract for the embedding-LSH audit (r7)."""
+    row = entrymod.queries()["lsh_recall_eval"](
+        spark, empty_sf_dir).collect()[0]
+    assert (row.n_true, row.n_pred, row.n_hit,
+            row.precision, row.recall) == (0, 0, 0, 0.0, 0.0)

@@ -39,8 +39,11 @@ PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
                                        # is the scale path
                   "skyline_pareto"}    # partition-local skyline is
                                        # vectorized numpy per Arrow batch
-# tiny-side cross joins (broadcast) are fine; a plain cartesian is not
-CARTESIAN_OK = {"embedding_neardup_exact", "embedding_neardup"}
+# tiny-side cross joins (broadcast) are fine; a plain cartesian is not.
+# lsh_recall_eval embeds the exact anchor as its TRUTH side (audit-only
+# query, same quarantine).
+CARTESIAN_OK = {"embedding_neardup_exact", "embedding_neardup",
+                "lsh_recall_eval"}
 # unpartitioned (global-sort) Window nodes allowed ONLY where the frame
 # is calendar-bounded (one row per day/hour/month — grows with the
 # calendar, not the data). Mirrored in tools/explain_all.py

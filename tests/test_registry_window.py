@@ -1,13 +1,14 @@
 """Pin the registry's first-50 window composition.
 
 The driver's CORRECTNESS gate verifies only the FIRST 50 registry
-entries per round. Round 6 is the first round of the steady-state
-rotation policy (VERDICT r5 item 4; the never-certified backlog was
-cleared in round 5): sentinels every round, every round-changed and
-newly registered query, and all remaining slots filled from
+entries per round, rotated under the steady-state policy (VERDICT r5
+item 4): sentinels every round, every round-changed and newly
+registered query, and all remaining slots filled from
 tools/window_plan.py's staleness report (ceiling 4 rounds), oldest
-cert round first with name tiebreak. This test fails loudly if a
-future registration reorders them out.
+cert round first with name tiebreak. Round 7 executes the first full
+staleness rotation: the entire 34-cert r3 cohort plus the 5 oldest r4
+certs. This test fails loudly if a future registration reorders them
+out.
 """
 
 from __future__ import annotations
@@ -19,37 +20,40 @@ from mit_6_5840_mapreduce_spark.operators import (
 # regression sentinels: in-window EVERY round
 SENTINELS = {"mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts"}
 
-# implementation changed in round 6 (values/plans differ -> re-certify)
-CHANGED_THIS_ROUND = {"q3_shipping_priority", "customer_value_quartiles"}
+# implementation changed in round 7 (schema/plan differ -> re-certify):
+# the five roundtrip stats moved text_hash_sum to exact-decimal-
+# accumulated DOUBLE; dedup_groups is the pointer-jumping CC rewrite
+CHANGED_THIS_ROUND = {"jsonl_roundtrip_stats", "csv_roundtrip_stats",
+                      "orc_roundtrip_stats", "xml_roundtrip_stats",
+                      "pyds_roundtrip_stats", "dedup_groups"}
 
-# first registered in round 6
-NEW_THIS_ROUND = {"pq_recall_eval", "graph_recall_eval"}
+# first registered in round 7
+NEW_THIS_ROUND = {"lsh_recall_eval"}
 
-# staleness rotation (window_plan.py, ceiling 4 rounds): the 2 r1
-# rows-only + 39 r2 certs at/over the ceiling, plus the first r3 cert
-# by name order filling the last slot
+# staleness rotation (window_plan.py, ceiling 4 rounds): the full r3
+# cohort (34) plus the 5 oldest r4 certs by name order
 STALE_ROTATION = {
-    "events_user_sketch", "order_value_percentiles_approx",
-    "asof_join_orders", "curation_summary", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
-    "doc_chunks", "doc_fingerprint", "doc_quality", "doc_split",
-    "embedding_lsh_signatures", "embedding_neardup_exact",
-    "embedding_neardup_lsh", "embedding_topk", "embedding_topk_pandas",
-    "event_transitions", "events_hourly", "events_props_stats",
-    "image_decode_stats", "ivf_assign", "ivf_search", "ivf_train",
-    "lang_id", "minhash_signatures", "mr_doccount", "mr_docmeta",
-    "mr_indexer_rdd", "payload_thumbnail", "simhash_docs",
-    "source_quota_cap", "stratified_sample", "stream_dedup_events",
-    "stream_sliding_counts", "stream_user_totals", "tfidf_cosine_pairs",
-    "tfidf_top_terms", "token_stats", "user_stats", "user_value_mad_sql",
-    "audio_decode_stats",
+    "contamination_check", "curation_funnel", "doc_chunks_udtf",
+    "doc_pagerank", "doc_repetition", "frame_sample", "gif_decode_stats",
+    "lang_confusion", "multimodal_meta", "pii_scrub",
+    "q10_returned_items", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_discounted_revenue", "q1_pricing_summary",
+    "q21_suppliers_kept_waiting", "q22_idle_customers",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "sql_priority_status_sets", "sql_revenue_by_segment",
+    "stream_attribution", "stream_enriched_events", "stream_sessionize",
+    "token_length_histogram", "top3_orders_per_customer",
+    "url_domain_stats", "user_gap_stats", "video_frame_stats",
+    "bigram_pmi", "brand_price_stats", "cohort_retention",
+    "column_histogram", "customers_no_orders",
 }
 
 MUST_BE_IN_WINDOW = (SENTINELS | CHANGED_THIS_ROUND | NEW_THIS_ROUND
                      | STALE_ROTATION)
 
 
-def test_first_window_contains_round6_surface():
+def test_first_window_contains_round7_surface():
     queries, _ = registry()
     window = list(queries)[:WINDOW_SIZE]
     missing = MUST_BE_IN_WINDOW - set(window)
@@ -57,7 +61,7 @@ def test_first_window_contains_round6_surface():
 
 
 def test_window_is_exactly_the_must_list():
-    # 4 + 2 + 2 + 42 = 50: the round-6 window has no free slots
+    # 4 + 6 + 1 + 39 = 50: the round-7 window has no free slots
     assert len(MUST_BE_IN_WINDOW) == WINDOW_SIZE
 
 

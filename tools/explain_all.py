@@ -27,7 +27,8 @@ PYTHON_PATH_OK = {"multimodal_meta", "frame_sample", "user_value_mad",
                   "image_phash", "image_phash_neardup",
                   # partition-local skyline: vectorized numpy per batch
                   "skyline_pareto"}
-CARTESIAN_OK = {"embedding_neardup_exact", "embedding_neardup"}
+CARTESIAN_OK = {"embedding_neardup_exact", "embedding_neardup",
+                "lsh_recall_eval"}   # embeds the exact anchor as truth
 # executes a stream / an iterative loop when called — plan of the final
 # materialized result only
 MATERIALIZING = {"stream_hourly_counts", "stream_dedup_events",

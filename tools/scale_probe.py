@@ -116,6 +116,27 @@ def main() -> int:
                 .write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         results.setdefault("cc_labels[chains]", {})[factor] = round(best, 2)
+    # Deep-chain probe (r7, VERDICT r6 item 4): ONE path component whose
+    # DIAMETER scales 16x — the shape pointer jumping exists for. The
+    # round count must grow ~log2(diameter) (15 -> 19 here), where the
+    # old one-hop propagation needed diameter+1 rounds and would blow
+    # past CC_MAX_ITERS at any real depth.
+    from mit_6_5840_mapreduce_spark.operators.dedup import last_cc_rounds
+    deep: dict[int, tuple[float, int]] = {}
+    for factor in (1, 16):
+        d = 10_000 * factor
+        edges = spark.range(d).select(F.col("id").alias("a"),
+                                      (F.col("id") + 1).alias("b"))
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        cc_labels(spark, edges, "a", "b").write.mode("overwrite") \
+            .format("noop").save()
+        deep[factor] = (round(time.perf_counter() - t0, 2),
+                        last_cc_rounds())
+    print("cc_labels[deep_chain]  diameter 10k -> 160k: "
+          + ", ".join(f"{f}x: {t:.2f}s / {r} rounds"
+                      for f, (t, r) in deep.items()))
+
     print(f"{'operator':24s}" + "".join(f"{f}x".rjust(9) for f in FACTORS)
           + "   16x/1x")
     worst = 0.0
