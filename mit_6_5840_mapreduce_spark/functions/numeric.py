@@ -42,8 +42,37 @@ def exact_round_sum(col: Column, dp: int = 2) -> Column:
     float sum's accumulated error did not cross a half-cent boundary —
     and unlike it, deterministic under any partial-agg merge order.
     Mirror: ``duckdb_exact_round_sum``."""
-    u = F.round(col * F.lit(10 ** dp)).cast("decimal(38,0)")
-    s = F.sum(u)
+    return units_total_to_dollars(F.sum(row_units(col, dp)), dp)
+
+
+def row_units(col: Column, dp: int = 2) -> Column:
+    """Per-row exact integer 10^-dp-dollar units of a dp-decimal-valued
+    DOUBLE (the input side of ``exact_round_sum``), as DECIMAL(38,0).
+    For hot multi-sum aggregates, prefer the two-stage pattern (see
+    q1_pricing_summary): DECIMAL(38,0) aggregation runs off Spark's
+    long-backed fast path (~3x the cost of a BIGINT sum per row), so
+    sum ``row_units(col, dp).cast("bigint")`` per bounded scan chunk
+    first, then re-sum the chunk partials in DECIMAL(38,0)."""
+    return row_units_bigint(col, dp).cast("decimal(38,0)")
+
+
+def row_units_bigint(col: Column, dp: int = 2) -> Column:
+    """``row_units`` as BIGINT (used directly for two-stage partial
+    sums — skips the per-row decimal intermediate). The nearest-integer
+    step is ``floor(x + 0.5)`` rather than ``round(x)``: Spark's Round
+    on DoubleType goes through BigDecimal per row (measured as the
+    dominant per-row cost in q1's five-sum aggregate), while floor
+    stays in native double ops. Equivalent here because every scaled
+    value sits within ~1e-5 of its integer (col is dp-decimal-valued
+    and NON-NEGATIVE), so adding 0.5 can never cross to the wrong
+    integer; F.floor on DOUBLE returns BIGINT directly."""
+    return F.floor(col * F.lit(10 ** dp) + F.lit(0.5))
+
+
+def units_total_to_dollars(s: Column, dp: int = 2) -> Column:
+    """Exact 2-dp dollars from a DECIMAL(38,0) total of 10^-dp units
+    (the output side of ``exact_round_sum``): integer HALF-UP to cents,
+    one division."""
     if dp <= 2:
         cents = s * F.lit(10 ** (2 - dp))
     else:

@@ -25,7 +25,8 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from mit_6_5840_mapreduce_spark.functions.numeric import (
-    duckdb_exact_round_sum as _ers, exact_round_sum, floor4)
+    duckdb_exact_round_sum as _ers, exact_round_sum, floor4, row_units_bigint,
+    units_total_to_dollars)
 from mit_6_5840_mapreduce_spark.sources.tables import load_table
 
 
@@ -36,31 +37,56 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: pricing summary report (single scan, hash-agg).
 
-    All money/rate sums go through ``exact_round_sum`` (round 7): each
-    row scales to exact integer units (quantity 0dp, price/discount
-    2dp, ep*(1-disc) 4dp, *(1+tax) 6dp), sums accumulate in
-    DECIMAL(38,0), and the 2-dp result is derived by integer
+    All money/rate sums are exact-integer (round 7): each row scales to
+    exact integer units (quantity 0dp, price/discount 2dp, ep*(1-disc)
+    4dp, *(1+tax) 6dp) and the 2-dp results are derived by integer
     arithmetic — deterministic under any partial-agg merge order and
-    overflow-free at 100 TB cardinalities. Averages divide the exact
-    sum, then floor4 (the repo's cross-engine ratio rule)."""
+    overflow-free at 100 TB cardinalities. With FIVE unit sums in one
+    aggregate, q1 is the hot case for the decimal-sum cost
+    (DECIMAL(38,0) aggregation is ~3x a BIGINT sum per row — measured
+    2.9x total on this query), so it uses the TWO-STAGE form: BIGINT
+    partials per (group, scan chunk) — a chunk is one input split,
+    bounded by files.maxPartitionBytes, so its 10^-6-unit partial stays
+    >=25x under BIGINT overflow — then the tiny per-chunk table re-sums
+    in DECIMAL(38,0). Same integers, ~decimal-free per-row cost.
+    Averages divide the exact sum, then floor4 (the repo's cross-engine
+    ratio rule)."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    chunk = (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus",
+                 F.spark_partition_id().alias("_chunk"))
         .agg(
-            exact_round_sum(F.col("l_quantity"), 0).alias("sum_qty"),
-            exact_round_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            exact_round_sum(disc_price, 4).alias("sum_disc_price"),
-            exact_round_sum(charge, 6).alias("sum_charge"),
-            floor4(exact_round_sum(F.col("l_quantity"), 0) / F.count("*"))
+            F.sum(row_units_bigint(F.col("l_quantity"), 0))
+             .alias("u_qty"),
+            F.sum(row_units_bigint(F.col("l_extendedprice")))
+             .alias("u_price"),
+            F.sum(row_units_bigint(disc_price, 4)).alias("u_disc_p"),
+            F.sum(row_units_bigint(charge, 6)).alias("u_charge"),
+            F.sum(row_units_bigint(F.col("l_discount")))
+             .alias("u_disc"),
+            F.count("*").alias("n"),
+        )
+    )
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))  # noqa: E731
+    n = F.sum("n")
+    return (
+        chunk.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            units_total_to_dollars(dec("u_qty"), 0).alias("sum_qty"),
+            units_total_to_dollars(dec("u_price")).alias("sum_base_price"),
+            units_total_to_dollars(dec("u_disc_p"), 4)
+                .alias("sum_disc_price"),
+            units_total_to_dollars(dec("u_charge"), 6).alias("sum_charge"),
+            floor4(units_total_to_dollars(dec("u_qty"), 0) / n)
                 .alias("avg_qty"),
-            floor4(exact_round_sum(F.col("l_extendedprice")) / F.count("*"))
+            floor4(units_total_to_dollars(dec("u_price")) / n)
                 .alias("avg_price"),
-            floor4(exact_round_sum(F.col("l_discount")) / F.count("*"))
+            floor4(units_total_to_dollars(dec("u_disc")) / n)
                 .alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            n.alias("count_order"),
         )
     )
 

@@ -696,9 +696,11 @@ QUERIES = {
     "stream_topk_stateful": stream_topk_stateful,
 }
 
-# Registered AFTER the driver's 50-query window (operators/__init__.py):
-# the four gates above are required in-window; these two are additional
-# oracle-checked streaming coverage that must not displace them.
+# Historical split: these registered late so they could not displace
+# the four required gates above from the round-3 window. Since the
+# explicit WINDOW_FIRST list (operators/__init__.py) took over window
+# composition, module placement no longer matters — the steady-state
+# rotation pulls any of them in-window when their certs go stale.
 LATE_QUERIES = {
     "stream_sessionize": stream_sessionize,
     "stream_attribution": stream_attribution,

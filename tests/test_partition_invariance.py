@@ -24,7 +24,10 @@ SWEEP = ("mr_wc", "training_shuffle", "pack_sequences",
          "sessionize", "user_scd2",
          # r6: distributed exact rank — approx-percentile split points
          # vary with sketch merge order, output values must not
-         "customer_value_quartiles")
+         "customer_value_quartiles",
+         # r7: two-stage exact money sums — chunk ids (spark_partition_id)
+         # vary with split planning, the exact totals must not
+         "q1_pricing_summary")
 
 
 def _rows(spark, sf_dir, name):
