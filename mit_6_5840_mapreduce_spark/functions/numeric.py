@@ -51,8 +51,8 @@ def row_units(col: Column, dp: int = 2) -> Column:
     For hot multi-sum aggregates, prefer the two-stage pattern (see
     q1_pricing_summary): DECIMAL(38,0) aggregation runs off Spark's
     long-backed fast path (~3x the cost of a BIGINT sum per row), so
-    sum ``row_units(col, dp).cast("bigint")`` per bounded scan chunk
-    first, then re-sum the chunk partials in DECIMAL(38,0)."""
+    sum ``row_units_bigint(col, dp)`` per bounded scan chunk first,
+    then re-sum the chunk partials in DECIMAL(38,0)."""
     return row_units_bigint(col, dp).cast("decimal(38,0)")
 
 
