@@ -43,7 +43,7 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 # moved to exact-decimal-accumulated DOUBLE; dedup_groups: pointer-
 # jumping CC rewrite — values identical but VERDICT r6 item 4 demands
 # the re-cert); then ALL 34 r3-stale certs from the staleness report
-# (ceiling 4 rounds, oldest first, name tiebreak), and the remaining 5
+# (ceiling 4 rounds, oldest first, name tiebreak), and the remaining
 # slots filled with the oldest r4 certs. The round-7 exact-cents
 # conversions (q1/q5/q6/q17/q19, sql_*, brand_price_stats, events/
 # stream sum_values, skyline demand, doc_lm_score) were verified
@@ -57,9 +57,14 @@ WINDOW_FIRST: tuple[str, ...] = (
     "mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts",
     # round-7 new registration
     "lsh_recall_eval",
-    # round-7 changed (schema change / rewritten plan)
+    # round-7 changed (schema change / rewritten plan). token_rarity:
+    # rarity_sum moved to exact-decimal-accumulated DOUBLE (a unique-
+    # token spam doc at 100 TB corpus N overflows the BIGINT sum) —
+    # spliced in per the round-changed rule, displacing the newest
+    # stale filler (customers_no_orders, r4 — rotates in round 8).
     "jsonl_roundtrip_stats", "csv_roundtrip_stats", "orc_roundtrip_stats",
     "xml_roundtrip_stats", "pyds_roundtrip_stats", "dedup_groups",
+    "token_rarity",
     # staleness rotation: the full r3 cohort (34)
     "contamination_check", "curation_funnel", "doc_chunks_udtf",
     "doc_pagerank", "doc_repetition", "frame_sample", "gif_decode_stats",
@@ -75,7 +80,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "url_domain_stats", "user_gap_stats", "video_frame_stats",
     # ... remaining slots: oldest r4 certs by name order
     "bigram_pmi", "brand_price_stats", "cohort_retention",
-    "column_histogram", "customers_no_orders",
+    "column_histogram",
 )
 
 

@@ -541,11 +541,20 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     qd = grouped.select("vec_id", "group_id",
                         F.posexplode("qv").alias("dim", "qx"))
     sums = qd.groupBy("group_id", "dim").agg(F.sum("qx").alias("sx"))
+    # dot accumulates in DECIMAL(38,0) (DuckDB: HUGEINT — the r6
+    # user_value_outliers discipline): qx ~ 2^16 and sx ~ g * 2^16, so
+    # the 64-dim BIGINT dot overflows (loudly, under ANSI) once a
+    # near-dup group reaches g ~ 2^25 ≈ 33M members — boilerplate
+    # clusters at 100 TB genuinely get there. The exact integer
+    # converts to DOUBLE at the same ranking division either way, so
+    # values are unchanged wherever BIGINT sufficed.
     dots = (
         qd.join(sums, ["group_id", "dim"])
         .groupBy("vec_id", "group_id")
-        .agg(F.sum(F.col("qx") * F.col("sx")).alias("dot"),
-             F.sum(F.col("qx") * F.col("qx")).alias("nrm2"))
+        .agg(F.sum(F.col("qx").cast("decimal(38,0)") * F.col("sx"))
+             .alias("dot"),
+             F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qx"))
+             .alias("nrm2"))
     )
     w = Window.partitionBy("group_id").orderBy(
         F.desc(F.col("dot") / F.sqrt(F.col("nrm2"))), F.asc("vec_id"))
@@ -1182,10 +1191,15 @@ ORACLES = {
             SELECT group_id, dim, CAST(sum(qx) AS BIGINT) AS sx
             FROM qd2 GROUP BY group_id, dim
         ),
+        -- HUGEINT (Spark: DECIMAL(38,0)): the 64-dim dot overflows
+        -- BIGINT once a near-dup group reaches ~2^25 members; exact
+        -- integer -> DOUBLE at the same ranking division either way
         dots AS (
             SELECT qd2.vec_id, qd2.group_id,
-                   CAST(sum(qd2.qx * s.sx) AS BIGINT) AS dot,
-                   CAST(sum(qd2.qx * qd2.qx) AS BIGINT) AS nrm2
+                   CAST(sum(CAST(qd2.qx AS HUGEINT) * s.sx) AS HUGEINT)
+                       AS dot,
+                   CAST(sum(CAST(qd2.qx AS HUGEINT) * qd2.qx) AS HUGEINT)
+                       AS nrm2
             FROM qd2 JOIN sums s ON s.group_id = qd2.group_id
                                 AND s.dim = qd2.dim
             GROUP BY qd2.vec_id, qd2.group_id

@@ -488,9 +488,18 @@ def token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rarity(w) = N div c_w (N = corpus token count). A doc full of
     common words scores near its length's floor; OOV-heavy or
     jargon-heavy docs score high — the same signal 'perplexity-filter'
-    pipelines threshold on, in an integer-exact form (sum of BIGINTs in
-    any order, then ONE float division; libm log would not
+    pipelines threshold on, in an integer-exact form (exact integer
+    sums in any order, then ONE float division; libm log would not
     hash-match across engines).
+
+    The per-doc sum accumulates in DECIMAL(38,0) (DuckDB: HUGEINT) and
+    emits DOUBLE (r7, the text_hash_sum rule): a globally-unique token
+    contributes rarity N per occurrence, so a single ~4e5-token
+    identifier/base64-spam document at a 100 TB corpus (N ~ 2.5e13
+    tokens) pushes the sum past BIGINT — real web-crawl input, not a
+    corner case. DOUBLE is the one output representation both engines'
+    pandas bridges agree on byte-for-byte, and both convert the same
+    exact integer, so values match wherever BIGINT sufficed.
 
     Scale shape: one tokenize pass, token counts as a per-word
     aggregate joined back (broadcast-sized vocabulary), corpus total as
@@ -506,9 +515,11 @@ def token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tokens"),
-             F.sum(F.expr("n_total div c_w")).alias("rarity_sum"))
-        .select("doc_id", "n_tokens", "rarity_sum",
-                floor4(F.col("rarity_sum") / F.col("n_tokens"))
+             F.sum(F.expr("CAST(n_total div c_w AS DECIMAL(38,0))"))
+             .alias("rsum"))
+        .select("doc_id", "n_tokens",
+                F.col("rsum").cast("double").alias("rarity_sum"),
+                floor4(F.col("rsum").cast("double") / F.col("n_tokens"))
                 .alias("avg_rarity"))
     )
 
@@ -903,11 +914,15 @@ ORACLES = {
         ),
         cw AS (SELECT word, count(*) AS c_w FROM toks GROUP BY word),
         total AS (SELECT count(*) AS n_total FROM toks)
+        -- HUGEINT accumulation + DOUBLE emission (Spark: DECIMAL(38,0)):
+        -- a unique token contributes rarity n_total per occurrence, so
+        -- BIGINT overflows on identifier-spam docs at 100 TB corpus N
         SELECT doc_id,
                count(*) AS n_tokens,
-               CAST(sum(n_total // c_w) AS BIGINT) AS rarity_sum,
-               floor(CAST(sum(n_total // c_w) AS BIGINT)
-                     / count(*)::DOUBLE * 10000) / 10000 AS avg_rarity
+               CAST(sum(CAST(n_total // c_w AS HUGEINT)) AS DOUBLE)
+                   AS rarity_sum,
+               floor(CAST(sum(CAST(n_total // c_w AS HUGEINT)) AS DOUBLE)
+                     / count(*) * 10000) / 10000 AS avg_rarity
         FROM toks JOIN cw USING (word) CROSS JOIN total
         GROUP BY doc_id
     """,

@@ -59,6 +59,9 @@ REPRESENTATIVE = [
     "hnsw_search",
     "hnsw_search_persisted",
     "semantic_dedup",
+    # round-7 second session: rarity_sum moved to decimal-accumulated
+    # DOUBLE — keep the empty-corpus contract pinned on the new path
+    "token_rarity",
     "dedup_index_build",
     "dedup_incremental",
     "xml_roundtrip_stats",

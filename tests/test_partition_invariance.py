@@ -27,7 +27,10 @@ SWEEP = ("mr_wc", "training_shuffle", "pack_sequences",
          "customer_value_quartiles",
          # r7: two-stage exact money sums — chunk ids (spark_partition_id)
          # vary with split planning, the exact totals must not
-         "q1_pricing_summary")
+         "q1_pricing_summary",
+         # r7 second session: decimal-accumulated rarity sums — exact
+         # integers in any merge order, so values must survive retuning
+         "token_rarity")
 
 
 def _rows(spark, sf_dir, name):

@@ -6,9 +6,10 @@ item 4): sentinels every round, every round-changed and newly
 registered query, and all remaining slots filled from
 tools/window_plan.py's staleness report (ceiling 4 rounds), oldest
 cert round first with name tiebreak. Round 7 executes the first full
-staleness rotation: the entire 34-cert r3 cohort plus the 5 oldest r4
-certs. This test fails loudly if a future registration reorders them
-out.
+staleness rotation: the entire 34-cert r3 cohort plus the 4 oldest r4
+certs (the 5th, customers_no_orders, was displaced by the late
+token_rarity schema change and rotates in round 8). This test fails
+loudly if a future registration reorders them out.
 """
 
 from __future__ import annotations
@@ -22,16 +23,19 @@ SENTINELS = {"mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts"}
 
 # implementation changed in round 7 (schema/plan differ -> re-certify):
 # the five roundtrip stats moved text_hash_sum to exact-decimal-
-# accumulated DOUBLE; dedup_groups is the pointer-jumping CC rewrite
+# accumulated DOUBLE; dedup_groups is the pointer-jumping CC rewrite;
+# token_rarity moved rarity_sum to the same exact-decimal DOUBLE rule
+# (BIGINT sum overflows on unique-token spam docs at 100 TB corpus N)
 CHANGED_THIS_ROUND = {"jsonl_roundtrip_stats", "csv_roundtrip_stats",
                       "orc_roundtrip_stats", "xml_roundtrip_stats",
-                      "pyds_roundtrip_stats", "dedup_groups"}
+                      "pyds_roundtrip_stats", "dedup_groups",
+                      "token_rarity"}
 
 # first registered in round 7
 NEW_THIS_ROUND = {"lsh_recall_eval"}
 
 # staleness rotation (window_plan.py, ceiling 4 rounds): the full r3
-# cohort (34) plus the 5 oldest r4 certs by name order
+# cohort (34) plus the 4 oldest r4 certs by name order
 STALE_ROTATION = {
     "contamination_check", "curation_funnel", "doc_chunks_udtf",
     "doc_pagerank", "doc_repetition", "frame_sample", "gif_decode_stats",
@@ -46,7 +50,7 @@ STALE_ROTATION = {
     "token_length_histogram", "top3_orders_per_customer",
     "url_domain_stats", "user_gap_stats", "video_frame_stats",
     "bigram_pmi", "brand_price_stats", "cohort_retention",
-    "column_histogram", "customers_no_orders",
+    "column_histogram",
 }
 
 MUST_BE_IN_WINDOW = (SENTINELS | CHANGED_THIS_ROUND | NEW_THIS_ROUND
@@ -61,7 +65,7 @@ def test_first_window_contains_round7_surface():
 
 
 def test_window_is_exactly_the_must_list():
-    # 4 + 6 + 1 + 39 = 50: the round-7 window has no free slots
+    # 4 + 7 + 1 + 38 = 50: the round-7 window has no free slots
     assert len(MUST_BE_IN_WINDOW) == WINDOW_SIZE
 
 
