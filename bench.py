@@ -187,7 +187,10 @@ def main() -> None:
              # round 6: the rewritten distributed-rank form + the two
              # new recall audits
              "customer_value_quartiles", "pq_recall_eval",
-             "graph_recall_eval")
+             "graph_recall_eval",
+             # round 7 second session: the composed LSH->CC->medoid
+             # pipeline (decimal medoid sums) gets per-round visibility
+             "semantic_dedup")
     extra: dict[str, float] = {}
     for name in EXTRA:
         spark.catalog.clearCache()
