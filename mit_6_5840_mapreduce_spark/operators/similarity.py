@@ -236,7 +236,12 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical non-SQL-expressible operator, so the driver records
     the rows-only check (SURVEY §2.6)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = fan_out(spark, emb).select("vec_id", "embedding")
+    # stage the vector norm ONCE per vector (the _with_norm rule): the
+    # assignment cross join otherwise re-runs the norm fold per
+    # (vector, centroid) pair — K x the per-row hot-spot cost, every
+    # iteration. Numerically identical: same fold, same order.
+    vecs = fan_out(spark, emb).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("vn"))
     cents = [r.embedding
              for r in emb.where(F.col("vec_id") < N_CENTROIDS)
                          .orderBy("vec_id").collect()]
@@ -250,8 +255,7 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             vecs.crossJoin(broadcast(cn))
             .select("vec_id", "embedding", "centroid_id",
                     (_dot(F.col("embedding"), F.col("centroid"))
-                     / (_norm(F.col("embedding")) * F.col("cn")))
-                    .alias("cs"))
+                     / (F.col("vn") * F.col("cn"))).alias("cs"))
         )
         w = Window.partitionBy("vec_id").orderBy(
             F.desc("cs"), F.asc("centroid_id"))
@@ -286,7 +290,7 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.crossJoin(broadcast(cn))
         .select("vec_id", "centroid_id",
                 (_dot(F.col("embedding"), F.col("centroid"))
-                 / (_norm(F.col("embedding")) * F.col("cn"))).alias("cs"))
+                 / (F.col("vn") * F.col("cn"))).alias("cs"))
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cs"), F.asc("centroid_id"))
