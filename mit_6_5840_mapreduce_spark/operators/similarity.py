@@ -239,9 +239,15 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage the vector norm ONCE per vector (the _with_norm rule): the
     # assignment cross join otherwise re-runs the norm fold per
     # (vector, centroid) pair — K x the per-row hot-spot cost, every
-    # iteration. Numerically identical: same fold, same order.
+    # iteration. Numerically identical: same fold, same order. Cached:
+    # every Lloyd's round (and the final assignment) re-reads the same
+    # staged frame instead of re-running the scan+shuffle+norm lineage
+    # — KMEANS_ITERS+1 reads of one materialization (the sh.cache()
+    # pattern; at 100 TB this is the persisted working set any
+    # iterative trainer holds).
     vecs = fan_out(spark, emb).select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("vn"))
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("vn")) \
+        .persist()
     cents = [r.embedding
              for r in emb.where(F.col("vec_id") < N_CENTROIDS)
                          .orderBy("vec_id").collect()]
