@@ -280,6 +280,11 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_len", F.sum("cnt").over(Window.partitionBy("doc_id")))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     total = docs.agg(F.count("*").alias("n_docs"))
+    # persist: the weight table feeds THREE consumers (norms + both
+    # self-join sides — the sh.cache()/bands.persist() pattern in the
+    # dedup siblings); ReuseExchange covers the two identically-keyed
+    # join sides but not the doc_id-keyed norms branch, which would
+    # otherwise re-run the scan+tokenize+tf-window lineage
     w = (
         tf.join(broadcast(dfreq), "word")
         .crossJoin(broadcast(total))
@@ -288,7 +293,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"(cnt * n_docs * {TFIDF_W_SCALE}) div "
                        "(doc_len * df)").alias("iw"))
         .where(F.col("iw") > 0)
-    )
+    ).persist()
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("iw").cast("decimal(38,0)") * F.col("iw"))
         .alias("norm2"))
