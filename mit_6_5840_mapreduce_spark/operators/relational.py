@@ -7,6 +7,11 @@ automatic.
 
 Scale design (100 TB):
 - region/nation are constant-size at any SF — always ``broadcast()``-hinted.
+  Tables that GROW with SF (customer, part, supplier — even after a
+  selective filter) are deliberately UNHINTED (r7, docs/SCALE.md): the
+  cost-based planner broadcasts them while its scan-derived estimates fit
+  the threshold and degrades to a shuffle join when they no longer do —
+  a forced hint would OOM every executor at 100 TB.
 - fact-fact joins (orders x lineitem) shuffle on the join key; AQE handles
   skew splitting at runtime.
 - every aggregate is a hash-agg with map-side partial aggregation; no
@@ -110,7 +115,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * 100).cast("bigint")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # cust is 1/5 of an SF-growing table — unhinted by policy (module
+        # docstring); CBO broadcasts at small SF, shuffles at 100 TB
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(cents).alias("revenue_cents"))
         .orderBy(F.desc("revenue_cents"), "o_orderdate", "l_orderkey")
@@ -207,11 +214,12 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 adapted (corpus has no container/shipmode): revenue from
     three disjunctive brand/size/quantity branches. Exercises OR-predicate
-    handling — the shared p_partkey join stays a single broadcast hash
-    join, with the disjunction evaluated as a post-join filter."""
+    handling — the shared p_partkey join stays a SINGLE hash join, with
+    the disjunction evaluated as a post-join filter. part grows with SF,
+    so the join is unhinted by policy (module docstring)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    joined = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     branch = (
         ((F.col("p_brand") == "Brand#12")
          & F.col("p_size").between(1, 5)
@@ -382,9 +390,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 adapted: promo revenue share for one month. Broadcast
-    part join; both numerator and denominator are exact integer-cent
-    sums, so the share is one division of identical integers."""
+    """TPC-H Q14 adapted: promo revenue share for one month. The part
+    join is unhinted (part grows with SF — module docstring policy);
+    both numerator and denominator are exact integer-cent sums, so the
+    share is one division of identical integers."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
@@ -392,7 +401,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(F.col("l_extendedprice")
                     * (1 - F.col("l_discount")) * 100)
     return (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(F.sum(F.when(F.col("p_type") == "PROMO", cents)
                    .otherwise(F.lit(0))).alias("promo_cents"),
              F.sum(cents).alias("total_cents"))
@@ -864,7 +873,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(F.col("l_extendedprice")
                     * (1 - F.col("l_discount")) * 100).cast("bigint")
     vol = (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        # part is filtered but SF-growing — unhinted by policy
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(nation_c),
@@ -899,7 +909,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand") == "Brand#1").select("p_partkey")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice")
-    li_b = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    # brand filter is selective but part still grows with SF — unhinted
+    li_b = li.join(part, li.l_partkey == part.p_partkey)
     cutoff = (li_b.groupBy(F.col("l_partkey").alias("ck_partkey"))
               .agg((F.lit(0.2) * (F.sum("l_quantity") / F.count("*")))
                    .alias("qty_cutoff")))
@@ -970,12 +981,12 @@ def q16_parts_supplier_relationship(spark: SparkSession,
     for parts that are not Brand#1 / not PROMO type / in the Q16 size
     list.
 
-    Plan shape: the part dim filters BEFORE the join and broadcasts
-    (it is dimension-sized at any SF); the excluded-supplier set is a
-    broadcast anti join; the distinct-supplier count shuffles only the
-    already-distinct (partkey, suppkey) pairs, grouped on part
-    attributes with a full deterministic ORDER BY for the top-k
-    contract."""
+    Plan shape: the part dim filters BEFORE the join; it and the
+    excluded-supplier set both grow with SF, so both joins are UNHINTED
+    by policy (module docstring) — CBO broadcasts them at small SF and
+    shuffle-joins when the estimates outgrow the threshold. The
+    distinct-supplier count shuffles only the already-distinct
+    (partkey, suppkey) pairs."""
     part = (_t(spark, sf_dir, "part")
             .where((F.col("p_brand") != "Brand#1")
                    & (F.col("p_type") != "PROMO")
@@ -985,12 +996,12 @@ def q16_parts_supplier_relationship(spark: SparkSession,
                 .where(F.col("s_acctbal") < 0).select("s_suppkey"))
     ps = (_t(spark, sf_dir, "lineitem")
           .select("l_partkey", "l_suppkey").distinct()
-          .join(broadcast(bad_supp),
+          .join(bad_supp,
                 F.col("l_suppkey") == F.col("s_suppkey"), "leftanti"))
     # no ORDER BY: there is no LIMIT, and the gate canonicalizes row
     # order — an unbounded global sort would buy nothing at any scale
     return (
-        ps.join(broadcast(part), ps.l_partkey == part.p_partkey)
+        ps.join(part, ps.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1128,7 +1139,9 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     passed = (probe.join(broadcast(bits), "bit")
               .groupBy("o_orderkey").agg(F.count("*").alias("n_hit"))
               .where(F.col("n_hit") == BLOOM_HASHES))
-    truth = orders.join(broadcast(build),
+    # the truth-side semi join is UNHINTED: build grows with SF (that's
+    # the reason the Bloom filter exists) — only `bits` is bounded
+    truth = orders.join(build,
                         orders.o_custkey == build.c_custkey, "left_semi")
     return (
         build.agg(F.count("*").alias("n_build_keys"))

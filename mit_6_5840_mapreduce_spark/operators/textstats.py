@@ -218,9 +218,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone in the same (tf, 1/df) ordering for fixed doc_len.
 
     Scale shape: one shuffle to (doc_id, word) counts, doc lengths via a
-    window on the same partitioning, document frequencies as a tiny
-    per-word aggregate that broadcasts back, corpus size as a broadcast
-    scalar (no driver-side .count() round trip)."""
+    window on the same partitioning, document frequencies as a per-word
+    aggregate joined back, corpus size as a broadcast scalar (no
+    driver-side .count() round trip). The df join is deliberately
+    UNHINTED (r7): the document-frequency table is VOCABULARY-sized and
+    the vocabulary grows with the corpus (unique-token spam adds |doc|
+    words per doc), so a forced ``broadcast(dfreq)`` would OOM every
+    executor at 100 TB. Cost-based planning picks the broadcast build
+    at gate SF and degrades to an AQE-skew-managed shuffle join when
+    the scan-derived estimates say the vocabulary no longer fits."""
     from pyspark.sql.window import Window
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id",
@@ -235,7 +241,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            / (F.col("doc_len") * F.col("df")).cast("double"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("word"))
     return (
-        tf.join(broadcast(dfreq), "word")
+        tf.join(dfreq, "word")
         .crossJoin(broadcast(total))
         .withColumn("raw", raw)
         .withColumn("rank", F.row_number().over(w))
@@ -269,7 +275,12 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the self-join — they contribute negligible idf weight but
     quadratic candidate pairs; with them gone the inverted index joins
     only on discriminative terms (the same reason the Jaccard join works
-    on rare shingles)."""
+    on rare shingles). The df join is deliberately UNHINTED (r7, the
+    tfidf_top_terms rule): the df table is vocabulary-sized and the
+    vocabulary grows with the corpus, so forcing its broadcast would
+    OOM every executor at 100 TB; cost-based planning broadcasts at
+    gate SF and shuffle-joins when the estimates outgrow the
+    threshold."""
     from pyspark.sql.window import Window
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id",
@@ -286,7 +297,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join sides but not the doc_id-keyed norms branch, which would
     # otherwise re-run the scan+tokenize+tf-window lineage
     w = (
-        tf.join(broadcast(dfreq), "word")
+        tf.join(dfreq, "word")
         .crossJoin(broadcast(total))
         .where(F.col("df") * DF_CAP_FRAC <= F.col("n_docs"))
         .select("doc_id", "word",
@@ -507,8 +518,15 @@ def token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer, so values match wherever BIGINT sufficed.
 
     Scale shape: one tokenize pass, token counts as a per-word
-    aggregate joined back (broadcast-sized vocabulary), corpus total as
-    a broadcast scalar — no driver round trip."""
+    aggregate joined back, corpus total as a broadcast scalar — no
+    driver round trip. The count-back join is deliberately UNHINTED
+    (r7): the vocabulary grows with the corpus — the same unique-token
+    spam that motivates the decimal sum adds |doc| words per doc — so
+    a forced ``broadcast(cw)`` would OOM every executor at 100 TB.
+    Cost-based planning picks the broadcast build at gate SF (scan-
+    derived estimates are small) and degrades to a shuffle join when
+    the estimates say the vocabulary no longer fits; stopword-key skew
+    in that join is AQE skew-join's job (on in session.py)."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id",
                        F.explode(tokenize(F.lower(F.col("text"))))
@@ -516,7 +534,7 @@ def token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw = toks.groupBy("word").agg(F.count("*").alias("c_w"))
     total = toks.agg(F.count("*").alias("n_total"))
     return (
-        toks.join(broadcast(cw), "word")
+        toks.join(cw, "word")
         .crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tokens"),

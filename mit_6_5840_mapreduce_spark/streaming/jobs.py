@@ -398,14 +398,17 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STATIC join: enrich the event stream with the customer
-    dimension (broadcast map-side join — the stateless enrichment every
-    streaming pipeline starts with; no watermark needed because the
-    static side never changes), aggregated per market segment so the
-    gate result is compact."""
+    dimension (the stateless enrichment every streaming pipeline starts
+    with; no watermark needed because the static side never changes),
+    aggregated per market segment so the gate result is compact. The
+    join is UNHINTED (r7 policy, docs/SCALE.md): customer grows with
+    SF, and the static side is re-planned per micro-batch, so CBO
+    broadcasts it while small and shuffle-joins when it no longer
+    fits an executor."""
     ev = read_events_stream(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment")
-    enriched = ev.join(F.broadcast(cust), "user_id")
+    enriched = ev.join(cust, "user_id")
     agg = (
         enriched.groupBy("c_mktsegment", "event_type")
         .agg(F.count("*").alias("n_events"),
