@@ -7,9 +7,11 @@ multi-executor cluster:
 - AQE on (runtime re-planning, skew-join splitting, partition coalescing)
 - explicit shuffle partitioning (overridable per deployment)
 - Arrow-based transfer for the few Pandas-UDF code paths
-- broadcast threshold left at default so Catalyst auto-broadcasts dims
-  (region/nation/customer-class tables); operators additionally hint
-  ``broadcast()`` where the small side is known statically.
+- broadcast threshold left at default so Catalyst auto-broadcasts any
+  side its scan-derived estimates say fits (and degrades SF-growing
+  sides to shuffle joins at scale); operators additionally hint
+  ``broadcast()`` ONLY for cardinality-BOUNDED frames — fixed dims,
+  model-sized tables, 1-row totals (the r7 policy, docs/SCALE.md).
 """
 
 from __future__ import annotations

@@ -58,11 +58,21 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     (tokenize/shingle/hash/project). The driver testdata writes each
     table as ONE parquet row group, which Spark cannot split — so without
     this, a compute-bound stage runs on a single core no matter how many
-    are free. The shuffle moves only the scanned columns once; at
-    production scale inputs arrive as many splits and this becomes pure
-    overhead-free redistribution (or can be dropped).
-    """
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    are free.
+
+    CONDITIONAL (r7): the repartition only fires when the scan plans
+    fewer splits than the cluster has cores. At production scale inputs
+    arrive as many files/row groups and the scan is already wide — the
+    old unconditional form would re-shuffle the ENTIRE corpus once per
+    consumer (a 100 TB exchange that buys nothing), the exact class
+    docs/SCALE.md forbids. The partition count comes from the driver's
+    split planning (file listing only, no job), so the check is free;
+    at gate/bench SF the single row group still repartitions, leaving
+    those plans byte-identical."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,27 @@
+"""fan_out contract: widen narrow scans, never re-shuffle wide ones.
+
+The r7 conditional matters at 100 TB: production scans already plan
+many splits, and an unconditional repartition would add a full-corpus
+exchange to every per-row-heavy consumer. Both branches are pinned —
+the gate-SF single-row-group scan still widens to all cores, and an
+already-wide input passes through untouched (same object, no new
+Exchange in the plan).
+"""
+
+from __future__ import annotations
+
+from mit_6_5840_mapreduce_spark.sources.tables import fan_out, load_table
+
+
+def test_fan_out_widens_single_rowgroup_scan(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    assert docs.rdd.getNumPartitions() < target, (
+        "testdata no longer single-row-group; revisit fan_out")
+    assert fan_out(spark, docs).rdd.getNumPartitions() == target
+
+
+def test_fan_out_passes_wide_input_through(spark):
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, target * 4)
+    assert fan_out(spark, wide) is wide
