@@ -395,11 +395,11 @@ def embedding_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-linear cosine search: one narrow pass, planes are constants).
 
     The projection fold is the per-row hot spot, and a single parquet
-    file scans as ONE partition — repartition first so all cores share
-    the work (at 100 TB the scan has thousands of splits and this is a
-    no-op cost-wise; here it's a 512 KB shuffle for a 32x speedup)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    file scans as ONE partition — fan_out first so all cores share the
+    work (conditional: at 100 TB the scan already has thousands of
+    splits and no shuffle is added; here it's a 512 KB shuffle for a
+    32x speedup)."""
+    emb = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
     return emb.select("vec_id", _rp_signature("embedding").alias("lsh_sig"))
 
 
@@ -426,15 +426,16 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical pipeline, so the check is exact for what the operator
     CLAIMS to return."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # repartition BEFORE the 64-projection band computation (single-file
-    # scan = single partition otherwise), then hash-partition the band
-    # rows on the join key: both sides of the self-join below become the
-    # same canonical exchange, so ReuseExchange computes the expensive
-    # projections ONCE and the equi-join needs no further shuffle.
+    # fan_out BEFORE the 64-projection band computation (single-file
+    # scan = single partition otherwise; no-op on already-wide scans),
+    # then hash-partition the band rows on the join key: both sides of
+    # the self-join below become the same canonical exchange, so
+    # ReuseExchange computes the expensive projections ONCE and the
+    # equi-join needs no further shuffle.
     band_structs = ", ".join(
         f"struct({b} AS band, {_band_val_sql('embedding', b)} AS band_val)"
         for b in range(LSH_BANDS))
-    bands = emb.repartition(spark.sparkContext.defaultParallelism).select(
+    bands = fan_out(spark, emb).select(
         "vec_id",
         F.expr(f"explode(array({band_structs}))").alias("b")
     ).select("vec_id", F.col("b.band").alias("band"),
