@@ -458,7 +458,13 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user ordered event-type path (sequence-mining input):
     collect_list is order-free, so the structs carry (ts, event_id) and
     are array_sort'ed before projection — deterministic because
-    event_id is unique."""
+    event_id is unique.
+
+    Scale note: per-key state grows with the hottest user's event count
+    (the mrqueries collect_set class) — that is the query's SEMANTICS
+    (the full path string is the output). At 100 TB a bot-grade hot key
+    needs a length cap (slice after array_sort) or session-windowed
+    sub-paths; the corpus's organic users stay KB-sized."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
