@@ -117,3 +117,37 @@ def test_known_growing_frames_not_whitelisted(bad):
     """The frames the r7 sweep de-hinted must never re-enter via the
     whitelist."""
     assert bad not in ALLOWED_NAMES
+
+
+def test_no_inline_unconditional_widening_repartition():
+    """Widening a narrow scan must go through sources.tables.fan_out
+    (conditional on the scan's planned split count), never an inline
+    ``repartition(defaultParallelism)`` — the unconditional form
+    re-shuffles the whole corpus at production split counts (the r7
+    fan_out finding). Keyed repartitions (by column) are fine: those
+    ARE the intended partitioning, not a widening crutch."""
+    offenders = []
+    for root, _dirs, files in os.walk(PKG):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            with open(path, encoding="utf-8") as f:
+                tree = ast.parse(f.read(), filename=path)
+            for node in ast.walk(tree):
+                if (isinstance(node, ast.Call)
+                        and isinstance(node.func, ast.Attribute)
+                        and node.func.attr == "repartition"
+                        and node.args
+                        and not any(isinstance(a, ast.Constant)
+                                    and isinstance(a.value, str)
+                                    for a in node.args)
+                        and "defaultParallelism" in ast.unparse(node.args[0])):
+                    rel = os.path.relpath(path, os.path.dirname(PKG))
+                    if fname == "tables.py":   # fan_out itself
+                        continue
+                    offenders.append(f"{rel}:{node.lineno}")
+    assert not offenders, (
+        "inline repartition(defaultParallelism) — use fan_out() so the "
+        "widening is conditional on the scan's split count:\n"
+        + "\n".join(offenders))
