@@ -7,12 +7,15 @@ Each query is forced end-to-end with the noop sink (full physical
 execution, no driver-side result transfer skewing the number).
 
 Contention hardening (wall-clock on this host swings ~2x with co-tenant
-load): per-query times are the MEDIAN of $SPARK_GRAFT_BENCH_REPEAT runs
-(default 3), the JSON carries os.getloadavg() markers taken before and
-after the run, and a per-query ratio table against the frozen round-1
-baseline (BASELINE.md / BENCH_r01.json) so a single noisy run is
-distinguishable from a plan regression: uniform ratio inflation = host
-load; one query moving alone = that query regressed.
+load): bench WAITS for an idle host before starting (and stamps
+``contaminated: true`` in the contract line if it never got one — see
+``wait_for_idle``/``contaminated``), per-query times are the MEDIAN of
+$SPARK_GRAFT_BENCH_REPEAT runs (default 3), the JSON carries
+os.getloadavg() markers taken before and after the run, and a per-query
+ratio table against the frozen round-1 baseline (BASELINE.md /
+BENCH_r01.json) so a single noisy run is distinguishable from a plan
+regression: uniform ratio inflation = host load; one query moving alone
+= that query regressed.
 """
 
 from __future__ import annotations
@@ -84,6 +87,49 @@ BASELINE_R1 = {
 RESAMPLE_RATIO = 1.5
 RESAMPLE_LOADAVG = 4.0
 
+# Artifact-of-record guard (VERDICT r7 item 3): BENCH_r07.json shipped
+# with loadavg-7.5 numbers that the resample sidecar then disproved —
+# the official record should never LEAD with co-tenancy noise. Before
+# the sweep, bench WAITS (up to IDLE_WAIT_MAX_SEC, polling) for the
+# 1-minute loadavg to drop under IDLE_LOADAVG; if the host never goes
+# idle, it proceeds but stamps ``"contaminated": true`` in the contract
+# line (and the same stamp lands if load was high at either end of the
+# sweep), so a round's headline number is self-describing. Thresholds
+# env-overridable (SPARK_GRAFT_BENCH_IDLE_LOADAVG / _IDLE_WAIT_SEC).
+IDLE_LOADAVG = 2.0
+IDLE_WAIT_MAX_SEC = 600
+IDLE_POLL_SEC = 20
+
+
+def contaminated(load_before: tuple[float, ...],
+                 load_after: tuple[float, ...],
+                 thresh: float | None = None) -> bool:
+    """True when the sweep ran under co-tenant load at either end —
+    the stamp that tells a reader ratios are suspect."""
+    if thresh is None:
+        thresh = float(os.environ.get(
+            "SPARK_GRAFT_BENCH_IDLE_LOADAVG", IDLE_LOADAVG))
+    return max(load_before[0], load_after[0]) > thresh
+
+
+def wait_for_idle(max_wait: float | None = None,
+                  poll: float = IDLE_POLL_SEC) -> tuple[float, ...]:
+    """Block until loadavg[0] < IDLE_LOADAVG or max_wait expires;
+    returns the final loadavg triple (the sweep's load_before)."""
+    thresh = float(os.environ.get(
+        "SPARK_GRAFT_BENCH_IDLE_LOADAVG", IDLE_LOADAVG))
+    if max_wait is None:
+        max_wait = float(os.environ.get(
+            "SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", IDLE_WAIT_MAX_SEC))
+    deadline = time.monotonic() + max_wait
+    load = os.getloadavg()
+    while load[0] >= thresh and time.monotonic() < deadline:
+        print(f"bench: waiting for idle host (loadavg {load[0]:.2f} >= "
+              f"{thresh}) ...", flush=True)
+        time.sleep(poll)
+        load = os.getloadavg()
+    return load
+
 # Codec swap-rule enforcement (VERDICT r6 item 7): the documented rule
 # (docs/MULTIMODAL_CODECS.md) says the pure-Python codecs are an
 # acceptable tax only while DECODABLE MEDIA stays under ~1% of corpus
@@ -140,7 +186,7 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     queries, _ = registry()
 
-    load_before = os.getloadavg()
+    load_before = wait_for_idle()
     spark = get_spark("bench")
     # JVM/codegen warm-up so the first measured query isn't paying JIT
     # cost (a NON-headline query, so no measured entry gets extra warming)
@@ -300,6 +346,8 @@ def main() -> None:
             "ratio_median": round(statistics.median(ratios.values()), 2),
             "ratio_max": round(max(ratios.values()), 2),
             **({"resampled": sorted(resampled)} if resampled else {}),
+            **({"contaminated": True}
+               if contaminated(load_before, load_after) else {}),
             "bench_id": bench_id,
             "detail_file": detail_path,
         },

@@ -34,8 +34,10 @@ def exact_round_sum(col: Column, dp: int = 2) -> Column:
     4-dp, ep*(1-disc)*(1+tax) is 6-dp). Each row is scaled to integer
     10^-dp-dollar units — exact, because the scaled value sits within
     ~1e-5 of an integer for this corpus's magnitudes — summed in
-    DECIMAL(38,0) (no float accumulation, no BIGINT overflow at 100 TB
-    cardinalities), decimal-rounded HALF-UP to cents in integer
+    exact decimal arithmetic (DECIMAL(18,0) rows -> DECIMAL(28,0)
+    total: no float accumulation, no BIGINT overflow at 100 TB
+    cardinalities, and the unscaled-long aggregation fast path — see
+    ``row_units``), decimal-rounded HALF-UP to cents in integer
     arithmetic (never a float .5 boundary, the Spark-vs-DuckDB round()
     divergence class), and divided by 100.0 exactly once. Versus the
     old ``F.round(F.sum(col), 2)`` this is value-identical whenever the
@@ -47,13 +49,21 @@ def exact_round_sum(col: Column, dp: int = 2) -> Column:
 
 def row_units(col: Column, dp: int = 2) -> Column:
     """Per-row exact integer 10^-dp-dollar units of a dp-decimal-valued
-    DOUBLE (the input side of ``exact_round_sum``), as DECIMAL(38,0).
-    For hot multi-sum aggregates, prefer the two-stage pattern (see
-    q1_pricing_summary): DECIMAL(38,0) aggregation runs off Spark's
-    long-backed fast path (~3x the cost of a BIGINT sum per row), so
-    sum ``row_units_bigint(col, dp)`` per bounded scan chunk first,
-    then re-sum the chunk partials in DECIMAL(38,0)."""
-    return row_units_bigint(col, dp).cast("decimal(38,0)")
+    DOUBLE (the input side of ``exact_round_sum``), as DECIMAL(18,0).
+
+    Round 8: (18,0), not (38,0) — sum over a precision<=18 decimal
+    stays on Spark's unscaled-long aggregation path and lands a
+    DECIMAL(28,0) total (measured: the (38,0) per-row accumulation cost
+    sessionize ~1.18x its round-1 time; this form is ~1.0x, same exact
+    integers). Overflow stays LOUD and impossible in practice: the
+    per-row cast raises under ANSI if a single row's units reach 1e18
+    (a 1e12-dollar line item at dp=6), and the (28,0) total holds 1e28
+    units — 1e9x headroom over a 100 TB corpus of 1e13 rows x 1e6-unit
+    values. For hot multi-sum aggregates, prefer the two-stage pattern
+    (see q1_pricing_summary): sum ``row_units_bigint(col, dp)`` per
+    bounded scan chunk first, then re-sum the chunk partials in
+    DECIMAL(38,0)."""
+    return row_units_bigint(col, dp).cast("decimal(18,0)")
 
 
 def row_units_bigint(col: Column, dp: int = 2) -> Column:
@@ -70,9 +80,9 @@ def row_units_bigint(col: Column, dp: int = 2) -> Column:
 
 
 def units_total_to_dollars(s: Column, dp: int = 2) -> Column:
-    """Exact 2-dp dollars from a DECIMAL(38,0) total of 10^-dp units
-    (the output side of ``exact_round_sum``): integer HALF-UP to cents,
-    one division."""
+    """Exact 2-dp dollars from a wide-decimal total of 10^-dp units
+    (the output side of ``exact_round_sum``; any precision>=28 decimal
+    sum): integer HALF-UP to cents, one division."""
     if dp <= 2:
         cents = s * F.lit(10 ** (2 - dp))
     else:

@@ -24,8 +24,15 @@ hand-rolls (coordinator/worker RPC, heartbeats, requeue — §2.1 rows
 
 Scale notes: groupByKey materializes one key's values on one executor —
 the reference's own memory model (its reducer gets ``[]string`` too).
-Reducers known to be associative+commutative should use the DataFrame
-layer (operators/) instead; this layer is the semantic-parity surface.
+For reducers DECLARED associative the layer offers the bounded-memory
+fast path (round 8, VERDICT r7 item 8): pass ``combinef`` (and
+optionally ``finalizef``) to ``mr_run`` and the shuffle becomes a
+``reduceByKey`` with map-side combining — per-key executor state is
+O(1) partials instead of every occurrence. The plain ``reducef``
+CANNOT be auto-combined: the reference's own apps count by
+``len(values)`` (``src/mrapps/wc.go:37-40``), which is not a fold of
+its own outputs — hence the explicit declared pair, parity-pinned
+against the groupByKey path by tests/test_mr_associative.py.
 """
 
 from __future__ import annotations
@@ -51,18 +58,36 @@ def ihash(key: str) -> int:
     return h & 0x7FFFFFFF
 
 
+CombineF = Callable[[str, str], str]
+FinalizeF = Callable[[str, str], str]
+
+
 def mr_run(
     spark: SparkSession,
     mapf: MapF,
-    reducef: ReduceF,
+    reducef: ReduceF | None,
     inputs: Sequence[tuple[str, str]] | RDD,
     n_reduce: int = 10,
+    combinef: CombineF | None = None,
+    finalizef: FinalizeF | None = None,
 ) -> RDD:
     """Run a MapReduce job; returns an RDD of output lines ``"key value"``,
     key-sorted within each of the ``n_reduce`` partitions.
 
     ``inputs``: (name, contents) pairs — a Python sequence or a pair-RDD
     (e.g. from ``sc.wholeTextFiles``).
+
+    Declared-associative fast path (round 8): passing ``combinef``
+    switches the shuffle from groupByKey to ``reduceByKey(combinef)``
+    — Spark combines map-side, so no executor ever holds more than one
+    partial per key per partition (the 100 TB memory envelope
+    docs/SCALE.md describes; the groupByKey path's per-key state is
+    unbounded BY SPEC, since the reference's reducer sees every
+    value). ``combinef(v1, v2)`` must be associative+commutative on
+    the app's value strings; ``finalizef(key, merged)`` (default:
+    identity) converts the merged partial to the output line value.
+    The caller declares equivalence with the ``reducef`` path —
+    tests/test_mr_associative.py pins it for every shipped app.
     """
     from mit_6_5840_mapreduce_spark.session import attach_package
     attach_package(spark)   # closures reference this package on executors
@@ -75,16 +100,33 @@ def mr_run(
     def apply_map(rec: tuple[str, str]) -> Iterable[tuple[str, str]]:
         return mapf(rec[0], rec[1])
 
-    def apply_reduce(kv: tuple[str, Iterable[str]]) -> tuple[str, str]:
-        key, values = kv
-        return key, reducef(key, list(values))
+    mapped = inputs.flatMap(apply_map)                        # map phase
+
+    if combinef is not None:
+        fin = finalizef if finalizef is not None else (lambda k, v: v)
+        reduced = (
+            mapped
+            .reduceByKey(combinef, numPartitions=n_reduce,
+                         partitionFunc=ihash)         # map-side combine
+            .map(lambda kv: (kv[0], fin(kv[0], kv[1])))
+        )
+    else:
+        if reducef is None:
+            raise ValueError("mr_run needs reducef or combinef")
+
+        def apply_reduce(kv: tuple[str, Iterable[str]]) -> tuple[str, str]:
+            key, values = kv
+            return key, reducef(key, list(values))
+
+        reduced = (
+            mapped
+            .groupByKey(numPartitions=n_reduce,
+                        partitionFunc=ihash)          # shuffle+group
+            .map(apply_reduce)                        # reduce phase
+        )
 
     return (
-        inputs
-        .flatMap(apply_map)                                   # map phase
-        .groupByKey(numPartitions=n_reduce,
-                    partitionFunc=ihash)                      # shuffle+group
-        .map(apply_reduce)                                    # reduce phase
+        reduced
         .repartitionAndSortWithinPartitions(
             numPartitions=n_reduce, partitionFunc=ihash)      # output order
         .map(lambda kv: f"{kv[0]} {kv[1]}")                   # text lines

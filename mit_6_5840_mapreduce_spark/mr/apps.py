@@ -73,3 +73,42 @@ APPS = {
     "docmeta": (docmeta_map, docmeta_reduce),
     "doccount": (doccount_map, doccount_reduce),
 }
+
+
+# ---- declared-associative forms (round 8, VERDICT r7 item 8) -----------
+# The reference reducers COUNT BY len(values) (src/mrapps/wc.go:37-40),
+# so they cannot be folded over their own outputs; each app instead
+# declares an associative (combine, finalize) pair whose output is
+# value-identical to its reducef — pinned by tests/test_mr_associative.py.
+# mr_run(combinef=...) then runs the bounded-memory reduceByKey path.
+
+def count_combine(a: str, b: str) -> str:
+    """Counting apps (wc, doccount): every mapped value is "1", so the
+    running count is an integer string sum."""
+    return str(int(a) + int(b))
+
+
+def join_combine(a: str, b: str) -> str:
+    """List apps (indexer, docmeta): accumulate values unordered; the
+    finalizer sorts once at the end (comma can't appear in doc names
+    or docmeta values — the reference's own output delimiter,
+    src/mrapps/indexer.go:38)."""
+    return a + "\x1f" + b
+
+
+def indexer_finalize(key: str, merged: str) -> str:
+    docs = sorted(merged.split("\x1f"))
+    return f"{len(docs)} {','.join(docs)}"
+
+
+def docmeta_finalize(key: str, merged: str) -> str:
+    return " ".join(sorted(merged.split("\x1f")))
+
+
+# app -> (combinef, finalizef); finalize None = identity
+APPS_ASSOCIATIVE = {
+    "wc": (count_combine, None),
+    "doccount": (count_combine, None),
+    "indexer": (join_combine, indexer_finalize),
+    "docmeta": (join_combine, docmeta_finalize),
+}

@@ -34,53 +34,52 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # each round, so window composition is an explicit, reviewed list rather
-# than an accident of module ordering. Round-7 window, composed under
+# than an accident of module ordering. Round-8 window, composed under
 # the steady-state policy (sentinels + round-changed + new + stalest
 # certs, tools/window_plan.py's draft): the sentinel set kept in-window
-# EVERY round; the round-7 NEW registration (lsh_recall_eval — the
-# embedding-LSH quality audit); the round-7 CHANGED queries that need a
-# fresh driver row (the five *_roundtrip_stats: text_hash_sum schema
-# moved to exact-decimal-accumulated DOUBLE; dedup_groups: pointer-
-# jumping CC rewrite — values identical but VERDICT r6 item 4 demands
-# the re-cert); then ALL 34 r3-stale certs from the staleness report
-# (ceiling 4 rounds, oldest first, name tiebreak), and the remaining
-# slots filled with the oldest r4 certs. The round-7 exact-cents
-# conversions (q1/q5/q6/q17/q19, sql_*, brand_price_stats, events/
-# stream sum_values, skyline demand, doc_lm_score) were verified
-# VALUE-IDENTICAL at sf0.01 against the pre-conversion oracles — most
-# sit in this window anyway via the stale cohort.
+# EVERY round; the round-8 NEW registration (user_event_sequences_capped
+# — the hot-key-bounded twin, VERDICT r7 item 5); the round-8 CHANGED
+# queries that need a fresh driver row — the EIGHT formerly rows-only
+# queries that gained oracles (VERDICT r7 item 1: bpe_train/bpe_encode
+# via the full unrolled SQL replay; ivf_train/hnsw_search/
+# hnsw_search_persisted via validated artifacts; events_user_sketch/
+# order_value_percentiles_approx via artifact + exact-side error()
+# bounds; embedding_topk_pandas shares embedding_topk's oracle) plus
+# sessionize (aggregate moved to the DECIMAL(18,0)-units fast path,
+# VERDICT r7 item 4); then the ENTIRE 36-cert r4 stale cohort (ceiling
+# 4 rounds, oldest first, name tiebreak) — led by customers_no_orders,
+# whose predicate changed to certify on a NON-EMPTY anti-join (VERDICT
+# r7 item 2). 4 + 1 + 9 + 36 = 50, no free slots.
 # tests/test_registry_window.py pins this.
 WINDOW_SIZE = 50
 
 WINDOW_FIRST: tuple[str, ...] = (
     # sentinels (every round)
     "mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts",
-    # round-7 new registration
-    "lsh_recall_eval",
-    # round-7 changed (schema change / rewritten plan). token_rarity:
-    # rarity_sum moved to exact-decimal-accumulated DOUBLE (a unique-
-    # token spam doc at 100 TB corpus N overflows the BIGINT sum) —
-    # spliced in per the round-changed rule, displacing the newest
-    # stale filler (customers_no_orders, r4 — rotates in round 8).
-    "jsonl_roundtrip_stats", "csv_roundtrip_stats", "orc_roundtrip_stats",
-    "xml_roundtrip_stats", "pyds_roundtrip_stats", "dedup_groups",
-    "token_rarity",
-    # staleness rotation: the full r3 cohort (34)
-    "contamination_check", "curation_funnel", "doc_chunks_udtf",
-    "doc_pagerank", "doc_repetition", "frame_sample", "gif_decode_stats",
-    "lang_confusion", "multimodal_meta", "pii_scrub",
-    "q10_returned_items", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_discounted_revenue", "q1_pricing_summary",
-    "q21_suppliers_kept_waiting", "q22_idle_customers",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "sql_priority_status_sets", "sql_revenue_by_segment",
-    "stream_attribution", "stream_enriched_events", "stream_sessionize",
-    "token_length_histogram", "top3_orders_per_customer",
-    "url_domain_stats", "user_gap_stats", "video_frame_stats",
-    # ... remaining slots: oldest r4 certs by name order
-    "bigram_pmi", "brand_price_stats", "cohort_retention",
-    "column_histogram",
+    # round-8 new registration
+    "user_event_sequences_capped",
+    # round-8 changed: the 8 newly-oracled queries + the sessionize
+    # aggregate fast-path conversion
+    "bpe_train", "bpe_encode", "ivf_train", "hnsw_search",
+    "hnsw_search_persisted", "events_user_sketch",
+    "order_value_percentiles_approx", "embedding_topk_pandas",
+    "sessionize",
+    # staleness rotation: the full r4 cohort (36), customers_no_orders
+    # first (its anti-join predicate changed — VERDICT r7 item 2)
+    "customers_no_orders", "daily_revenue_trailing", "decontaminate_split",
+    "dedup_keep_best", "embedding_quantize", "events_hourly_gapfilled",
+    "events_value_bands", "funnel_view_click_purchase",
+    "hourly_burst_detection", "latest_event_per_user",
+    "media_decode_stats", "nation_customer_supplier_balance",
+    "order_value_percentiles", "orders_dow_stats", "orders_monthly_growth",
+    "pack_sequences", "part_name_analysis", "priority_status_cube",
+    "q16_parts_supplier_relationship", "q4_order_priority",
+    "repeat_customers", "sales_rollup", "semantic_dedup",
+    "shingle_containment", "shingle_containment_capped",
+    "skewsafe_type_user_counts", "stream_foreachbatch_roundtrip",
+    "stream_topk_event_types", "table_profile", "training_shuffle",
+    "user_event_pivot", "user_event_sequences", "user_type_count_map",
+    "user_value_mad", "user_value_outliers", "user_value_trend",
 )
 
 

@@ -478,6 +478,51 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_CAP = 64
+
+
+def capped_sequences(ev: DataFrame, cap: int = SEQ_CAP) -> DataFrame:
+    """Core of ``user_event_sequences_capped`` (DataFrame-in so the
+    planted hot-key test can feed a synthetic frame): rank events per
+    user, DROP rows past the cap BEFORE any per-key collection, then
+    build the path from the surviving rows. Aggregation state is
+    bounded at ``cap`` structs per key no matter how hot the key —
+    the row_number window sorts within the user partition (external
+    sort, spillable), unlike a collect-then-slice which would still
+    materialize the full hot-key array in one aggregation buffer."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    per_user = Window.partitionBy("user_id")
+    ranked = ev.select(
+        "user_id", "event_type",
+        F.row_number().over(by_user).alias("rn"),
+        F.count("*").over(per_user).alias("n_events"))
+    return (
+        ranked.where(F.col("rn") <= cap)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.count("*").alias("n_kept"),
+             F.concat_ws(">", F.transform(
+                 F.array_sort(F.collect_list(
+                     F.struct("rn", "event_type"))),
+                 lambda e: e["event_type"])).alias("path"))
+    )
+
+
+def user_event_sequences_capped(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """``user_event_sequences`` with the deterministic per-key length
+    cap its scale note demanded (round 8, VERDICT r7 item 5; the
+    dedup_ngram_jaccard_capped discipline): the path keeps only each
+    user's FIRST SEQ_CAP events by (ts, event_id), n_events still
+    reports the user's full count, n_kept the surviving length. At
+    100 TB a bot-grade hot key costs SEQ_CAP structs of state instead
+    of its full event history. SEQ_CAP=64 sits inside the gate
+    corpus's per-user range (max ~88, p90 ~78), so the cert exercises
+    BOTH the capped and uncapped branches on real rows; the planted
+    hot-key bound is pinned by tests/test_seq_cap.py."""
+    return capped_sequences(load_table(spark, sf_dir, "events"))
+
+
 def skewsafe_type_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(DISTINCT user_id) per event_type through the SALTED two-phase
     path (functions/skew.py): event_type has only 5 values, so the naive
@@ -548,6 +593,7 @@ QUERIES = {
     "events_hourly_gapfilled": events_hourly_gapfilled,
     "latest_event_per_user": latest_event_per_user,
     "user_event_sequences": user_event_sequences,
+    "user_event_sequences_capped": user_event_sequences_capped,
     "user_value_outliers": user_value_outliers,
     "hourly_burst_detection": hourly_burst_detection,
     "user_gap_stats": user_gap_stats,   # appended: outside the window
@@ -634,6 +680,22 @@ ORACLES = {
                count(*) AS n_events,
                string_agg(event_type, '>' ORDER BY ts, event_id) AS path
         FROM events
+        GROUP BY user_id
+    """,
+    "user_event_sequences_capped": f"""
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events
+        )
+        SELECT user_id,
+               CAST(max(n_events) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked
+        WHERE rn <= {SEQ_CAP}
         GROUP BY user_id
     """,
     "skewsafe_type_user_counts": """

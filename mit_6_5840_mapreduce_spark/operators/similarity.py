@@ -182,10 +182,13 @@ def embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized Arrow variant of embedding_topk: the query block is
     broadcast as plain Python lists and each Arrow batch is scored with
     one numpy matmul (mapInPandas). ~100x fewer interpreter operations
-    per row than the fold path; the price is float-sum-order freedom, so
-    this variant is rows-only in the driver gate and pinned against the
-    JVM implementation by tests/test_pandas_topk.py (ranks agree except
-    at floor4 boundary ties)."""
+    per row than the fold path. Float-sum order differs from the SQL
+    fold IN PRINCIPLE, but on this corpus the floor4 scores (and hence
+    ranks) are BIT-IDENTICAL to ``embedding_topk`` at every gate SF —
+    verified row-for-row and pinned by tests/test_pandas_topk.py — so
+    it shares embedding_topk's oracle (round 8, VERDICT r7 item 1):
+    any future numeric drift fails the pytest pin before the driver
+    gate ever sees it."""
     import numpy as np
     import pandas as pd
     emb = load_table(spark, sf_dir, "embeddings")
@@ -230,11 +233,27 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed k-means shape; no row data reaches the driver except the
     K x dim centroid matrix itself (which IS the model).
 
-    Returns (centroid_id, n_members, dim 0..2 means as a fingerprint) —
-    deterministic, but verified by pytest (tests/test_kmeans.py) against
-    a numpy reference rather than a SQL oracle: the iterative loop is
-    the canonical non-SQL-expressible operator, so the driver records
-    the rows-only check (SURVEY §2.6)."""
+    Returns (centroid_id, n_members, dim 0..2 means as a fingerprint).
+
+    DRIVER-certified via the nonce-checked artifact pattern (round 8,
+    VERDICT r7 item 1): the loop itself has no SQL form, but its
+    OUTPUT obeys two SQL-checkable invariants, so the trained model
+    (centroids + the penultimate assignment that produced them + the
+    final assignment) is materialized to scratch parquet and the
+    DuckDB oracle independently validates, with ``error()`` on any
+    violation: (a) every final centroid equals the elementwise mean of
+    its round-KMEANS_ITERS members (Lloyd's M-step, 1e-9 tolerance for
+    Spark's merge-order avg ulps), (b) every vector's final assignment
+    is its argmax-cosine centroid under the exact (cos DESC,
+    centroid_id) tiebreak, re-deriving the cosine from the embeddings
+    table, and (c) the artifact carries a corpus-count nonce so a
+    stale artifact fails loudly. The hash then certifies the
+    member counts and centroid fingerprints derived from the validated
+    artifacts. Bit-level training parity vs a numpy reference stays
+    pinned by tests/test_kmeans.py."""
+    import os
+
+    from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
     emb = load_table(spark, sf_dir, "embeddings")
     # stage the vector norm ONCE per vector (the _with_norm rule): the
     # assignment cross join otherwise re-runs the norm fold per
@@ -251,6 +270,7 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [r.embedding
              for r in emb.where(F.col("vec_id") < N_CENTROIDS)
                          .orderBy("vec_id").collect()]
+    prev_assign = None          # E-step whose means produced the model
     for _ in range(KMEANS_ITERS):
         cent_df = spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
@@ -267,6 +287,7 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc("cs"), F.asc("centroid_id"))
         assigned = (scored.withColumn("rn", F.row_number().over(w))
                     .where(F.col("rn") == 1))
+        prev_assign = assigned.select("vec_id", "centroid_id")
         # recombine: elementwise mean per centroid (posexplode -> hash-agg
         # keyed by (centroid, dim) -> regroup); empty cells keep their
         # previous centroid
@@ -302,12 +323,31 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cs"), F.asc("centroid_id"))
     assigned = (scored.withColumn("rn", F.row_number().over(w))
                 .where(F.col("rn") == 1))
+    # materialize the validated-model artifacts for the DuckDB oracle:
+    # centroids (+ a corpus-count nonce row at centroid_id = -1), the
+    # penultimate E-step (mean-check provenance), the final E-step
+    root = scratch_dir("ivf_model")
+    nonce = emb.count()
+    marker = spark.range(1).select(
+        F.lit(-1).cast("int").alias("centroid_id"),
+        F.array(F.lit(float(nonce))).alias("centroid"))
+    (cent_df.unionByName(marker)
+     .write.mode("overwrite").parquet(os.path.join(root, "centroids")))
+    prev_assign.write.mode("overwrite").parquet(
+        os.path.join(root, "prev_assign"))
+    assigned.select("vec_id", "centroid_id").write.mode(
+        "overwrite").parquet(os.path.join(root, "final_assign"))
+    # the returned frame reads the materialized artifact, so the staged
+    # working set can be released here (ADVICE r7: persists must not
+    # outlive their consumers in long-lived sessions)
+    vecs.unpersist()
+    final_assign = spark.read.parquet(os.path.join(root, "final_assign"))
     fingerprint = spark.createDataFrame(
         [(i, float(c[0]), float(c[1]), float(c[2]))
          for i, c in enumerate(cents)],
         "centroid_id INT, c0 DOUBLE, c1 DOUBLE, c2 DOUBLE")
     return (
-        assigned.groupBy("centroid_id")
+        final_assign.groupBy("centroid_id")
         .agg(F.count("*").alias("n_members"))
         .join(fingerprint, "centroid_id")
         .select("centroid_id", "n_members",
@@ -620,9 +660,12 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (query_id, cand_id, score) rows cross the shuffle — the graph
     never leaves its shard. Fully deterministic: insertion order,
     beam-tie ordering, and pruning all tie-break on vec_id. The greedy
-    search path depends on the graph, so this is rows-only in the
-    driver gate (the non-SQL-expressible class, like ivf_train);
-    recall vs the brute-force twin and run-to-run determinism are
+    search path depends on the graph (no SQL form), so the result is
+    DRIVER-certified via the validated-artifact pattern (round 8,
+    VERDICT r7 item 1 — ``_materialize_search`` / ``_hnsw_oracle``):
+    the oracle re-derives every score from the embeddings table,
+    checks rank/k/nonce consistency and a recall floor vs the exact
+    top-k. Recall 1.0 at gate SF and run-to-run determinism stay
     pinned by tests/test_hnsw.py. Completes the similarity-search
     family: brute force (embedding_topk), IVF (ivf_search), LSH
     (embedding_neardup_lsh), graph (this)."""
@@ -633,7 +676,8 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sizing count is a parquet metadata-only job (row-group
     # counts, no column data); a deployed index would persist n next
     # to its artifacts instead of re-counting per query batch
-    n_shards = _hnsw_n_shards(emb.count())
+    n = emb.count()
+    n_shards = _hnsw_n_shards(n)
 
     def shard_search(pdf: pd.DataFrame) -> pd.DataFrame:
         ids, Vn = _shard_vectors(pdf)
@@ -644,7 +688,7 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard", F.pmod(F.xxhash64("vec_id"), F.lit(n_shards)))
     scored = shards.groupBy("shard").applyInPandas(
         shard_search, "query_id BIGINT, cand_id BIGINT, cos_sim DOUBLE")
-    return _hnsw_merge(scored)
+    return _materialize_search(spark, _hnsw_merge(scored), n, "hnsw_out")
 
 
 def _hnsw_queries(emb: DataFrame):
@@ -745,6 +789,29 @@ def _hnsw_merge(scored: DataFrame) -> DataFrame:
             .select("query_id", "cand_id", "cos_sim", "rank"))
 
 
+def _materialize_search(spark: SparkSession, result: DataFrame,
+                        nonce: int, scratch_name: str) -> DataFrame:
+    """Round-8 oracle bridge for the graph-ANN searches (VERDICT r7
+    item 1; graph_recall_eval's nonce convention): write the search
+    output plus a corpus-count marker row (query_id = -1) to scratch
+    parquet and return the read-back. The DuckDB oracle reads the same
+    artifact and validates it independently — scores re-derived from
+    the embeddings table, rank/k-cap consistency, recall floor vs the
+    exact top-k — so the hash certifies a VALIDATED artifact, not an
+    echo."""
+    import os
+
+    from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
+    out = os.path.join(scratch_dir(scratch_name), "res")
+    marker = spark.range(1).select(
+        F.lit(-1).cast("bigint").alias("query_id"),
+        F.lit(nonce).cast("bigint").alias("cand_id"),
+        F.lit(0.0).alias("cos_sim"),
+        F.lit(0).cast("int").alias("rank"))
+    result.unionByName(marker).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).where(F.col("query_id") >= 0)
+
+
 def hnsw_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVING-PATH form of ``hnsw_search``: the per-shard graphs
     are BUILT ONCE and materialized as a plain (shard, src, dst) edge
@@ -758,8 +825,8 @@ def hnsw_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Construction is deterministic (vec_id insertion order, tie-broken
     beams), so this returns BIT-IDENTICAL rows to ``hnsw_search`` —
-    pinned by tests/test_hnsw.py — and shares its rows-only gate class
-    (the search path depends on the graph)."""
+    pinned by tests/test_hnsw.py — and is driver-certified by the same
+    validated-artifact oracle (its own scratch artifact)."""
     import os
 
     import pandas as pd
@@ -770,7 +837,8 @@ def hnsw_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata-only sizing count (see hnsw_search); a deployed serving
     # layout persists n (equivalently the shard count) with the edge
     # table so repeated query batches skip even this
-    n_shards = _hnsw_n_shards(emb.count())
+    n = emb.count()
+    n_shards = _hnsw_n_shards(n)
     shards = emb.withColumn(
         "shard", F.pmod(F.xxhash64("vec_id"), F.lit(n_shards)))
 
@@ -806,7 +874,8 @@ def hnsw_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(search,
                        "query_id BIGINT, cand_id BIGINT, cos_sim DOUBLE")
     )
-    return _hnsw_merge(scored)
+    return _materialize_search(spark, _hnsw_merge(scored), n,
+                               "hnsw_out_persisted")
 
 
 # ---- Product quantization (the 5th ANN family: PQ/ADC) -----------------
@@ -971,14 +1040,18 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "ivf_assign": ivf_assign,
     "ivf_search": ivf_search,
-    "ivf_train": ivf_train,   # iterative k-means: rows-only (no SQL oracle)
-    # graph-ANN beam search: rows-only (path depends on the graph);
-    # recall + determinism pinned by tests/test_hnsw.py
+    # iterative k-means: validated-artifact oracle (M-step mean +
+    # E-step argmax invariants re-checked in SQL; round 8)
+    "ivf_train": ivf_train,
+    # graph-ANN beam search: validated-artifact oracle (scores
+    # re-derived, rank/k/nonce checks, recall floor; round 8);
+    # recall 1.0 + determinism pinned by tests/test_hnsw.py
     "hnsw_search": hnsw_search,
     # serving-path twin: persisted adjacency + cogroup search; pinned
     # bit-identical to hnsw_search by tests/test_hnsw.py
     "hnsw_search_persisted": hnsw_search_persisted,
-    # Arrow/numpy scoring: rows-only (float-sum order differs from SQL)
+    # Arrow/numpy scoring: shares embedding_topk's oracle — floor4
+    # output is bit-identical on the gate corpora (pytest-pinned)
     "embedding_topk_pandas": embedding_topk_pandas,
     "embedding_neardup_exact": embedding_neardup_exact,
     # "embedding_neardup" survives as a legacy alias appended at the END
@@ -1233,6 +1306,152 @@ ORACLES = {
         WHERE e.vec_id NOT IN (SELECT vec_id FROM grp)
     """,
 }
+
+# The Arrow/numpy variant's floor4 output is bit-identical to the JVM
+# fold on the gate corpora (pinned exactly by tests/test_pandas_topk.py)
+# — it certifies against the same SQL (round 8, VERDICT r7 item 1).
+ORACLES["embedding_topk_pandas"] = ORACLES["embedding_topk"]
+
+
+# ---- validated-artifact oracles for the iterative/graph operators ------
+# (round 8, VERDICT r7 item 1 — graph_recall_eval's nonce discipline):
+# the Spark query materialized its output to scratch parquet; the oracle
+# reads it back and INDEPENDENTLY validates every SQL-checkable
+# invariant with error() gates before echoing the rows, so the hash
+# certifies a validated artifact, never a blind echo.
+
+HNSW_RECALL_FLOOR = 0.8     # oracle gate; tests/test_hnsw.py pins 1.0
+
+
+def _hnsw_oracle(scratch_name: str) -> str:
+    """Oracle for a graph-ANN search artifact: corpus-count nonce,
+    scores re-derived bit-for-bit from the embeddings table (the numpy
+    normalized-dot and the SQL fold agree at floor4 on the gate
+    corpora — the test_pandas_topk argument), no self-matches or
+    phantom ids, rank = row_number under the (cos DESC, cand_id)
+    tiebreak, per-query k cap, and a recall floor vs the exact
+    brute-force top-k."""
+    glob = os.path.join(scratch_path(scratch_name), "res", "*.parquet")
+    cos = _d_cos("q.embedding", "c.embedding")
+    return f"""
+        WITH art AS MATERIALIZED (
+            SELECT * FROM read_parquet('{glob}')
+        ),
+        res AS MATERIALIZED (SELECT * FROM art WHERE query_id >= 0),
+        truth AS MATERIALIZED ({ORACLES["embedding_topk"]}),
+        chk AS (
+            SELECT CASE
+                WHEN (SELECT cand_id FROM art WHERE query_id = -1)
+                     = (SELECT count(*) FROM embeddings)
+                 AND NOT EXISTS (
+                     SELECT 1 FROM res r
+                     JOIN embeddings q ON q.vec_id = r.query_id
+                     JOIN embeddings c ON c.vec_id = r.cand_id
+                     WHERE r.cos_sim <> floor({cos} * 10000) / 10000
+                        OR r.cand_id = r.query_id)
+                 AND (SELECT count(*) FROM res) =
+                     (SELECT count(*) FROM res r
+                      JOIN embeddings q ON q.vec_id = r.query_id
+                      JOIN embeddings c ON c.vec_id = r.cand_id)
+                 AND NOT EXISTS (
+                     SELECT 1 FROM (
+                         SELECT rank, row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY cos_sim DESC, cand_id) AS rr
+                         FROM res) x
+                     WHERE x.rank <> x.rr OR x.rank > {TOP_K})
+                 AND (SELECT count(*) FROM res r JOIN truth t
+                      ON t.query_id = r.query_id
+                     AND t.cand_id = r.cand_id)
+                     >= {HNSW_RECALL_FLOOR} * (SELECT count(*) FROM truth)
+                THEN 1
+                ELSE error('{scratch_name}: search artifact failed '
+                           'validation — stale nonce, a score that is '
+                           'not the true cosine of its pair, a rank/k '
+                           'inconsistency, or recall below '
+                           '{HNSW_RECALL_FLOOR} vs the exact top-k; '
+                           'run the Spark query first in this process')
+                END AS ok
+        )
+        SELECT query_id, cand_id, cos_sim, rank FROM res
+        WHERE (SELECT ok FROM chk) = 1
+    """
+
+
+ORACLES["hnsw_search"] = _hnsw_oracle("hnsw_out")
+ORACLES["hnsw_search_persisted"] = _hnsw_oracle("hnsw_out_persisted")
+
+_IVF_CENT_GLOB = os.path.join(scratch_path("ivf_model"),
+                              "centroids", "*.parquet")
+_IVF_PREV_GLOB = os.path.join(scratch_path("ivf_model"),
+                              "prev_assign", "*.parquet")
+_IVF_FIN_GLOB = os.path.join(scratch_path("ivf_model"),
+                             "final_assign", "*.parquet")
+_COS_VA = _d_cos("v.embedding", "a.centroid")
+_COS_VO = _d_cos("v.embedding", "o.centroid")
+
+ORACLES["ivf_train"] = f"""
+        WITH cart AS MATERIALIZED (
+            SELECT * FROM read_parquet('{_IVF_CENT_GLOB}')
+        ),
+        cents AS MATERIALIZED (
+            SELECT centroid_id, centroid FROM cart WHERE centroid_id >= 0
+        ),
+        pa AS MATERIALIZED (
+            SELECT * FROM read_parquet('{_IVF_PREV_GLOB}')
+        ),
+        fa AS MATERIALIZED (
+            SELECT * FROM read_parquet('{_IVF_FIN_GLOB}')
+        ),
+        -- Lloyd's M-step invariant: each trained centroid equals the
+        -- elementwise mean of its penultimate-assignment members
+        -- (1e-9 tolerance: Spark's avg() merges partials in
+        -- nondeterministic order)
+        mean_dev AS MATERIALIZED (
+            SELECT mm.centroid_id, max(abs(mm.m - c.centroid[mm.i])) AS dev
+            FROM (
+                SELECT p.centroid_id, gs.i, avg(e.embedding[gs.i]) AS m
+                FROM pa p
+                JOIN embeddings e ON e.vec_id = p.vec_id
+                CROSS JOIN generate_series(1, {EMB_DIM}) gs(i)
+                GROUP BY p.centroid_id, gs.i
+            ) mm JOIN cents c ON c.centroid_id = mm.centroid_id
+            GROUP BY mm.centroid_id
+        ),
+        chk AS (
+            SELECT CASE
+                WHEN (SELECT centroid[1] FROM cart WHERE centroid_id = -1)
+                     = (SELECT count(*) FROM embeddings)
+                 AND (SELECT count(*) FROM fa)
+                     = (SELECT count(*) FROM embeddings)
+                 AND NOT EXISTS (SELECT 1 FROM mean_dev WHERE dev > 1e-9)
+                 -- E-step invariant: every vector's final assignment is
+                 -- its argmax-cosine centroid (ties -> lowest id)
+                 AND NOT EXISTS (
+                     SELECT 1 FROM fa f
+                     JOIN embeddings v ON v.vec_id = f.vec_id
+                     JOIN cents a ON a.centroid_id = f.centroid_id
+                     JOIN cents o ON o.centroid_id <> f.centroid_id
+                     WHERE {_COS_VO} > {_COS_VA}
+                        OR ({_COS_VO} = {_COS_VA}
+                            AND o.centroid_id < f.centroid_id))
+                THEN 1
+                ELSE error('ivf_train: model artifact failed validation '
+                           '— stale nonce, a centroid that is not the '
+                           'mean of its members, or a vector assigned '
+                           'to a non-nearest centroid; run the Spark '
+                           'query first in this process')
+                END AS ok
+        )
+        SELECT f.centroid_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               floor(max(c.centroid[1]) * 10000) / 10000 AS c0,
+               floor(max(c.centroid[2]) * 10000) / 10000 AS c1,
+               floor(max(c.centroid[3]) * 10000) / 10000 AS c2
+        FROM fa f JOIN cents c ON c.centroid_id = f.centroid_id
+        WHERE (SELECT ok FROM chk) = 1
+        GROUP BY f.centroid_id
+"""
 
 
 # PQ oracle: the same fixed-point sub-vector L2 (ordered DOUBLE fold,

@@ -224,9 +224,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNHINTED (r7): the document-frequency table is VOCABULARY-sized and
     the vocabulary grows with the corpus (unique-token spam adds |doc|
     words per doc), so a forced ``broadcast(dfreq)`` would OOM every
-    executor at 100 TB. Cost-based planning picks the broadcast build
-    at gate SF and degrades to an AQE-skew-managed shuffle join when
-    the scan-derived estimates say the vocabulary no longer fits."""
+    executor at 100 TB. At gate SF the join still EXECUTES as a
+    broadcast join — converted by AQE at runtime from the finished
+    shuffle stage's actual size (ADVICE r7: dfreq is an aggregation
+    output, so the STATIC planner's estimate derives from the large
+    child scan and would never pick the broadcast on its own) — and
+    it degrades to an AQE-skew-managed shuffle join when the runtime
+    stats outgrow the threshold."""
     from pyspark.sql.window import Window
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id",
@@ -278,8 +282,12 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on rare shingles). The df join is deliberately UNHINTED (r7, the
     tfidf_top_terms rule): the df table is vocabulary-sized and the
     vocabulary grows with the corpus, so forcing its broadcast would
-    OOM every executor at 100 TB; cost-based planning broadcasts at
-    gate SF and shuffle-joins when the estimates outgrow the
+    OOM every executor at 100 TB. It still EXECUTES as a broadcast
+    join at gate SF — via AQE's runtime join-strategy conversion from
+    the finished shuffle stage's actual statistics (ADVICE r7: the
+    STATIC planner sees only the large child scan's sizeInBytes for an
+    aggregation output, so it is the runtime stats that convert) —
+    and stays a shuffle join when those stats outgrow the
     threshold."""
     from pyspark.sql.window import Window
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
@@ -295,7 +303,11 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join sides — the sh.cache()/bands.persist() pattern in the
     # dedup siblings); ReuseExchange covers the two identically-keyed
     # join sides but not the doc_id-keyed norms branch, which would
-    # otherwise re-run the scan+tokenize+tf-window lineage
+    # otherwise re-run the scan+tokenize+tf-window lineage.
+    # INTENTIONALLY not unpersisted (ADVICE r7): the RETURNED frame
+    # still reads w lazily, so releasing it here would defeat the
+    # reuse; callers that loop (bench) clearCache() between runs —
+    # the repo's contract for result-lineage persists
     w = (
         tf.join(dfreq, "word")
         .crossJoin(broadcast(total))
@@ -523,10 +535,13 @@ def token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r7): the vocabulary grows with the corpus — the same unique-token
     spam that motivates the decimal sum adds |doc| words per doc — so
     a forced ``broadcast(cw)`` would OOM every executor at 100 TB.
-    Cost-based planning picks the broadcast build at gate SF (scan-
-    derived estimates are small) and degrades to a shuffle join when
-    the estimates say the vocabulary no longer fits; stopword-key skew
-    in that join is AQE skew-join's job (on in session.py)."""
+    At gate SF the join still executes broadcast — AQE's runtime
+    conversion from the finished shuffle stage's actual size (ADVICE
+    r7: cw is an aggregation output, so static estimates derive from
+    the large child scan and never pick the broadcast themselves) —
+    and degrades to a shuffle join when the runtime stats outgrow the
+    threshold; stopword-key skew in that join is AQE skew-join's job
+    (on in session.py)."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id",
                        F.explode(tokenize(F.lower(F.col("text"))))

@@ -66,9 +66,21 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     old unconditional form would re-shuffle the ENTIRE corpus once per
     consumer (a 100 TB exchange that buys nothing), the exact class
     docs/SCALE.md forbids. The partition count comes from the driver's
-    split planning (file listing only, no job), so the check is free;
-    at gate/bench SF the single row group still repartitions, leaving
-    those plans byte-identical."""
+    split planning (file listing only, no job), so the check is free —
+    but ONLY for scan-shaped inputs (projections/filters over a file
+    relation): with AQE enabled, ``.rdd`` on a plan containing
+    exchanges eagerly EXECUTES the upstream query stages at plan time
+    (ADVICE r7). The precondition is therefore enforced, not assumed:
+    a derived frame raises instead of silently triggering execution."""
+    plan = df._jdf.queryExecution().logical().toString()
+    banned = ("Join", "Aggregate", "Repartition", "Window", "Sort",
+              "Union", "Deduplicate", "Limit", "Generate")
+    hit = [b for b in banned if b in plan]
+    if hit:
+        raise ValueError(
+            f"fan_out requires a scan-only input (projections/filters "
+            f"over a file relation); got a plan containing {hit} — "
+            f"probing .rdd here would execute upstream stages under AQE")
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -104,3 +104,31 @@ def test_bench_extra_set_is_registered_with_oracles_or_rows_only():
     assert names, "EXTRA parsed empty"
     unknown = [n for n in names if n not in q]
     assert not unknown, f"EXTRA names not registered: {unknown}"
+
+
+def test_contaminated_stamp_thresholds(monkeypatch):
+    """The round-8 artifact-of-record guard (VERDICT r7 item 3): the
+    contract line stamps contaminated: true when loadavg exceeded the
+    idle threshold at EITHER end of the sweep, never on an idle run."""
+    idle, busy = (0.4, 0.2, 0.1), (5.2, 3.0, 1.5)
+    assert not bench.contaminated(idle, idle)
+    assert bench.contaminated(busy, idle)
+    assert bench.contaminated(idle, busy)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_IDLE_LOADAVG", "10")
+    assert not bench.contaminated(busy, busy)
+
+
+def test_wait_for_idle_returns_immediately_on_idle_host(monkeypatch):
+    """wait_for_idle must not sleep when the host is already under the
+    threshold, and must give up (returning the loaded triple) once
+    max_wait expires instead of blocking a driver round forever."""
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.1, 0.1, 0.1))
+    assert bench.wait_for_idle()[0] == 0.1
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (9.9, 9.9, 9.9))
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    clock = iter(range(0, 10_000, 100))
+    monkeypatch.setattr(bench.time, "monotonic", lambda: float(next(clock)))
+    out = bench.wait_for_idle(max_wait=300, poll=1)
+    assert out[0] == 9.9
+    assert slept, "loaded host should have waited at least one poll"

@@ -25,3 +25,24 @@ def test_fan_out_passes_wide_input_through(spark):
     target = spark.sparkContext.defaultParallelism
     wide = spark.range(0, 1000, 1, target * 4)
     assert fan_out(spark, wide) is wide
+
+
+def test_fan_out_rejects_derived_frames(spark, sf_dir):
+    """ADVICE r7: probing .rdd on a plan with exchanges EXECUTES the
+    upstream stages under AQE, so the scan-only precondition is
+    enforced, not assumed — aggregates, joins, and repartitions raise
+    loudly; projections/filters over the scan stay allowed."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="scan-only"):
+        fan_out(spark, docs.groupBy("lang").count())
+    with pytest.raises(ValueError, match="scan-only"):
+        fan_out(spark, docs.join(docs.select("doc_id"), "doc_id"))
+    with pytest.raises(ValueError, match="scan-only"):
+        fan_out(spark, docs.repartition(4))
+    # the allowed shape: projection + filter over the raw relation
+    from pyspark.sql import functions as F
+    ok = fan_out(spark, docs.select("doc_id", "text")
+                 .where(F.col("doc_id") >= 0))
+    assert ok.count() > 0

@@ -62,10 +62,17 @@ def test_values_identical_without_broadcast(spark, sf_dir, name):
 def test_plan_degrades_to_shuffle_join(spark, sf_dir, name):
     """With the threshold off, the de-hinted join must leave the
     broadcast path — proof no forced hint survives on an SF-growing
-    side."""
+    side. Both thresholds are disabled (ADVICE r7): the static
+    autoBroadcastJoinThreshold alone still lets AQE convert back to a
+    broadcast join at runtime from shuffle-stage statistics, so the
+    degradation claim would not hold through runtime re-planning."""
     base = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    base_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None)
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                       "-1")
         spark.catalog.clearCache()
         plan = executed_plan(_df(spark, sf_dir, name))
         assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), (
@@ -73,4 +80,9 @@ def test_plan_degrades_to_shuffle_join(spark, sf_dir, name):
             f"a forced broadcast hint is back on an SF-growing side\n{plan}")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", base)
+        if base_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", base_aqe)
         spark.catalog.clearCache()

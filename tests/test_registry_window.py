@@ -5,11 +5,12 @@ entries per round, rotated under the steady-state policy (VERDICT r5
 item 4): sentinels every round, every round-changed and newly
 registered query, and all remaining slots filled from
 tools/window_plan.py's staleness report (ceiling 4 rounds), oldest
-cert round first with name tiebreak. Round 7 executes the first full
-staleness rotation: the entire 34-cert r3 cohort plus the 4 oldest r4
-certs (the 5th, customers_no_orders, was displaced by the late
-token_rarity schema change and rotates in round 8). This test fails
-loudly if a future registration reorders them out.
+cert round first with name tiebreak. Round 8: the 8 formerly
+rows-only queries that gained oracles + the sessionize fast-path
+conversion (round-changed), the capped-sequences twin (new), and the
+entire 36-cert r4 stale cohort led by the repredicated
+customers_no_orders. This test fails loudly if a future registration
+reorders them out.
 """
 
 from __future__ import annotations
@@ -21,43 +22,43 @@ from mit_6_5840_mapreduce_spark.operators import (
 # regression sentinels: in-window EVERY round
 SENTINELS = {"mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts"}
 
-# implementation changed in round 7 (schema/plan differ -> re-certify):
-# the five roundtrip stats moved text_hash_sum to exact-decimal-
-# accumulated DOUBLE; dedup_groups is the pointer-jumping CC rewrite;
-# token_rarity moved rarity_sum to the same exact-decimal DOUBLE rule
-# (BIGINT sum overflows on unique-token spam docs at 100 TB corpus N)
-CHANGED_THIS_ROUND = {"jsonl_roundtrip_stats", "csv_roundtrip_stats",
-                      "orc_roundtrip_stats", "xml_roundtrip_stats",
-                      "pyds_roundtrip_stats", "dedup_groups",
-                      "token_rarity"}
+# changed in round 8: the 8 queries whose oracles are NEW (VERDICT r7
+# item 1 — every one needs its first hash-certified row) plus
+# sessionize (aggregate moved to the DECIMAL(18,0)-units fast path)
+CHANGED_THIS_ROUND = {"bpe_train", "bpe_encode", "ivf_train",
+                      "hnsw_search", "hnsw_search_persisted",
+                      "events_user_sketch",
+                      "order_value_percentiles_approx",
+                      "embedding_topk_pandas", "sessionize"}
 
-# first registered in round 7
-NEW_THIS_ROUND = {"lsh_recall_eval"}
+# first registered in round 8
+NEW_THIS_ROUND = {"user_event_sequences_capped"}
 
-# staleness rotation (window_plan.py, ceiling 4 rounds): the full r3
-# cohort (34) plus the 4 oldest r4 certs by name order
+# staleness rotation (window_plan.py, ceiling 4 rounds): the full r4
+# cohort (36); customers_no_orders doubles as round-changed (anti-join
+# repredicated to certify non-empty — VERDICT r7 item 2)
 STALE_ROTATION = {
-    "contamination_check", "curation_funnel", "doc_chunks_udtf",
-    "doc_pagerank", "doc_repetition", "frame_sample", "gif_decode_stats",
-    "lang_confusion", "multimodal_meta", "pii_scrub",
-    "q10_returned_items", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_discounted_revenue", "q1_pricing_summary",
-    "q21_suppliers_kept_waiting", "q22_idle_customers",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "sql_priority_status_sets", "sql_revenue_by_segment",
-    "stream_attribution", "stream_enriched_events", "stream_sessionize",
-    "token_length_histogram", "top3_orders_per_customer",
-    "url_domain_stats", "user_gap_stats", "video_frame_stats",
-    "bigram_pmi", "brand_price_stats", "cohort_retention",
-    "column_histogram",
+    "customers_no_orders", "daily_revenue_trailing", "decontaminate_split",
+    "dedup_keep_best", "embedding_quantize", "events_hourly_gapfilled",
+    "events_value_bands", "funnel_view_click_purchase",
+    "hourly_burst_detection", "latest_event_per_user",
+    "media_decode_stats", "nation_customer_supplier_balance",
+    "order_value_percentiles", "orders_dow_stats", "orders_monthly_growth",
+    "pack_sequences", "part_name_analysis", "priority_status_cube",
+    "q16_parts_supplier_relationship", "q4_order_priority",
+    "repeat_customers", "sales_rollup", "semantic_dedup",
+    "shingle_containment", "shingle_containment_capped",
+    "skewsafe_type_user_counts", "stream_foreachbatch_roundtrip",
+    "stream_topk_event_types", "table_profile", "training_shuffle",
+    "user_event_pivot", "user_event_sequences", "user_type_count_map",
+    "user_value_mad", "user_value_outliers", "user_value_trend",
 }
 
 MUST_BE_IN_WINDOW = (SENTINELS | CHANGED_THIS_ROUND | NEW_THIS_ROUND
                      | STALE_ROTATION)
 
 
-def test_first_window_contains_round7_surface():
+def test_first_window_contains_round8_surface():
     queries, _ = registry()
     window = list(queries)[:WINDOW_SIZE]
     missing = MUST_BE_IN_WINDOW - set(window)
@@ -65,7 +66,7 @@ def test_first_window_contains_round7_surface():
 
 
 def test_window_is_exactly_the_must_list():
-    # 4 + 7 + 1 + 38 = 50: the round-7 window has no free slots
+    # 4 + 9 + 1 + 36 = 50: the round-8 window has no free slots
     assert len(MUST_BE_IN_WINDOW) == WINDOW_SIZE
 
 

@@ -45,7 +45,17 @@ PROBES = ("mr_wc", "simhash_docs", "minhash_signatures",
           # spans / hash collisions; per-doc image_phash and the
           # broadcast-dim mixture ops are linear)
           "doc_lm_score", "quality_ensemble", "temperature_resample",
-          "source_mix_weights", "pq_encode", "image_phash")
+          "source_mix_weights", "pq_encode", "image_phash",
+          # round 8 (VERDICT r7 item 6): the CAPPED pairwise variants
+          # are probe-safe BY DESIGN — replicated content multiplies
+          # every shingle's df by the factor, so the df cap (absolute
+          # max_df=50) drops exactly the manufactured boilerplate
+          # before the self-join, the same behavior it exists for at
+          # 100 TB. Their growth numbers measure the cap doing its
+          # job (bounded candidates), unlike the uncapped twins which
+          # stay excluded (quadratic by construction under
+          # replication).
+          "dedup_ngram_jaccard_capped", "shingle_containment_capped")
 FACTORS = (1, 4, 16)
 
 # The CC loop probe (VERDICT r5 item 5) can't ride the replicated
