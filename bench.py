@@ -99,17 +99,29 @@ RESAMPLE_LOADAVG = 4.0
 IDLE_LOADAVG = 2.0
 IDLE_WAIT_MAX_SEC = 600
 IDLE_POLL_SEC = 20
+# The after-sweep threshold must sit ABOVE the bench's own footprint:
+# a local[32] sweep on an otherwise-idle host drives the 1-min loadavg
+# to ~4-5 all by itself (measured on the first round-8 run, which
+# self-stamped as contaminated), while genuine co-tenant bursts in the
+# r6/r7 record read 7.5-13. 6.0 separates the two regimes.
+AFTER_LOADAVG = 6.0
 
 
 def contaminated(load_before: tuple[float, ...],
                  load_after: tuple[float, ...],
                  thresh: float | None = None) -> bool:
-    """True when the sweep ran under co-tenant load at either end —
-    the stamp that tells a reader ratios are suspect."""
+    """True when the sweep ran under co-tenant load — the stamp that
+    tells a reader ratios are suspect. Asymmetric thresholds: before
+    the sweep the host must be genuinely idle (< IDLE_LOADAVG, nothing
+    is running yet), but the after reading includes the bench's OWN
+    32-thread footprint, so only readings above AFTER_LOADAVG indicate
+    external load."""
     if thresh is None:
         thresh = float(os.environ.get(
             "SPARK_GRAFT_BENCH_IDLE_LOADAVG", IDLE_LOADAVG))
-    return max(load_before[0], load_after[0]) > thresh
+    after_thresh = float(os.environ.get(
+        "SPARK_GRAFT_BENCH_AFTER_LOADAVG", AFTER_LOADAVG))
+    return load_before[0] > thresh or load_after[0] > after_thresh
 
 
 def wait_for_idle(max_wait: float | None = None,
@@ -236,7 +248,12 @@ def main() -> None:
              "graph_recall_eval",
              # round 7 second session: the composed LSH->CC->medoid
              # pipeline (decimal medoid sums) gets per-round visibility
-             "semantic_dedup")
+             "semantic_dedup",
+             # round 8: the hot-key-bounded sequences twin (the heavy
+             # round-8 trainers — ivf_train, bpe_train, hnsw_* — stay
+             # out of bench: their wall is corpus-training time, timed
+             # by tools/scale_probe.py instead of the per-round sweep)
+             "user_event_sequences_capped")
     extra: dict[str, float] = {}
     for name in EXTRA:
         spark.catalog.clearCache()

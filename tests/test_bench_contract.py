@@ -107,15 +107,19 @@ def test_bench_extra_set_is_registered_with_oracles_or_rows_only():
 
 
 def test_contaminated_stamp_thresholds(monkeypatch):
-    """The round-8 artifact-of-record guard (VERDICT r7 item 3): the
-    contract line stamps contaminated: true when loadavg exceeded the
-    idle threshold at EITHER end of the sweep, never on an idle run."""
-    idle, busy = (0.4, 0.2, 0.1), (5.2, 3.0, 1.5)
+    """The round-8 artifact-of-record guard (VERDICT r7 item 3):
+    asymmetric thresholds — the host must be idle BEFORE the sweep,
+    while the after reading tolerates the bench's own local[32]
+    footprint (~4-5 loadavg on an idle host) and only flags genuine
+    co-tenant bursts (7.5-13 in the r6/r7 record)."""
+    idle, self_load, burst = (0.4, 0.2, 0.1), (4.8, 3.0, 1.5), (9.0,) * 3
     assert not bench.contaminated(idle, idle)
-    assert bench.contaminated(busy, idle)
-    assert bench.contaminated(idle, busy)
+    assert not bench.contaminated(idle, self_load)   # bench's own load
+    assert bench.contaminated(self_load, idle)       # not idle at start
+    assert bench.contaminated(idle, burst)           # external burst
     monkeypatch.setenv("SPARK_GRAFT_BENCH_IDLE_LOADAVG", "10")
-    assert not bench.contaminated(busy, busy)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_AFTER_LOADAVG", "10")
+    assert not bench.contaminated(burst, burst)
 
 
 def test_wait_for_idle_returns_immediately_on_idle_host(monkeypatch):

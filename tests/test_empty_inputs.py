@@ -102,6 +102,8 @@ REPRESENTATIVE = [
     "customer_value_quartiles",
     "pq_recall_eval",
     "graph_recall_eval",
+    # round 8: the hot-key-bounded sequences twin
+    "user_event_sequences_capped",
 ]
 
 # un-grouped audit/summary queries keep their fixed rows on empty input

@@ -31,19 +31,12 @@ def duck(sf_dir):
     return con
 
 
-# approximate-sketch queries are rows-only checked by design
-# approximate (HLL) or iterative (k-means) — rows-only in the driver
-# gate; k-means is pinned by tests/test_kmeans.py instead
-NO_ORACLE = {"events_user_sketch", "ivf_train", "embedding_topk_pandas",
-             "order_value_percentiles_approx",
-             # graph-ANN beam search: path depends on the graph; pinned
-             # by tests/test_hnsw.py (recall + determinism + persisted
-             # twin bit-equality) instead
-             "hnsw_search", "hnsw_search_persisted",
-             # distributed BPE: merge loop is iterative, not
-             # SQL-expressible; bit-exact vs the sequential reference
-             # implementation in tests/test_bpe.py instead
-             "bpe_train", "bpe_encode"}
+# Round 8 (VERDICT r7 item 1): the rows-only class is EMPTY — the
+# former members (sketches, k-means, graph-ANN, BPE, numpy top-k) all
+# gained oracles (unrolled SQL replay / validated scratch artifacts /
+# shared brute-force SQL). This pin makes any future oracle-less
+# registration a loud failure instead of a silent err:no_oracle row.
+NO_ORACLE: set[str] = set()
 
 
 def test_every_query_has_an_oracle():

@@ -23,9 +23,17 @@ def test_sketch_within_rsd_bounds(spark, sf_dir):
             f"{t}: approx {est} vs exact {exact[t]}"
 
 
-def test_sketch_has_no_oracle_on_purpose():
-    assert "events_user_sketch" not in entrymod.oracle_sql()
-    assert "events_user_sketch" in entrymod.queries()
+def test_sketch_queries_carry_artifact_oracles():
+    """Round 8 (VERDICT r7 item 1): both sketch aggregates are now
+    DRIVER-certified through validated scratch artifacts — the oracle
+    reads the materialized result back and error()-gates it against
+    the exact SQL side (count equality + published error bounds)."""
+    oracles = entrymod.oracle_sql()
+    for name in ("events_user_sketch", "order_value_percentiles_approx"):
+        assert name in entrymod.queries()
+        assert name in oracles
+        assert "read_parquet" in oracles[name]   # artifact readback
+        assert "error(" in oracles[name]         # loud validation gate
 
 
 def test_approx_percentiles_close_to_exact(spark, sf_dir):
