@@ -121,7 +121,9 @@ def contaminated(load_before: tuple[float, ...],
             "SPARK_GRAFT_BENCH_IDLE_LOADAVG", IDLE_LOADAVG))
     after_thresh = float(os.environ.get(
         "SPARK_GRAFT_BENCH_AFTER_LOADAVG", AFTER_LOADAVG))
-    return load_before[0] > thresh or load_after[0] > after_thresh
+    # >= on the before side matches wait_for_idle's busy predicate: a
+    # host the waiter judged never-idle must also be stamped
+    return load_before[0] >= thresh or load_after[0] > after_thresh
 
 
 def wait_for_idle(max_wait: float | None = None,

@@ -107,6 +107,28 @@ def mr_wc_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(parsed, "word STRING, cnt BIGINT")
 
 
+def mr_wc_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count through the DECLARED-ASSOCIATIVE mr_run path (round
+    8, VERDICT r7 item 8): same mapf, but the shuffle is
+    reduceByKey(count_combine) with map-side combining — per-key
+    executor state is O(1) partials at any corpus size, versus the
+    groupByKey path's reduce-sees-all-values contract. Output is
+    value-identical to ``mr_wc_rdd`` (pinned by
+    tests/test_mr_associative.py) and shares ``mr_wc``'s oracle, so
+    the driver gate certifies the combine path itself end to end."""
+    from mit_6_5840_mapreduce_spark.mr.api import mr_run
+    from mit_6_5840_mapreduce_spark.mr.apps import count_combine, wc_map
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select(F.col("doc_id").cast("string"), "text")
+    pairs = docs.rdd.map(lambda r: (r[0], r[1]))
+    lines = mr_run(spark, wc_map, None, pairs, n_reduce=10,
+                   combinef=count_combine)
+    parsed = lines.map(lambda line: line.rsplit(" ", 1)) \
+                  .map(lambda kv: (kv[0], int(kv[1])))
+    return spark.createDataFrame(parsed, "word STRING, cnt BIGINT")
+
+
 def mr_indexer_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index through the MR-compat RDD layer (second app
     certifying mr/api.mr_run end-to-end in the driver gate alongside
@@ -130,6 +152,7 @@ def mr_indexer_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "mr_wc": mr_wc,
     "mr_wc_rdd": mr_wc_rdd,
+    "mr_wc_assoc": mr_wc_assoc,
     "mr_indexer": mr_indexer,
     "mr_indexer_rdd": mr_indexer_rdd,
     "mr_docmeta": mr_docmeta,
@@ -160,6 +183,7 @@ _INDEXER_ORACLE = r"""
 
 ORACLES = {
     "mr_wc_rdd": _WC_ORACLE,
+    "mr_wc_assoc": _WC_ORACLE,
     "mr_wc": _WC_ORACLE,
     "mr_indexer": _INDEXER_ORACLE,
     "mr_indexer_rdd": _INDEXER_ORACLE,

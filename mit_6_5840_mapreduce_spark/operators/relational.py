@@ -370,12 +370,10 @@ def order_value_percentiles_approx(spark: SparkSession,
     certifies: the artifact round trip, the exact count, and that the
     sketch honored its error contract. Point accuracy is additionally
     pinned by tests/test_sketches.py."""
-    import os
-
-    from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
+    from mit_6_5840_mapreduce_spark.sources.scratch import (
+        materialize_scratch)
     o = _t(spark, sf_dir, "orders")
-    out = os.path.join(scratch_dir("approx_pcts"), "res")
-    (o.select(
+    res = o.select(
         F.expr(f"approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), "
                f"{APPROX_PCT_ACCURACY})").alias("pcts"),
         F.count("*").alias("n_orders"),
@@ -384,8 +382,7 @@ def order_value_percentiles_approx(spark: SparkSession,
         F.round(F.col("pcts")[1], 2).alias("p90"),
         F.round(F.col("pcts")[2], 2).alias("p99"),
         "n_orders")
-     .write.mode("overwrite").parquet(out))
-    return spark.read.parquet(out)
+    return materialize_scratch(spark, res, "approx_pcts")
 
 
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -895,17 +892,14 @@ def events_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge is max() — order-independent — so the estimate is
     deterministic and the artifact hash is stable. Point accuracy is
     additionally pinned by tests/test_sketches.py."""
-    import os
-
-    from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
+    from mit_6_5840_mapreduce_spark.sources.scratch import (
+        materialize_scratch)
     ev = _t(spark, sf_dir, "events")
-    out = os.path.join(scratch_dir("user_sketch"), "res")
-    (ev.groupBy("event_type")
-       .agg(F.approx_count_distinct("user_id", rsd=HLL_RSD)
-            .alias("approx_users"),
-            F.count("*").alias("n_events"))
-       .write.mode("overwrite").parquet(out))
-    return spark.read.parquet(out)
+    res = (ev.groupBy("event_type")
+           .agg(F.approx_count_distinct("user_id", rsd=HLL_RSD)
+                .alias("approx_users"),
+                F.count("*").alias("n_events")))
+    return materialize_scratch(spark, res, "user_sketch")
 
 
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -251,9 +251,6 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     member counts and centroid fingerprints derived from the validated
     artifacts. Bit-level training parity vs a numpy reference stays
     pinned by tests/test_kmeans.py."""
-    import os
-
-    from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
     emb = load_table(spark, sf_dir, "embeddings")
     # stage the vector norm ONCE per vector (the _with_norm rule): the
     # assignment cross join otherwise re-runs the norm fold per
@@ -271,7 +268,7 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
              for r in emb.where(F.col("vec_id") < N_CENTROIDS)
                          .orderBy("vec_id").collect()]
     prev_assign = None          # E-step whose means produced the model
-    for _ in range(KMEANS_ITERS):
+    for it in range(KMEANS_ITERS):
         cent_df = spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
             "centroid_id INT, centroid ARRAY<DOUBLE>")
@@ -286,7 +283,14 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = Window.partitionBy("vec_id").orderBy(
             F.desc("cs"), F.asc("centroid_id"))
         assigned = (scored.withColumn("rn", F.row_number().over(w))
-                    .where(F.col("rn") == 1))
+                    .where(F.col("rn") == 1)
+                    .select("vec_id", "centroid_id", "embedding"))
+        if it == KMEANS_ITERS - 1:
+            # materialize the FINAL E-step once: the means job below
+            # and the prev_assign artifact write both read the
+            # checkpoint instead of each replaying the full
+            # crossJoin+window scoring pass (r8 review finding)
+            assigned = assigned.localCheckpoint(eager=True)
         prev_assign = assigned.select("vec_id", "centroid_id")
         # recombine: elementwise mean per centroid (posexplode -> hash-agg
         # keyed by (centroid, dim) -> regroup); empty cells keep their
@@ -799,17 +803,15 @@ def _materialize_search(spark: SparkSession, result: DataFrame,
     the embeddings table, rank/k-cap consistency, recall floor vs the
     exact top-k — so the hash certifies a VALIDATED artifact, not an
     echo."""
-    import os
-
-    from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
-    out = os.path.join(scratch_dir(scratch_name), "res")
+    from mit_6_5840_mapreduce_spark.sources.scratch import (
+        materialize_scratch)
     marker = spark.range(1).select(
         F.lit(-1).cast("bigint").alias("query_id"),
         F.lit(nonce).cast("bigint").alias("cand_id"),
         F.lit(0.0).alias("cos_sim"),
         F.lit(0).cast("int").alias("rank"))
-    result.unionByName(marker).write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out).where(F.col("query_id") >= 0)
+    return (materialize_scratch(spark, result, scratch_name, marker=marker)
+            .where(F.col("query_id") >= 0))
 
 
 def hnsw_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:

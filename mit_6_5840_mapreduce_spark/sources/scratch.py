@@ -41,3 +41,19 @@ def scratch_path(name: str) -> str:
     string at module import and still point at whatever the Spark side
     wrote when the oracle later runs."""
     return os.path.join(_root(), name)
+
+
+def materialize_scratch(spark, df, name: str, marker=None):
+    """The validated-artifact bridge (round 8): write ``df`` (plus an
+    optional nonce ``marker`` frame, unioned by name) to
+    ``scratch_dir(name)/res`` and return the read-back DataFrame — so
+    the rows the engine RETURNS are exactly the rows the DuckDB oracle
+    will read back from ``scratch_path(name)/res/*.parquet`` and
+    error()-validate. One shared helper so the round-trip convention
+    (subdir layout, overwrite mode, readback) cannot drift between the
+    sketch, search, and trainer artifact queries."""
+    out = os.path.join(scratch_dir(name), "res")
+    if marker is not None:
+        df = df.unionByName(marker)
+    df.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

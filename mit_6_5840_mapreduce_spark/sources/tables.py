@@ -74,8 +74,15 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     a derived frame raises instead of silently triggering execution."""
     plan = df._jdf.queryExecution().logical().toString()
     banned = ("Join", "Aggregate", "Repartition", "Window", "Sort",
-              "Union", "Deduplicate", "Limit", "Generate")
-    hit = [b for b in banned if b in plan]
+              "Union", "Deduplicate", "GlobalLimit", "LocalLimit",
+              "Generate")
+    # match NODE names (each plan line starts with its node after the
+    # ':- '/'+- ' tree prefix; unresolved nodes carry a leading
+    # apostrophe), not raw substrings — a filter literal or alias
+    # containing e.g. 'Union' must not trip the guard
+    nodes = [ln.lstrip(" :+-'") for ln in plan.splitlines()]
+    hit = sorted({b for b in banned
+                  if any(n.startswith(b) for n in nodes)})
     if hit:
         raise ValueError(
             f"fan_out requires a scan-only input (projections/filters "

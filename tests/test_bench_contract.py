@@ -117,6 +117,11 @@ def test_contaminated_stamp_thresholds(monkeypatch):
     assert not bench.contaminated(idle, self_load)   # bench's own load
     assert bench.contaminated(self_load, idle)       # not idle at start
     assert bench.contaminated(idle, burst)           # external burst
+    # boundary parity with wait_for_idle's busy predicate (>=): a host
+    # sitting exactly at the idle threshold never satisfied the waiter,
+    # so the sweep must carry the stamp
+    at_thresh = (bench.IDLE_LOADAVG, 0.0, 0.0)
+    assert bench.contaminated(at_thresh, idle)
     monkeypatch.setenv("SPARK_GRAFT_BENCH_IDLE_LOADAVG", "10")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_AFTER_LOADAVG", "10")
     assert not bench.contaminated(burst, burst)

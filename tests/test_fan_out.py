@@ -46,3 +46,15 @@ def test_fan_out_rejects_derived_frames(spark, sf_dir):
     ok = fan_out(spark, docs.select("doc_id", "text")
                  .where(F.col("doc_id") >= 0))
     assert ok.count() > 0
+
+
+def test_fan_out_guard_matches_nodes_not_substrings(spark, sf_dir):
+    """r8 review: a filter LITERAL or alias containing a banned node
+    name (e.g. 'Union') must not trip the scan-only guard — only real
+    plan nodes do."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    ok = fan_out(spark, docs.where(F.col("source") != "Union Wire Sort")
+                 .select("doc_id", F.col("text").alias("JoinText")))
+    assert ok.count() > 0
