@@ -9,7 +9,9 @@ execution, no driver-side result transfer skewing the number).
 Contention hardening (wall-clock on this host swings ~2x with co-tenant
 load): bench WAITS for an idle host before starting (and stamps
 ``contaminated: true`` in the contract line if it never got one — see
-``wait_for_idle``/``contaminated``), per-query times are the MEDIAN of
+``wait_for_idle``/``contaminated``), a contaminated sweep is RETRIED in
+full up to SWEEP_ATTEMPTS times keeping the cleanest attempt (r9), and
+per-query times are the MEDIAN of
 $SPARK_GRAFT_BENCH_REPEAT runs (default 3), the JSON carries
 os.getloadavg() markers taken before and after the run, and a per-query
 ratio table against the frozen round-1 baseline (BASELINE.md /
@@ -106,6 +108,29 @@ IDLE_POLL_SEC = 20
 # r6/r7 record read 7.5-13. 6.0 separates the two regimes.
 AFTER_LOADAVG = 6.0
 
+# Full-sweep retry (VERDICT r8 item 2): three consecutive rounds shipped
+# a contaminated artifact of record whose spikes the resample sidecar
+# then disproved — the stamp fired correctly but the HEADLINE total
+# still led with noise. When a sweep comes back contaminated, bench now
+# re-runs the ENTIRE headline sweep (after another idle wait) up to
+# SWEEP_ATTEMPTS times and keeps the cleanest attempt (uncontaminated
+# first, then lowest ratio_median); every attempt's summary lands in
+# the contract notes so a never-idle host leaves an auditable trail.
+SWEEP_ATTEMPTS = 3
+
+
+def pick_cleanest(attempts: list[dict]) -> int:
+    """Index of the attempt the contract line should report: the first
+    uncontaminated one (attempt order — later retries of an already
+    clean sweep don't exist), else the contaminated attempt with the
+    lowest ratio_median (total_sec tiebreak)."""
+    for i, a in enumerate(attempts):
+        if not a["contaminated"]:
+            return i
+    return min(range(len(attempts)),
+               key=lambda i: (attempts[i]["ratio_median"],
+                              sum(attempts[i]["timings"].values())))
+
 
 def contaminated(load_before: tuple[float, ...],
                  load_after: tuple[float, ...],
@@ -194,20 +219,12 @@ def resample_candidates(ratios: dict[str, float],
     return sorted(n for n, r in ratios.items() if r > ratio_thresh)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else -1.0
-    queries, _ = registry()
-
+def run_headline_sweep(spark, queries, sf_dir: str, repeat: int) -> dict:
+    """One full headline sweep: idle-wait, time every headline query
+    (median of ``repeat`` runs), and summarize — timings, per-query
+    [min, median, max] spread, loadavg at both ends, baseline ratios,
+    and the contamination verdict for THIS attempt."""
     load_before = wait_for_idle()
-    spark = get_spark("bench")
-    # JVM/codegen warm-up so the first measured query isn't paying JIT
-    # cost (a NON-headline query, so no measured entry gets extra warming)
-    queries["q4_order_priority"](spark, sf_dir).write.mode(
-        "overwrite").format("noop").save()
-
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -225,6 +242,52 @@ def main() -> None:
         spread[name] = [round(min(runs), 3), timings[name],
                         round(max(runs), 3)]
     load_after = os.getloadavg()
+    ratios = {name: round(timings[name] / BASELINE_R1[name], 2)
+              for name in HEADLINE if name in BASELINE_R1}
+    return {
+        "timings": timings,
+        "spread": spread,
+        "load_before": load_before,
+        "load_after": load_after,
+        "ratios": ratios,
+        "ratio_median": round(statistics.median(ratios.values()), 2),
+        "contaminated": contaminated(load_before, load_after),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    queries, _ = registry()
+
+    spark = get_spark("bench")
+    # JVM/codegen warm-up so the first measured query isn't paying JIT
+    # cost (a NON-headline query, so no measured entry gets extra warming)
+    queries["q4_order_priority"](spark, sf_dir).write.mode(
+        "overwrite").format("noop").save()
+
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    max_attempts = int(os.environ.get(
+        "SPARK_GRAFT_BENCH_SWEEP_ATTEMPTS", str(SWEEP_ATTEMPTS)))
+    attempts: list[dict] = []
+    for i in range(max(max_attempts, 1)):
+        a = run_headline_sweep(spark, queries, sf_dir, repeat)
+        attempts.append(a)
+        if not a["contaminated"]:
+            break
+        print(f"bench: sweep attempt {i + 1} contaminated "
+              f"(load {a['load_before'][0]:.2f} -> "
+              f"{a['load_after'][0]:.2f}, ratio_median "
+              f"{a['ratio_median']}); "
+              + ("retrying full sweep" if i + 1 < max(max_attempts, 1)
+                 else "out of attempts — keeping cleanest"), flush=True)
+    used = pick_cleanest(attempts)
+    chosen = attempts[used]
+    timings = chosen["timings"]
+    spread = chosen["spread"]
+    load_before = chosen["load_before"]
+    load_after = chosen["load_after"]
 
     # operators added after round 1 (non-headline): timed once each
     # OUTSIDE the headline total so the cross-round contract (value vs
@@ -305,8 +368,7 @@ def main() -> None:
         cc_probe[f"{factor}x"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    ratios = {name: round(timings[name] / BASELINE_R1[name], 2)
-              for name in HEADLINE if name in BASELINE_R1}
+    ratios = chosen["ratios"]
 
     # post-sweep resample of load-contaminated spikes (see
     # resample_candidates): the contract keeps the PRIMARY number; the
@@ -335,6 +397,7 @@ def main() -> None:
         "bench_id": bench_id,
         "per_query_stat": f"median_of_{repeat}",
         "per_query_min_med_max": spread,
+        "sweep_attempt_timings": [a["timings"] for a in attempts],
         "extra_query_wall_single_run": extra,
         "ratio_vs_baseline_r1": ratios,
         "codec_payload_mb_per_sec": codec_mb_s,
@@ -365,8 +428,17 @@ def main() -> None:
             "ratio_median": round(statistics.median(ratios.values()), 2),
             "ratio_max": round(max(ratios.values()), 2),
             **({"resampled": sorted(resampled)} if resampled else {}),
-            **({"contaminated": True}
-               if contaminated(load_before, load_after) else {}),
+            **({"contaminated": True} if chosen["contaminated"] else {}),
+            # full-sweep retry trail (r9): one summary per attempt, the
+            # reported attempt flagged — a never-idle host is auditable
+            **({"sweep_attempts": [
+                   {"load": [round(a["load_before"][0], 2),
+                             round(a["load_after"][0], 2)],
+                    "ratio_median": a["ratio_median"],
+                    "contaminated": a["contaminated"],
+                    **({"used": True} if i == used else {})}
+                   for i, a in enumerate(attempts)]}
+               if len(attempts) > 1 else {}),
             "bench_id": bench_id,
             "detail_file": detail_path,
         },

@@ -28,6 +28,11 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
         from mit_6_5840_mapreduce_spark.session import attach_package
         attach_package(spark)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # row_units' loud-overflow contract needs ANSI even under the
+        # caller's session (the driver builds its own); runtime-mutable,
+        # default-on in Spark 4.x, so this is a no-op locally and the
+        # guard rail on deployments where ANSI defaults off (ADVICE r8)
+        spark.conf.set("spark.sql.ansi.enabled", "true")
         return fn(spark, sf_dir)
     return wrapped
 

@@ -114,8 +114,10 @@ def mr_wc_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor state is O(1) partials at any corpus size, versus the
     groupByKey path's reduce-sees-all-values contract. Output is
     value-identical to ``mr_wc_rdd`` (pinned by
-    tests/test_mr_associative.py) and shares ``mr_wc``'s oracle, so
-    the driver gate certifies the combine path itself end to end."""
+    tests/test_mr_associative.py) and shares ``mr_wc``'s oracle;
+    registered one past the r8 50-entry window cutoff, it LEADS the
+    r9 window so the driver gate certifies the combine path end to
+    end (parity-green locally since r8)."""
     from mit_6_5840_mapreduce_spark.mr.api import mr_run
     from mit_6_5840_mapreduce_spark.mr.apps import count_combine, wc_map
 

@@ -1682,7 +1682,8 @@ ORACLES = {
         ORDER BY numwait DESC, s_name
         LIMIT 100
     """,
-    # events_user_sketch: deliberately no oracle (approximate result)
+    # events_user_sketch: oracled below via artifact + exact-side
+    # error() bounds (r8; see the entry past q21)
     # sql_revenue_by_segment: the SAME SQL string is the oracle
     "sql_revenue_by_segment": _REVENUE_BY_SEGMENT_SQL,
     "sql_priority_status_sets": _GROUPING_SETS_SQL,

@@ -77,6 +77,12 @@ def get_spark(app_name: str = "mit-6-5840-mapreduce-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # functions/numeric.row_units' overflow-stays-LOUD contract (a
+        # row past DECIMAL(18,0) must raise, not silently become NULL
+        # and drop out of a money sum) requires ANSI mode. Spark 4.x
+        # defaults it on; pin it so the contract survives deployments
+        # and versions where the default is off (ADVICE r8).
+        .config("spark.sql.ansi.enabled", "true")
         # bound StreamingQuery.stop() so a wedged availableNow
         # micro-batch fails loudly instead of hanging the caller
         # (default stopTimeout=0 joins the stream thread forever)

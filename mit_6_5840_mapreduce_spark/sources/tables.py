@@ -72,17 +72,23 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     exchanges eagerly EXECUTES the upstream query stages at plan time
     (ADVICE r7). The precondition is therefore enforced, not assumed:
     a derived frame raises instead of silently triggering execution."""
-    plan = df._jdf.queryExecution().logical().toString()
-    banned = ("Join", "Aggregate", "Repartition", "Window", "Sort",
-              "Union", "Deduplicate", "GlobalLimit", "LocalLimit",
-              "Generate")
-    # match NODE names (each plan line starts with its node after the
-    # ':- '/'+- ' tree prefix; unresolved nodes carry a leading
-    # apostrophe), not raw substrings — a filter literal or alias
-    # containing e.g. 'Union' must not trip the guard
-    nodes = [ln.lstrip(" :+-'") for ln in plan.splitlines()]
-    hit = sorted({b for b in banned
-                  if any(n.startswith(b) for n in nodes)})
+    # Walk the analyzed logical plan via py4j and test node CLASS names
+    # (ADVICE r8): the previous rendered-string prefix match depended on
+    # the tree's toString format, which can drift across Spark versions
+    # (renamed nodes slipping past, new nodes sharing a banned prefix).
+    # Class simple names are the node identities themselves.
+    banned = {"Join", "Aggregate", "Repartition", "RepartitionByExpression",
+              "Window", "Sort", "Union", "Deduplicate", "GlobalLimit",
+              "LocalLimit", "Generate"}
+    seen: set[str] = set()
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        seen.add(node.getClass().getSimpleName())
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    hit = sorted(banned & seen)
     if hit:
         raise ValueError(
             f"fan_out requires a scan-only input (projections/filters "

@@ -141,3 +141,26 @@ def test_wait_for_idle_returns_immediately_on_idle_host(monkeypatch):
     out = bench.wait_for_idle(max_wait=300, poll=1)
     assert out[0] == 9.9
     assert slept, "loaded host should have waited at least one poll"
+
+
+def test_pick_cleanest_prefers_first_uncontaminated():
+    """The r9 full-sweep retry: the contract line reports the FIRST
+    clean attempt (retries only happen while contaminated, so a later
+    clean attempt cannot exist alongside an earlier one), and when
+    every attempt ran dirty, the lowest ratio_median wins with
+    total-seconds as tiebreak."""
+    def att(contam, ratio_median, total):
+        return {"contaminated": contam, "ratio_median": ratio_median,
+                "timings": {"q": total}}
+    # clean first attempt: no retry happened, index 0
+    assert bench.pick_cleanest([att(False, 1.3, 30.0)]) == 0
+    # dirty then clean: the clean one
+    assert bench.pick_cleanest(
+        [att(True, 1.1, 28.0), att(False, 1.4, 31.0)]) == 1
+    # all dirty: lowest ratio_median
+    assert bench.pick_cleanest(
+        [att(True, 1.5, 40.0), att(True, 1.2, 35.0),
+         att(True, 1.3, 33.0)]) == 1
+    # ratio tie: lower total wins
+    assert bench.pick_cleanest(
+        [att(True, 1.2, 40.0), att(True, 1.2, 35.0)]) == 1

@@ -164,3 +164,37 @@ def test_graph_recall_oracle_rejects_stale_artifact(spark, sf_dir):
                  "WHERE vec_id <> (SELECT max(vec_id) FROM '" + emb + "')")
     with pytest.raises(duckdb.Error, match="different corpus"):
         con2.execute(ORACLES["graph_recall_eval"]).df()
+
+
+def test_hnsw_scores_match_jvm_fold_at_floor4(spark, sf_dir):
+    """ADVICE r8: the driver's hnsw artifact oracle requires every
+    numpy beam score (pre-normalized rows, BLAS pairwise-summed dot)
+    to equal the SQL sequential-fold cosine bit-exactly at floor4. A
+    single ulp landing on a floor4 boundary under a future numpy/BLAS
+    would hard-error the driver GATE; this pin makes that drift a
+    pytest failure first — the test_pandas_topk discipline applied to
+    the graph search. The JVM fold here (F.aggregate, left-to-right)
+    is the same fold shape the DuckDB oracle re-derives."""
+    from pyspark.sql import functions as F
+
+    from mit_6_5840_mapreduce_spark.functions.numeric import floor4
+    from mit_6_5840_mapreduce_spark.operators.similarity import (
+        _dot, _with_norm,
+    )
+    from mit_6_5840_mapreduce_spark.sources.tables import load_table
+
+    hits = hnsw_search(spark, sf_dir) \
+        .select("query_id", "cand_id", "cos_sim")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _with_norm(emb, "query_id", "qv", "qn")
+    c = _with_norm(emb, "cand_id", "cv", "cn")
+    folded = (hits.join(q, "query_id").join(c, "cand_id")
+              .select("query_id", "cand_id", "cos_sim",
+                      floor4(_dot(F.col("qv"), F.col("cv"))
+                             / (F.col("qn") * F.col("cn")))
+                      .alias("fold_sim")))
+    rows = folded.collect()
+    assert rows, "join lost the hnsw hits"
+    bad = [(r.query_id, r.cand_id, r.cos_sim, r.fold_sim)
+           for r in rows if r.cos_sim != r.fold_sim]
+    assert not bad, f"floor4 disagreement numpy-vs-fold: {bad[:5]}"

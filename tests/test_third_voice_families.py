@@ -1,0 +1,145 @@
+"""Third-voice differential beyond the money queries (round 9,
+VERDICT r8 item 5): one independent recomputation each for the EVENT
+family (sessionize) and the DEDUP family (dedup_minhash_lsh) — the two
+families where the engine and its DuckDB oracle are most often edited
+in lockstep (the gap-flag window rewrite and the r8 DECIMAL fast-path
+conversion both touched engine+oracle together).
+
+Method matches tests/test_third_voice.py: pyarrow + pure-Python
+arithmetic, no Spark expressions, no DuckDB, no shared helper code —
+the documented CONTRACTS are re-implemented from their specs:
+
+- sessionize: sort (ts, event_id) per user, new session on a
+  > 30-minute gap measured in integer MICROSECONDS, money sum =
+  exact integer cents (floor(x*100+0.5), sum, /100).
+- dedup_minhash_lsh: letter-run tokens -> word-3-gram shingles ->
+  60-bit md5-prefix shingle ids -> 16 multiply-mod permutations
+  (a_i = 1000003 + 7919*i, b_i = 12345 + 104729*i, mod 2^31-1) ->
+  4 bands x 4 rows banded by md5 of the comma-joined band slice ->
+  bucket-share candidates -> est_jaccard = floor4(matches/16).
+  The constants are restated here on purpose: a silent constant
+  change in dedup.py must break THIS file, not just the oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import defaultdict
+
+import pyarrow.parquet as pq
+
+from mit_6_5840_mapreduce_spark.operators.dedup import dedup_minhash_lsh
+from mit_6_5840_mapreduce_spark.operators.events import sessionize
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+MINHASH_P = 2**31 - 1
+N_PERMS = 16
+BAND_ROWS = 4
+
+
+def _floor4(x: float) -> float:
+    return math.floor(x * 10_000) / 10_000
+
+
+def test_sessionize_third_voice(spark, sf_dir):
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    by_user: dict[int, list] = defaultdict(list)
+    for r in ev.itertuples():
+        # integer microseconds since epoch — the exact quantity the
+        # engine compares (ts is stored at us precision)
+        by_user[r.user_id].append((r.ts.value // 1000, r.event_id,
+                                   r.ts, r.value))
+    expected = {}
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        seq = 0
+        prev_us = None
+        sessions: dict[int, list] = defaultdict(list)
+        for us, _eid, ts, value in rows:
+            if prev_us is not None and us - prev_us > SESSION_GAP_US:
+                seq += 1
+            prev_us = us
+            sessions[seq].append((ts, value))
+        for s, evs in sessions.items():
+            cents = sum(math.floor(v * 100 + 0.5) for _, v in evs)
+            expected[(uid, s)] = (
+                min(t for t, _ in evs).to_pydatetime(),
+                max(t for t, _ in evs).to_pydatetime(),
+                len(evs), cents / 100.0)
+    got = {(r.user_id, r.session_seq):
+           (r.session_start, r.session_end, r.n_events, r.sum_value)
+           for r in sessionize(spark, sf_dir).collect()}
+    assert got == expected
+
+
+def _letters(text: str) -> list[str]:
+    # \p{L} runs: word chars minus digits minus underscore is the
+    # Unicode-letter class expressible in stdlib re
+    return re.findall(r"[^\W\d_]+", text)
+
+
+def test_dedup_minhash_lsh_third_voice(spark, sf_dir):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    perms = [(1000003 + 7919 * i, 12345 + 104729 * i)
+             for i in range(N_PERMS)]
+    sigs: dict[int, list[int]] = {}
+    for r in docs.itertuples():
+        toks = _letters(r.text)
+        hs = {int(hashlib.md5(" ".join(toks[i:i + 3]).encode())
+                  .hexdigest()[:15], 16)
+              for i in range(len(toks) - 2)}
+        if not hs:
+            continue                       # no shingles -> no signature
+        base = [h % MINHASH_P for h in hs]
+        sigs[r.doc_id] = [min((a * h + b) % MINHASH_P for h in base)
+                          for a, b in perms]
+    assert sigs, "corpus produced no signatures"
+    buckets: dict[tuple[int, str], list[int]] = defaultdict(list)
+    for doc_id, sig in sigs.items():
+        for k in range(N_PERMS // BAND_ROWS):
+            text = ",".join(str(s) for s in
+                            sig[k * BAND_ROWS:(k + 1) * BAND_ROWS])
+            buckets[(k, hashlib.md5(text.encode()).hexdigest())] \
+                .append(doc_id)
+    cand = set()
+    for members in buckets.values():
+        members.sort()
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                if a != b:
+                    cand.add((a, b))
+    expected = {
+        (a, b): _floor4(sum(x == y for x, y in zip(sigs[a], sigs[b]))
+                        / float(N_PERMS))
+        for a, b in cand}
+    assert expected, "LSH produced no candidate pairs at this SF"
+    got = {(r.doc_a, r.doc_b): r.est_jaccard
+           for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_family_third_voice_is_really_independent():
+    """Same guard as tests/test_third_voice.py: only the two query
+    entry points may come from the package — sharing the engine's
+    tokenizer, hashing, or money helpers would let all three voices
+    drift together."""
+    import tests.test_third_voice_families as tv
+    src = open(tv.__file__).read()
+    assert ("functions" + ".numeric") not in src
+    assert ("functions" + ".hashing") not in src
+    assert ("functions" + ".text") not in src
+    assert ("functions" + " import") not in src
+    imports = sorted(
+        ln for ln in src.splitlines()
+        if ln.startswith(("import ", "from "))
+        and "mit_6_5840_mapreduce_spark" in ln)
+    assert imports == [
+        "from mit_6_5840_mapreduce_spark.operators.dedup "
+        "import dedup_minhash_lsh",
+        "from mit_6_5840_mapreduce_spark.operators.events "
+        "import sessionize",
+    ]
