@@ -39,52 +39,44 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # each round, so window composition is an explicit, reviewed list rather
-# than an accident of module ordering. Round-8 window, composed under
+# than an accident of module ordering. Round-9 window, composed under
 # the steady-state policy (sentinels + round-changed + new + stalest
 # certs, tools/window_plan.py's draft): the sentinel set kept in-window
-# EVERY round; the round-8 NEW registration (user_event_sequences_capped
-# — the hot-key-bounded twin, VERDICT r7 item 5); the round-8 CHANGED
-# queries that need a fresh driver row — the EIGHT formerly rows-only
-# queries that gained oracles (VERDICT r7 item 1: bpe_train/bpe_encode
-# via the full unrolled SQL replay; ivf_train/hnsw_search/
-# hnsw_search_persisted via validated artifacts; events_user_sketch/
-# order_value_percentiles_approx via artifact + exact-side error()
-# bounds; embedding_topk_pandas shares embedding_topk's oracle) plus
-# sessionize (aggregate moved to the DECIMAL(18,0)-units fast path,
-# VERDICT r7 item 4); then the ENTIRE 36-cert r4 stale cohort (ceiling
-# 4 rounds, oldest first, name tiebreak) — led by customers_no_orders,
-# whose predicate changed to certify on a NON-EMPTY anti-join (VERDICT
-# r7 item 2). 4 + 1 + 9 + 36 = 50, no free slots.
+# EVERY round; mr_wc_assoc LEADS — registered one past the r8 cutoff,
+# it is the ONLY query with no driver cert yet (VERDICT r8 item 1, the
+# declared-associative combine path's end-to-end cert); the round-9
+# CHANGED queries — semantic_dedup and user_value_outliers (per-row
+# decimal sums moved to the BIGINT-product -> DECIMAL(18,0) row shape,
+# the r8 sessionize fast-path lesson; value-identical, wider loud-
+# overflow envelope); then the ENTIRE 38-cert r5 stale cohort (ceiling
+# 4 rounds, oldest first, name tiebreak) and the first 5 of the r6
+# cohort. 4 + 1 + 2 + 38 + 5 = 50, no free slots.
 # tests/test_registry_window.py pins this.
 WINDOW_SIZE = 50
 
 WINDOW_FIRST: tuple[str, ...] = (
     # sentinels (every round)
     "mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts",
-    # round-8 new registration
-    "user_event_sequences_capped",
-    # round-8 changed: the 8 newly-oracled queries + the sessionize
-    # aggregate fast-path conversion
-    "bpe_train", "bpe_encode", "ivf_train", "hnsw_search",
-    "hnsw_search_persisted", "events_user_sketch",
-    "order_value_percentiles_approx", "embedding_topk_pandas",
-    "sessionize",
-    # staleness rotation: the full r4 cohort (36), customers_no_orders
-    # first (its anti-join predicate changed — VERDICT r7 item 2)
-    "customers_no_orders", "daily_revenue_trailing", "decontaminate_split",
-    "dedup_keep_best", "embedding_quantize", "events_hourly_gapfilled",
-    "events_value_bands", "funnel_view_click_purchase",
-    "hourly_burst_detection", "latest_event_per_user",
-    "media_decode_stats", "nation_customer_supplier_balance",
-    "order_value_percentiles", "orders_dow_stats", "orders_monthly_growth",
-    "pack_sequences", "part_name_analysis", "priority_status_cube",
-    "q16_parts_supplier_relationship", "q4_order_priority",
-    "repeat_customers", "sales_rollup", "semantic_dedup",
-    "shingle_containment", "shingle_containment_capped",
-    "skewsafe_type_user_counts", "stream_foreachbatch_roundtrip",
-    "stream_topk_event_types", "table_profile", "training_shuffle",
-    "user_event_pivot", "user_event_sequences", "user_type_count_map",
-    "user_value_mad", "user_value_outliers", "user_value_trend",
+    # round-9 lead: the one query never driver-certified (r8 position 51)
+    "mr_wc_assoc",
+    # round-9 changed: medoid/variance sums on the (18,0)-row fast path
+    "semantic_dedup", "user_value_outliers",
+    # staleness rotation: the full r5 cohort (38)
+    "ann_recall_eval", "bloom_prune_join", "bucketed_join_stats",
+    "cdc_apply", "customer_rfm", "data_quality_audit", "dedup_eval",
+    "dedup_incremental", "dedup_index_build", "doc_bfs", "doc_lm_score",
+    "duplicate_spans", "embedding_neardup", "funnel_windowed",
+    "heavy_hitters_cms", "heavy_hitters_cms_direct", "image_phash",
+    "image_phash_neardup", "ivfpq_search", "media_features",
+    "mr_indexer", "mv_incremental_refresh", "pq_encode", "pq_search",
+    "q11_important_stock", "q9_product_type_profit", "quality_ensemble",
+    "similarity_triangles", "skyline_pareto", "source_mix_weights",
+    "stream_cdc_upsert", "stream_topk_stateful", "table_diff",
+    "temperature_resample", "user_event_unpivot",
+    "user_growth_accounting", "user_scd2", "zorder_layout_stats",
+    # r6-cohort head (next-stalest, name order)
+    "asof_join_orders", "audio_decode_stats", "curation_summary",
+    "customer_value_quartiles", "dedup_minhash_lsh",
 )
 
 

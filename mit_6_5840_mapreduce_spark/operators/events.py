@@ -409,20 +409,26 @@ def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerance. One hash-agg per user + one broadcast-back join; no
     window over the raw stream.
 
-    Overflow discipline (r6): s2 and the variance numerator n*s2 - s1^2
-    accumulate in DECIMAL(38,0) (DuckDB: HUGEINT) — in BIGINT they
-    overflow, loudly under ANSI, once a user holds ~3e4+ events
-    (n * s2 > 2^63), which a 100 TB corpus will produce. The exact
-    integer converts to DOUBLE at the same point as before, so values
-    are bit-identical wherever the old BIGINT form didn't overflow."""
+    Overflow discipline (r6, row shape updated r9): s2 and the variance
+    numerator n*s2 - s1^2 accumulate in exact decimal (DuckDB:
+    HUGEINT) — in BIGINT they overflow, loudly under ANSI, once a user
+    holds ~3e4+ events (n * s2 > 2^63), which a 100 TB corpus will
+    produce. The per-row square is BIGINT math cast to DECIMAL(18,0)
+    (the r8 row_units shape, functions/numeric.py:52): the sum stays on
+    the unscaled-long aggregation path instead of wide-decimal
+    accumulation, the row cast raises loudly at c^2 > 1e18 (a single
+    $10M event), and the DECIMAL(28,0) total holds 1e10 events/user of
+    max-magnitude cents. The exact integer converts to DOUBLE at the
+    same point as before, so values are bit-identical wherever the old
+    BIGINT form didn't overflow."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("c"))
-    c_dec = F.col("c").cast("decimal(38,0)")
     stats = ev.groupBy("user_id").agg(
         F.count("*").alias("n"),
         F.sum("c").alias("s1"),
-        F.sum(c_dec * F.col("c")).alias("s2"))
+        F.sum((F.col("c") * F.col("c")).cast("decimal(18,0)"))
+         .alias("s2"))
     # var = (n*s2 - s1^2) / (n*(n-1)); z = (c - s1/n) / sqrt(var)
     num = (F.col("n") * F.col("s2")
            - F.col("s1").cast("decimal(38,0)") * F.col("s1"))

@@ -596,19 +596,25 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     qd = grouped.select("vec_id", "group_id",
                         F.posexplode("qv").alias("dim", "qx"))
     sums = qd.groupBy("group_id", "dim").agg(F.sum("qx").alias("sx"))
-    # dot accumulates in DECIMAL(38,0) (DuckDB: HUGEINT — the r6
-    # user_value_outliers discipline): qx ~ 2^16 and sx ~ g * 2^16, so
-    # the 64-dim BIGINT dot overflows (loudly, under ANSI) once a
-    # near-dup group reaches g ~ 2^25 ≈ 33M members — boilerplate
-    # clusters at 100 TB genuinely get there. The exact integer
-    # converts to DOUBLE at the same ranking division either way, so
-    # values are unchanged wherever BIGINT sufficed.
+    # dot accumulates in exact decimal (DuckDB: HUGEINT — the r6
+    # user_value_outliers discipline), in the r8 row_units SHAPE: the
+    # per-row product is computed in BIGINT and cast to DECIMAL(18,0),
+    # so the sum stays on Spark's unscaled-long aggregation path and
+    # lands a DECIMAL(28,0) total (a per-row (38,0) operand forces the
+    # slow wide-decimal accumulation — the sessionize lesson,
+    # functions/numeric.py:52). Overflow stays LOUD and the envelope
+    # WIDENS: qx ~ 2^16 and sx ~ g * 2^16, so the (18,0) row cast
+    # raises (under ANSI) at qx*sx > 1e18 — a near-dup group of
+    # g ~ 2.3e8 members, vs ~33M where the old full-BIGINT 64-dim sum
+    # overflowed; the (28,0) total holds 64 rows of 1e18 with 1e9x
+    # headroom. The exact integer converts to DOUBLE at the same
+    # ranking division either way, so values are unchanged.
     dots = (
         qd.join(sums, ["group_id", "dim"])
         .groupBy("vec_id", "group_id")
-        .agg(F.sum(F.col("qx").cast("decimal(38,0)") * F.col("sx"))
+        .agg(F.sum((F.col("qx") * F.col("sx")).cast("decimal(18,0)"))
              .alias("dot"),
-             F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qx"))
+             F.sum((F.col("qx") * F.col("qx")).cast("decimal(18,0)"))
              .alias("nrm2"))
     )
     w = Window.partitionBy("group_id").orderBy(

@@ -5,12 +5,13 @@ entries per round, rotated under the steady-state policy (VERDICT r5
 item 4): sentinels every round, every round-changed and newly
 registered query, and all remaining slots filled from
 tools/window_plan.py's staleness report (ceiling 4 rounds), oldest
-cert round first with name tiebreak. Round 8: the 8 formerly
-rows-only queries that gained oracles + the sessionize fast-path
-conversion (round-changed), the capped-sequences twin (new), and the
-entire 36-cert r4 stale cohort led by the repredicated
-customers_no_orders. This test fails loudly if a future registration
-reorders them out.
+cert round first with name tiebreak. Round 9: mr_wc_assoc leads (the
+only query never driver-certified — registered at position 51 in r8,
+one past the window cutoff), semantic_dedup and user_value_outliers
+are round-changed (per-row decimal sums moved to the
+BIGINT-product -> DECIMAL(18,0) row shape), and the remaining slots
+take the entire 38-cert r5 stale cohort plus the first 5 of r6. This
+test fails loudly if a future registration reorders them out.
 """
 
 from __future__ import annotations
@@ -22,43 +23,38 @@ from mit_6_5840_mapreduce_spark.operators import (
 # regression sentinels: in-window EVERY round
 SENTINELS = {"mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts"}
 
-# changed in round 8: the 8 queries whose oracles are NEW (VERDICT r7
-# item 1 — every one needs its first hash-certified row) plus
-# sessionize (aggregate moved to the DECIMAL(18,0)-units fast path)
-CHANGED_THIS_ROUND = {"bpe_train", "bpe_encode", "ivf_train",
-                      "hnsw_search", "hnsw_search_persisted",
-                      "events_user_sketch",
-                      "order_value_percentiles_approx",
-                      "embedding_topk_pandas", "sessionize"}
+# round-9 lead: the declared-associative combine path's first driver
+# cert (VERDICT r8 item 1)
+NEVER_CERTIFIED = {"mr_wc_assoc"}
 
-# first registered in round 8
-NEW_THIS_ROUND = {"user_event_sequences_capped"}
+# changed in round 9: medoid/variance aggregation moved to the
+# (18,0)-row fast-path shape (values identical, plan changed)
+CHANGED_THIS_ROUND = {"semantic_dedup", "user_value_outliers"}
 
-# staleness rotation (window_plan.py, ceiling 4 rounds): the full r4
-# cohort (36); customers_no_orders doubles as round-changed (anti-join
-# repredicated to certify non-empty — VERDICT r7 item 2)
+# staleness rotation (window_plan.py, ceiling 4 rounds): the full r5
+# cohort (38) + the 5-name head of the r6 cohort
 STALE_ROTATION = {
-    "customers_no_orders", "daily_revenue_trailing", "decontaminate_split",
-    "dedup_keep_best", "embedding_quantize", "events_hourly_gapfilled",
-    "events_value_bands", "funnel_view_click_purchase",
-    "hourly_burst_detection", "latest_event_per_user",
-    "media_decode_stats", "nation_customer_supplier_balance",
-    "order_value_percentiles", "orders_dow_stats", "orders_monthly_growth",
-    "pack_sequences", "part_name_analysis", "priority_status_cube",
-    "q16_parts_supplier_relationship", "q4_order_priority",
-    "repeat_customers", "sales_rollup", "semantic_dedup",
-    "shingle_containment", "shingle_containment_capped",
-    "skewsafe_type_user_counts", "stream_foreachbatch_roundtrip",
-    "stream_topk_event_types", "table_profile", "training_shuffle",
-    "user_event_pivot", "user_event_sequences", "user_type_count_map",
-    "user_value_mad", "user_value_outliers", "user_value_trend",
+    "ann_recall_eval", "bloom_prune_join", "bucketed_join_stats",
+    "cdc_apply", "customer_rfm", "data_quality_audit", "dedup_eval",
+    "dedup_incremental", "dedup_index_build", "doc_bfs", "doc_lm_score",
+    "duplicate_spans", "embedding_neardup", "funnel_windowed",
+    "heavy_hitters_cms", "heavy_hitters_cms_direct", "image_phash",
+    "image_phash_neardup", "ivfpq_search", "media_features",
+    "mr_indexer", "mv_incremental_refresh", "pq_encode", "pq_search",
+    "q11_important_stock", "q9_product_type_profit", "quality_ensemble",
+    "similarity_triangles", "skyline_pareto", "source_mix_weights",
+    "stream_cdc_upsert", "stream_topk_stateful", "table_diff",
+    "temperature_resample", "user_event_unpivot",
+    "user_growth_accounting", "user_scd2", "zorder_layout_stats",
+    "asof_join_orders", "audio_decode_stats", "curation_summary",
+    "customer_value_quartiles", "dedup_minhash_lsh",
 }
 
-MUST_BE_IN_WINDOW = (SENTINELS | CHANGED_THIS_ROUND | NEW_THIS_ROUND
+MUST_BE_IN_WINDOW = (SENTINELS | NEVER_CERTIFIED | CHANGED_THIS_ROUND
                      | STALE_ROTATION)
 
 
-def test_first_window_contains_round8_surface():
+def test_first_window_contains_round9_surface():
     queries, _ = registry()
     window = list(queries)[:WINDOW_SIZE]
     missing = MUST_BE_IN_WINDOW - set(window)
@@ -66,7 +62,7 @@ def test_first_window_contains_round8_surface():
 
 
 def test_window_is_exactly_the_must_list():
-    # 4 + 9 + 1 + 36 = 50: the round-8 window has no free slots
+    # 4 + 1 + 2 + 43 = 50: the round-9 window has no free slots
     assert len(MUST_BE_IN_WINDOW) == WINDOW_SIZE
 
 

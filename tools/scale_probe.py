@@ -82,7 +82,13 @@ def replicate(spark, sf_dir, out_dir, table, id_col, factor):
     for p in parts[1:]:
         df = df.unionAll(p)
     path = os.path.join(out_dir, f"{table}.parquet")
-    df.coalesce(max(factor // 2, 1)).write.mode("overwrite").parquet(path)
+    # constant per-file bytes across factors (r9): the old
+    # max(factor//2, 1) layout gave the 4x replica HALF the per-byte
+    # scan splits of 1x/16x, so probe growth numbers confounded query
+    # cost with scan parallelism (measured: token_rarity 4x wall >
+    # 16x wall). files = factor means splits grow linearly with data —
+    # the production shape — and growth ratios measure the QUERY.
+    df.coalesce(factor).write.mode("overwrite").parquet(path)
 
 
 def main() -> int:
