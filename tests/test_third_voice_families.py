@@ -1,9 +1,10 @@
 """Third-voice differential beyond the money queries (round 9,
 VERDICT r8 item 5): one independent recomputation each for the EVENT
-family (sessionize) and the DEDUP family (dedup_minhash_lsh) — the two
+family (sessionize), the DEDUP family (dedup_minhash_lsh), and the
+STREAMING family (stream_hourly_counts, a window sentinel) — the
 families where the engine and its DuckDB oracle are most often edited
-in lockstep (the gap-flag window rewrite and the r8 DECIMAL fast-path
-conversion both touched engine+oracle together).
+in lockstep (the gap-flag window rewrite and the r8/r9 DECIMAL
+fast-path conversions both touched engine+oracle together).
 
 Method matches tests/test_third_voice.py: pyarrow + pure-Python
 arithmetic, no Spark expressions, no DuckDB, no shared helper code —
@@ -32,6 +33,7 @@ import pyarrow.parquet as pq
 
 from mit_6_5840_mapreduce_spark.operators.dedup import dedup_minhash_lsh
 from mit_6_5840_mapreduce_spark.operators.events import sessionize
+from mit_6_5840_mapreduce_spark.streaming.jobs import stream_hourly_counts
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
@@ -122,6 +124,24 @@ def test_dedup_minhash_lsh_third_voice(spark, sf_dir):
     assert got == expected
 
 
+def test_stream_hourly_counts_third_voice(spark, sf_dir):
+    """STREAMING family: the tumbling-window aggregate must equal a
+    plain per-hour fold of the raw file — Structured Streaming's
+    availableNow replay over a static source is exactly batch, and the
+    money rule is the same integer-cents contract as sessionize. The
+    1-hour watermark must not drop anything on a bounded replay."""
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    acc: dict[tuple, list] = defaultdict(lambda: [0, 0])
+    for r in ev.itertuples():
+        a = acc[(r.ts.floor("h").to_pydatetime(), r.event_type)]
+        a[0] += 1
+        a[1] += math.floor(r.value * 100 + 0.5)
+    expected = {k: (n, cents / 100.0) for k, (n, cents) in acc.items()}
+    got = {(r.hour, r.event_type): (r.n_events, r.sum_value)
+           for r in stream_hourly_counts(spark, sf_dir).collect()}
+    assert got == expected
+
+
 def test_family_third_voice_is_really_independent():
     """Same guard as tests/test_third_voice.py: only the two query
     entry points may come from the package — sharing the engine's
@@ -142,4 +162,6 @@ def test_family_third_voice_is_really_independent():
         "import dedup_minhash_lsh",
         "from mit_6_5840_mapreduce_spark.operators.events "
         "import sessionize",
+        "from mit_6_5840_mapreduce_spark.streaming.jobs "
+        "import stream_hourly_counts",
     ]
