@@ -1,7 +1,9 @@
-"""Pin the round-7 DECIMAL(38,0)/HUGEINT accumulation fixes past the
-BIGINT cliff they exist for (the r6 user_value_outliers discipline,
-extended this round to semantic_dedup's medoid dot and token_rarity's
-rarity_sum).
+"""Pin the exact-decimal accumulation shapes past the BIGINT cliff they
+exist for (the r6 user_value_outliers discipline; token_rarity keeps
+per-row DECIMAL(38,0) — measured cost ~1% there — while semantic_dedup's
+medoid dot and user_value_outliers' sum-of-squares moved in r9 to the
+BIGINT-product -> DECIMAL(18,0) row shape, which stays on the
+unscaled-long aggregation path and raises LOUDLY at the row bound).
 
 Each test drives the exact aggregation expression the operator uses
 over inputs sized BEYOND BIGINT range, checks the value against pure
@@ -47,25 +49,29 @@ def test_rarity_sum_bigint_form_would_overflow(spark):
 
 
 def test_medoid_dot_decimal_matches_bigint_python(spark):
-    """semantic_dedup's dot = sum(qx * sx): qx ~ 2^16-scale fixed
-    point, sx ~ group_size * 2^16. With sx sized for a ~2^31-member
-    group the per-term product passes 2^62 and the 3-term sum passes
-    BIGINT; the DECIMAL(38,0) aggregation matches exact Python big-int
-    arithmetic and DuckDB's HUGEINT twin on the ranking DOUBLE."""
-    qx = [65521, 65293, 64997]
-    sx = [(1 << 31) * 65521, (1 << 31) * 65293, (1 << 31) * 64997]
+    """semantic_dedup's dot = sum((qx * sx) :: DECIMAL(18,0)) — the r9
+    row shape (BIGINT product per row, unscaled-long aggregation):
+    qx ~ 2^16-scale fixed point, sx ~ group_size * 2^16. With sx sized
+    for a ~2^27-member group, 20 terms push the SUM past BIGINT while
+    every per-row product stays under the (18,0) row bound; the
+    DECIMAL(28,0) aggregation matches exact Python big-int arithmetic
+    and DuckDB's HUGEINT twin on the ranking DOUBLE."""
+    n = 20
+    qx = [65521 - i for i in range(n)]
+    sx = [(1 << 27) * q for q in qx]
     rows = [(1, q, s) for q, s in zip(qx, sx)]
     df = spark.createDataFrame(rows, "vec_id INT, qx BIGINT, sx BIGINT")
     got = (df.groupBy("vec_id")
-           .agg(F.sum(F.col("qx").cast("decimal(38,0)") * F.col("sx"))
+           .agg(F.sum((F.col("qx") * F.col("sx")).cast("decimal(18,0)"))
                 .alias("dot"),
-                F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qx"))
+                F.sum((F.col("qx") * F.col("qx")).cast("decimal(18,0)"))
                 .alias("nrm2"))
            .select((F.col("dot") / F.sqrt(F.col("nrm2"))).alias("score"))
            .collect())
     true_dot = sum(q * s for q, s in zip(qx, sx))
     true_nrm2 = sum(q * q for q in qx)
-    assert true_dot > (1 << 63)             # genuinely past BIGINT
+    assert true_dot > (1 << 63)             # the SUM is past BIGINT
+    assert all(q * s < 10 ** 18 for q, s in zip(qx, sx))  # rows in (18,0)
     expect = float(true_dot) / (float(true_nrm2) ** 0.5)
     assert got[0].score == pytest.approx(expect, rel=0, abs=0)
     values = ", ".join(f"({q}, {s})" for q, s in zip(qx, sx))
@@ -74,3 +80,42 @@ def test_medoid_dot_decimal_matches_bigint_python(spark):
         f" / sqrt(CAST(sum(CAST(qx AS HUGEINT) * qx) AS HUGEINT))"
         f" FROM (VALUES {values}) t(qx, sx)").fetchone()[0]
     assert duck == got[0].score
+
+
+def test_medoid_row_past_decimal18_raises_loudly(spark):
+    """The r9 envelope contract: a per-row product past 1e18 (a
+    near-dup group of ~2.3e8+ members) must RAISE under ANSI, never
+    silently NULL out of the medoid sum."""
+    q, s = 65521, (1 << 38) * 65521          # q*s ~ 1.18e18 > 1e18
+    assert q * s > 10 ** 18
+    df = spark.createDataFrame([(1, q, s)], "vec_id INT, qx BIGINT, sx BIGINT")
+    with pytest.raises(Exception, match="(?i)overflow|cannot be represented"):
+        (df.groupBy("vec_id")
+         .agg(F.sum((F.col("qx") * F.col("sx")).cast("decimal(18,0)"))
+              .alias("dot"))
+         .collect())
+
+
+def test_outlier_sum_of_squares_decimal_survives_bigint_overflow(spark):
+    """user_value_outliers' s2 = sum((c * c) :: DECIMAL(18,0)) — the
+    r9 row shape: with c near the $10M-event row bound, 20 events push
+    the BIGINT sum past 2^63 while each square stays in (18,0); the
+    exact total matches Python big-int and DuckDB HUGEINT."""
+    n = 20
+    cs = [999_999_000 - i for i in range(n)]      # cents, c^2 < 1e18
+    df = spark.createDataFrame([(1, c) for c in cs],
+                               "user_id INT, c BIGINT")
+    got = (df.groupBy("user_id")
+           .agg(F.sum((F.col("c") * F.col("c")).cast("decimal(18,0)"))
+                .alias("s2"))
+           .select(F.col("s2").cast("double").alias("s2d"))
+           .collect())
+    true_s2 = sum(c * c for c in cs)
+    assert true_s2 > (1 << 63)
+    assert all(c * c < 10 ** 18 for c in cs)
+    assert got[0].s2d == float(true_s2)
+    values = ", ".join(f"({c})" for c in cs)
+    duck = duckdb.connect().execute(
+        f"SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) "
+        f"FROM (VALUES {values}) t(c)").fetchone()[0]
+    assert duck == got[0].s2d

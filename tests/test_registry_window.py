@@ -86,6 +86,20 @@ def test_registry_queries_pin_utc_timezone(spark, sf_dir):
     assert got == baseline
 
 
+def test_registry_queries_pin_ansi_mode(spark, sf_dir):
+    """ADVICE r8: row_units' loud-overflow contract requires ANSI. The
+    registry wrapper must re-enable it even when the caller's session
+    (the driver builds its own) has it off."""
+    import __spark_entry__ as entrymod
+    q = entrymod.queries()["mr_wc"]
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        q(spark, sf_dir).collect()
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+
+
 def test_alias_resolves_to_target():
     """`embedding_neardup` (driver-certified under the alias name in
     round 5) must still resolve to the same callable and oracle as its
