@@ -527,7 +527,14 @@ def token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens) pushes the sum past BIGINT — real web-crawl input, not a
     corner case. DOUBLE is the one output representation both engines'
     pandas bridges agree on byte-for-byte, and both convert the same
-    exact integer, so values match wherever BIGINT sufficed.
+    exact integer, so values match wherever BIGINT sufficed. The
+    (38,0) width is measured ~FREE here (r9 A/B at sf0.1: 0.887 s vs
+    0.879-0.892 s for an (18,0) row variant — this wall is tokenize +
+    the vocabulary join, not the one sum per doc), unlike the hot
+    multi-sum aggregates the r8 row_units lesson applies to; and the
+    r9 scale decomposition showed the probe's former 5.3x 16x-growth
+    was replica-layout confound + fixed-cost dilution (honest layout:
+    3.25x wall at 16x input, ~linear per-row cost).
 
     Scale shape: one tokenize pass, token counts as a per-word
     aggregate joined back, corpus total as a broadcast scalar — no
