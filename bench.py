@@ -261,6 +261,11 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     queries, _ = registry()
 
+    # idle-gate BEFORE Spark spin-up (r9 review): the JVM start + warm-up
+    # query put ~30s of 32-thread load on the box; starting them on a
+    # busy host would let bench's own footprint leak into attempt 1's
+    # load_before and self-trigger the contamination retry loop
+    wait_for_idle()
     spark = get_spark("bench")
     # JVM/codegen warm-up so the first measured query isn't paying JIT
     # cost (a NON-headline query, so no measured entry gets extra warming)

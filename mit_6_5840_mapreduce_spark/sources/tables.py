@@ -85,9 +85,14 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     while stack:
         node = stack.pop()
         seen.add(node.getClass().getSimpleName())
-        children = node.children()
-        for i in range(children.size()):
-            stack.append(children.apply(i))
+        # children() alone misses plans nested in EXPRESSIONS (scalar /
+        # IN subqueries) — which the pre-r9 rendered-string scan did
+        # cover; subqueries() collects exactly those plan-expression
+        # subtrees, closing the silent-execution hole for e.g.
+        # WHERE x > (SELECT avg(x) ...) inputs (r9 review)
+        for seq in (node.children(), node.subqueries()):
+            for i in range(seq.size()):
+                stack.append(seq.apply(i))
     hit = sorted(banned & seen)
     if hit:
         raise ValueError(

@@ -86,8 +86,10 @@ def test_medoid_row_past_decimal18_raises_loudly(spark):
     """The r9 envelope contract: a per-row product past 1e18 (a
     near-dup group of ~2.3e8+ members) must RAISE under ANSI, never
     silently NULL out of the medoid sum."""
-    q, s = 65521, (1 << 38) * 65521          # q*s ~ 1.18e18 > 1e18
-    assert q * s > 10 ** 18
+    q, s = 65521, (1 << 28) * 65521          # q*s ~ 1.15e18 > 1e18
+    # the interesting region: past the (18,0) row bound but INSIDE
+    # BIGINT, so the failure must come from the cast, not the multiply
+    assert 10 ** 18 < q * s < 2 ** 63
     df = spark.createDataFrame([(1, q, s)], "vec_id INT, qx BIGINT, sx BIGINT")
     with pytest.raises(Exception, match="(?i)overflow|cannot be represented"):
         (df.groupBy("vec_id")

@@ -48,6 +48,22 @@ def test_fan_out_rejects_derived_frames(spark, sf_dir):
     assert ok.count() > 0
 
 
+def test_fan_out_rejects_subquery_aggregates(spark, sf_dir):
+    """r9 review: banned nodes hiding in plan EXPRESSIONS (scalar/IN
+    subqueries) must trip the guard too — children() alone misses
+    them, and probing .rdd would execute the subquery's upstream
+    stages under AQE exactly like a top-level aggregate."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("fan_out_guard_docs")
+    sub = spark.sql(
+        "SELECT doc_id, text FROM fan_out_guard_docs "
+        "WHERE doc_id > (SELECT avg(doc_id) FROM fan_out_guard_docs)")
+    with pytest.raises(ValueError, match="scan-only"):
+        fan_out(spark, sub)
+
+
 def test_fan_out_guard_matches_nodes_not_substrings(spark, sf_dir):
     """r8 review: a filter LITERAL or alias containing a banned node
     name (e.g. 'Union') must not trip the scan-only guard — only real

@@ -78,3 +78,9 @@ def test_wc_survives_executor_jvm_death(sf_dir):
     assert "LC_CRASH_OK" in proc.stdout, (
         f"stdout tail: {proc.stdout[-2000:]}\n"
         f"stderr tail: {proc.stderr[-2000:]}")
+    # the kill must actually have taken an executor JVM down (r9
+    # review): if the grandparent walk lands on the wrong process the
+    # task would just sleep, emit on its FIRST attempt, and match the
+    # oracle trivially — demand the scheduler's executor-loss evidence
+    assert "Lost executor" in proc.stderr, (
+        f"no executor death observed; stderr tail: {proc.stderr[-2000:]}")

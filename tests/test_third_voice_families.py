@@ -129,16 +129,27 @@ def test_stream_hourly_counts_third_voice(spark, sf_dir):
     plain per-hour fold of the raw file — Structured Streaming's
     availableNow replay over a static source is exactly batch, and the
     money rule is the same integer-cents contract as sessionize. The
-    1-hour watermark must not drop anything on a bounded replay."""
+    1-hour watermark must not drop anything on a bounded replay.
+
+    The window column is a TZ-aware TIMESTAMP whose collect() rendering
+    depends on the host timezone (r9 review), so the comparison key is
+    the hour's epoch MICROSECONDS (unix_micros only re-encodes the
+    engine's own value; the expected side floors the raw parquet
+    microsecond instants in pure Python)."""
+    from pyspark.sql import functions as F
+
     ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    us_per_hour = 3_600_000_000
     acc: dict[tuple, list] = defaultdict(lambda: [0, 0])
     for r in ev.itertuples():
-        a = acc[(r.ts.floor("h").to_pydatetime(), r.event_type)]
+        hour_us = (r.ts.value // 1000) // us_per_hour * us_per_hour
+        a = acc[(hour_us, r.event_type)]
         a[0] += 1
         a[1] += math.floor(r.value * 100 + 0.5)
     expected = {k: (n, cents / 100.0) for k, (n, cents) in acc.items()}
-    got = {(r.hour, r.event_type): (r.n_events, r.sum_value)
-           for r in stream_hourly_counts(spark, sf_dir).collect()}
+    got = {(r.hour_us, r.event_type): (r.n_events, r.sum_value)
+           for r in stream_hourly_counts(spark, sf_dir)
+           .withColumn("hour_us", F.unix_micros("hour")).collect()}
     assert got == expected
 
 
