@@ -1,10 +1,14 @@
 """Third-voice differential beyond the money queries (round 9,
-VERDICT r8 item 5): one independent recomputation each for the EVENT
-family (sessionize), the DEDUP family (dedup_minhash_lsh), and the
-STREAMING family (stream_hourly_counts, a window sentinel) — the
-families where the engine and its DuckDB oracle are most often edited
-in lockstep (the gap-flag window rewrite and the r8/r9 DECIMAL
-fast-path conversions both touched engine+oracle together).
+VERDICT r8 item 5, extended): one independent recomputation each for
+the EVENT family (sessionize), the DEDUP family (dedup_minhash_lsh),
+the STREAMING family (stream_hourly_counts, a window sentinel), the
+TEXTSTATS family (tfidf_top_terms, a headline query), and the
+SIMILARITY family (embedding_topk, the exact-ANN anchor every recall
+audit compares against) — the families where the engine and its DuckDB
+oracle are most often edited in lockstep (the gap-flag window rewrite
+and the r8/r9 DECIMAL fast-path conversions both touched engine+oracle
+together). With tests/test_third_voice.py's q1/q3/q5/q6, every major
+query family now has at least one engine-independent voice.
 
 Method matches tests/test_third_voice.py: pyarrow + pure-Python
 arithmetic, no Spark expressions, no DuckDB, no shared helper code —
@@ -33,6 +37,8 @@ import pyarrow.parquet as pq
 
 from mit_6_5840_mapreduce_spark.operators.dedup import dedup_minhash_lsh
 from mit_6_5840_mapreduce_spark.operators.events import sessionize
+from mit_6_5840_mapreduce_spark.operators.similarity import embedding_topk
+from mit_6_5840_mapreduce_spark.operators.textstats import tfidf_top_terms
 from mit_6_5840_mapreduce_spark.streaming.jobs import stream_hourly_counts
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -153,6 +159,70 @@ def test_stream_hourly_counts_third_voice(spark, sf_dir):
     assert got == expected
 
 
+def test_tfidf_top_terms_third_voice(spark, sf_dir):
+    """TEXTSTATS family: per-doc top-5 TF-IDF terms re-derived in pure
+    Python from the raw parquet. The numeric contract restated: raw =
+    double(term_count * n_docs) / double(doc_len * df) — exact integer
+    products converted to DOUBLE once, ONE division — ranked by
+    (raw DESC, word ASC), emitted as floor4."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    tf: dict[tuple, int] = defaultdict(int)
+    doc_len: dict[int, int] = defaultdict(int)
+    df_count: dict[str, int] = defaultdict(int)
+    for r in docs.itertuples():
+        words = _letters(r.text.lower())
+        for w in words:
+            tf[(r.doc_id, w)] += 1
+            doc_len[r.doc_id] += 1
+        for w in set(words):
+            df_count[w] += 1
+    n_docs = len(docs)
+    by_doc: dict[int, list] = defaultdict(list)
+    for (d, w), c in tf.items():
+        raw = float(c * n_docs) / float(doc_len[d] * df_count[w])
+        by_doc[d].append((raw, w, c))
+    expected = set()
+    for d, terms in by_doc.items():
+        terms.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (raw, w, c) in enumerate(terms[:5], start=1):
+            expected.add((d, w, c, _floor4(raw), rank))
+    got = {(r.doc_id, r.word, r.term_count, r.tfidf, r.rank)
+           for r in tfidf_top_terms(spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_embedding_topk_third_voice(spark, sf_dir):
+    """SIMILARITY family: brute-force cosine top-k re-derived with the
+    documented LEFT-TO-RIGHT double folds (the F.aggregate order the
+    DuckDB oracle's list_sum mirrors): norm = sqrt(fold(x*x)), dot =
+    fold(x*y), cos = floor4(dot / (qn * cn)); queries are vec_id < 8,
+    k = 5, ties broken by cand_id."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding]
+            for r in emb.itertuples()}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    norms = {i: math.sqrt(fold_dot(v, v)) for i, v in vecs.items()}
+    expected = set()
+    for q in [i for i in vecs if i < 8]:
+        scored = sorted(
+            ((_floor4(fold_dot(vecs[q], vecs[c]) / (norms[q] * norms[c])),
+              c) for c in vecs if c != q),
+            key=lambda t: (-t[0], t[1]))
+        for rank, (cos, c) in enumerate(scored[:5], start=1):
+            expected.add((q, c, cos, rank))
+    got = {(r.query_id, r.cand_id, r.cos_sim, r.rank)
+           for r in embedding_topk(spark, sf_dir).collect()}
+    assert got == expected
+
+
 def test_family_third_voice_is_really_independent():
     """Same guard as tests/test_third_voice.py: only the two query
     entry points may come from the package — sharing the engine's
@@ -173,6 +243,10 @@ def test_family_third_voice_is_really_independent():
         "import dedup_minhash_lsh",
         "from mit_6_5840_mapreduce_spark.operators.events "
         "import sessionize",
+        "from mit_6_5840_mapreduce_spark.operators.similarity "
+        "import embedding_topk",
+        "from mit_6_5840_mapreduce_spark.operators.textstats "
+        "import tfidf_top_terms",
         "from mit_6_5840_mapreduce_spark.streaming.jobs "
         "import stream_hourly_counts",
     ]
