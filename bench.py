@@ -105,8 +105,13 @@ IDLE_POLL_SEC = 20
 # a local[32] sweep on an otherwise-idle host drives the 1-min loadavg
 # to ~4-5 all by itself (measured on the first round-8 run, which
 # self-stamped as contaminated), while genuine co-tenant bursts in the
-# r6/r7 record read 7.5-13. 6.0 separates the two regimes.
-AFTER_LOADAVG = 6.0
+# r6/r7 record read 7.5-13. Recalibrated 6.0 -> 7.0 in r9: the sweep
+# got ~20% faster (denser stage activity per wall-second), and two
+# independent idle-start sweeps measured the self-footprint at
+# 6.61/6.65 — both with ratio_median 0.83, i.e. BETTER than the idle
+# r1 baseline, which external load cannot produce — so 6.x after-reads
+# are the bench itself; today's genuine bursts read 8.3-9.6.
+AFTER_LOADAVG = 7.0
 
 # Full-sweep retry (VERDICT r8 item 2): three consecutive rounds shipped
 # a contaminated artifact of record whose spikes the resample sidecar

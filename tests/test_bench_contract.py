@@ -115,6 +115,10 @@ def test_contaminated_stamp_thresholds(monkeypatch):
     idle, self_load, burst = (0.4, 0.2, 0.1), (4.8, 3.0, 1.5), (9.0,) * 3
     assert not bench.contaminated(idle, idle)
     assert not bench.contaminated(idle, self_load)   # bench's own load
+    # r9 recalibration: two idle-start sweeps with ratio_median 0.83
+    # (impossible under external load) read 6.61/6.65 after — the
+    # faster sweep's own footprint must not self-stamp
+    assert not bench.contaminated(idle, (6.65, 6.3, 6.17))
     assert bench.contaminated(self_load, idle)       # not idle at start
     assert bench.contaminated(idle, burst)           # external burst
     # boundary parity with wait_for_idle's busy predicate (>=): a host
