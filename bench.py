@@ -139,13 +139,19 @@ def pick_cleanest(attempts: list[dict]) -> int:
 
 def contaminated(load_before: tuple[float, ...],
                  load_after: tuple[float, ...],
-                 thresh: float | None = None) -> bool:
+                 thresh: float | None = None,
+                 load_peak: float | None = None) -> bool:
     """True when the sweep ran under co-tenant load — the stamp that
     tells a reader ratios are suspect. Asymmetric thresholds: before
     the sweep the host must be genuinely idle (< IDLE_LOADAVG, nothing
     is running yet), but the after reading includes the bench's OWN
     32-thread footprint, so only readings above AFTER_LOADAVG indicate
-    external load."""
+    external load. ``load_peak`` (r9) is the MAX 1-min loadavg sampled
+    between headline queries: endpoint readings miss a mid-sweep burst
+    that has decayed by sweep end (observed live — six adjacent-query
+    spikes, all resample-adjudicated to ~1x, with load_after back at
+    the self-footprint), so the peak is held to the same after-side
+    threshold."""
     if thresh is None:
         thresh = float(os.environ.get(
             "SPARK_GRAFT_BENCH_IDLE_LOADAVG", IDLE_LOADAVG))
@@ -153,7 +159,8 @@ def contaminated(load_before: tuple[float, ...],
         "SPARK_GRAFT_BENCH_AFTER_LOADAVG", AFTER_LOADAVG))
     # >= on the before side matches wait_for_idle's busy predicate: a
     # host the waiter judged never-idle must also be stamped
-    return load_before[0] >= thresh or load_after[0] > after_thresh
+    return (load_before[0] >= thresh or load_after[0] > after_thresh
+            or (load_peak is not None and load_peak > after_thresh))
 
 
 def wait_for_idle(max_wait: float | None = None,
@@ -232,6 +239,7 @@ def run_headline_sweep(spark, queries, sf_dir: str, repeat: int) -> dict:
     load_before = wait_for_idle()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    load_peak = 0.0
     for name in HEADLINE:
         runs = []
         for _ in range(repeat):
@@ -246,6 +254,9 @@ def run_headline_sweep(spark, queries, sf_dir: str, repeat: int) -> dict:
         # co-tenant contention, a tight band with a moved median is real
         spread[name] = [round(min(runs), 3), timings[name],
                         round(max(runs), 3)]
+        # mid-sweep burst detection (r9): a co-tenant burst can decay
+        # before sweep end, leaving clean endpoints around dirty medians
+        load_peak = max(load_peak, os.getloadavg()[0])
     load_after = os.getloadavg()
     ratios = {name: round(timings[name] / BASELINE_R1[name], 2)
               for name in HEADLINE if name in BASELINE_R1}
@@ -254,9 +265,11 @@ def run_headline_sweep(spark, queries, sf_dir: str, repeat: int) -> dict:
         "spread": spread,
         "load_before": load_before,
         "load_after": load_after,
+        "load_peak": round(load_peak, 2),
         "ratios": ratios,
         "ratio_median": round(statistics.median(ratios.values()), 2),
-        "contaminated": contaminated(load_before, load_after),
+        "contaminated": contaminated(load_before, load_after,
+                                     load_peak=load_peak),
     }
 
 
@@ -441,9 +454,11 @@ def main() -> None:
             **({"contaminated": True} if chosen["contaminated"] else {}),
             # full-sweep retry trail (r9): one summary per attempt, the
             # reported attempt flagged — a never-idle host is auditable
+            "loadavg_peak": chosen["load_peak"],
             **({"sweep_attempts": [
                    {"load": [round(a["load_before"][0], 2),
-                             round(a["load_after"][0], 2)],
+                             round(a["load_after"][0], 2),
+                             a["load_peak"]],
                     "ratio_median": a["ratio_median"],
                     "contaminated": a["contaminated"],
                     **({"used": True} if i == used else {})}

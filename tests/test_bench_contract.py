@@ -119,6 +119,11 @@ def test_contaminated_stamp_thresholds(monkeypatch):
     # (impossible under external load) read 6.61/6.65 after — the
     # faster sweep's own footprint must not self-stamp
     assert not bench.contaminated(idle, (6.65, 6.3, 6.17))
+    # r9 mid-sweep peak: clean endpoints around a decayed burst must
+    # stamp (observed live: six adjacent spiked medians, endpoints
+    # 1.7 -> 6.62, mid-sweep load 10+); the self-footprint peak must not
+    assert bench.contaminated(idle, self_load, load_peak=10.2)
+    assert not bench.contaminated(idle, self_load, load_peak=6.7)
     assert bench.contaminated(self_load, idle)       # not idle at start
     assert bench.contaminated(idle, burst)           # external burst
     # boundary parity with wait_for_idle's busy predicate (>=): a host
