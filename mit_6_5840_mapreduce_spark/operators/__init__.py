@@ -39,44 +39,47 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # each round, so window composition is an explicit, reviewed list rather
-# than an accident of module ordering. Round-9 window, composed under
+# than an accident of module ordering. Round-10 window, composed under
 # the steady-state policy (sentinels + round-changed + new + stalest
 # certs, tools/window_plan.py's draft): the sentinel set kept in-window
-# EVERY round; mr_wc_assoc LEADS — registered one past the r8 cutoff,
-# it is the ONLY query with no driver cert yet (VERDICT r8 item 1, the
-# declared-associative combine path's end-to-end cert); the round-9
-# CHANGED queries — semantic_dedup and user_value_outliers (per-row
-# decimal sums moved to the BIGINT-product -> DECIMAL(18,0) row shape,
-# the r8 sessionize fast-path lesson; value-identical, wider loud-
-# overflow envelope); then the ENTIRE 38-cert r5 stale cohort (ceiling
-# 4 rounds, oldest first, name tiebreak) and the first 5 of the r6
-# cohort. 4 + 1 + 2 + 38 + 5 = 50, no free slots.
+# EVERY round; the SIX new capped-composition gate entries (VERDICT r9
+# item 1 — dedup_groups/keep_best over max_df-capped candidate
+# generation; band-bucket population caps for the minhash / simhash /
+# embedding-LSH band joins; semantic_dedup over the capped pairs); the
+# round-10 CHANGED queries whose code or oracle was touched by the cap
+# plumbing and are NOT in the stale cohort (dedup_groups,
+# dedup_keep_best — oracles recomposed from the pair-list oracles;
+# dedup_minhash_lsh, semantic_dedup — optional bucket_cap threaded
+# through, default path identical); then 36 of the 37-cert r6 stale
+# cohort (ceiling 4 rounds, oldest first, name tiebreak —
+# user_value_mad_sql, last in name order, is the one planner-scheduled
+# spill to r11). 4 + 6 + 4 + 36 = 50, no free slots.
 # tests/test_registry_window.py pins this.
 WINDOW_SIZE = 50
 
 WINDOW_FIRST: tuple[str, ...] = (
     # sentinels (every round)
     "mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts",
-    # round-9 lead: the one query never driver-certified (r8 position 51)
-    "mr_wc_assoc",
-    # round-9 changed: medoid/variance sums on the (18,0)-row fast path
-    "semantic_dedup", "user_value_outliers",
-    # staleness rotation: the full r5 cohort (38)
-    "ann_recall_eval", "bloom_prune_join", "bucketed_join_stats",
-    "cdc_apply", "customer_rfm", "data_quality_audit", "dedup_eval",
-    "dedup_incremental", "dedup_index_build", "doc_bfs", "doc_lm_score",
-    "duplicate_spans", "embedding_neardup", "funnel_windowed",
-    "heavy_hitters_cms", "heavy_hitters_cms_direct", "image_phash",
-    "image_phash_neardup", "ivfpq_search", "media_features",
-    "mr_indexer", "mv_incremental_refresh", "pq_encode", "pq_search",
-    "q11_important_stock", "q9_product_type_profit", "quality_ensemble",
-    "similarity_triangles", "skyline_pareto", "source_mix_weights",
-    "stream_cdc_upsert", "stream_topk_stateful", "table_diff",
-    "temperature_resample", "user_event_unpivot",
-    "user_growth_accounting", "user_scd2", "zorder_layout_stats",
-    # r6-cohort head (next-stalest, name order)
-    "asof_join_orders", "audio_decode_stats", "curation_summary",
-    "customer_value_quartiles", "dedup_minhash_lsh",
+    # round-10 new: the capped composed dedup pipelines (VERDICT r9 #1)
+    "dedup_groups_capped", "dedup_keep_best_capped",
+    "dedup_minhash_lsh_capped", "dedup_simhash_capped",
+    "embedding_neardup_lsh_capped", "semantic_dedup_capped",
+    # round-10 changed (cap plumbing; not already in the stale cohort)
+    "dedup_groups", "dedup_keep_best", "dedup_minhash_lsh",
+    "semantic_dedup",
+    # staleness rotation: the r6 cohort (36 of 37; user_value_mad_sql
+    # spills to r11)
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
+    "doc_chunks", "doc_fingerprint", "doc_quality", "doc_split",
+    "embedding_lsh_signatures", "embedding_neardup_exact",
+    "embedding_neardup_lsh", "embedding_topk", "event_transitions",
+    "events_hourly", "events_props_stats", "graph_recall_eval",
+    "image_decode_stats", "ivf_assign", "ivf_search", "lang_id",
+    "minhash_signatures", "mr_doccount", "mr_docmeta", "mr_indexer_rdd",
+    "payload_thumbnail", "pq_recall_eval", "q3_shipping_priority",
+    "simhash_docs", "source_quota_cap", "stratified_sample",
+    "stream_dedup_events", "stream_sliding_counts", "stream_user_totals",
+    "tfidf_cosine_pairs", "tfidf_top_terms", "token_stats", "user_stats",
 )
 
 

@@ -194,13 +194,25 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("signature"))
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
+                      bucket_cap: int | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated Jaccard.
 
     Bands of BAND_ROWS rows hash to bucket keys; candidate pairs are docs
     sharing any bucket (equi-join — the 100 TB-safe path); each pair then
     compares full signatures via two wide joins (no per-perm re-shuffle).
-    """
+
+    ``bucket_cap``: the band-bucket population cap — drop (band,
+    band_hash) buckets holding more than ``bucket_cap`` documents BEFORE
+    the self-join. A bucket of b members contributes b*(b-1)/2 candidate
+    pairs, so one boilerplate cluster (every near-identical license
+    header hashes to the same bucket in every band) turns the equi-join
+    quadratic; the cap bounds per-bucket fan-out at bucket_cap^2 — the
+    band-join twin of ``max_df`` on the shingle index. Pairs sharing any
+    SURVIVING bucket keep their full-signature estimate unchanged.
+    Default off = the textbook LSH form; ``dedup_minhash_lsh_capped`` is
+    the gate entry with the cap on (its DuckDB oracle applies the
+    identical population filter)."""
     wide = _minhash_sig_wide(spark, sf_dir).cache()
     n_bands = N_PERMS // BAND_ROWS
     band_structs = F.array(*[
@@ -216,6 +228,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(band_structs).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"),
              F.col("b.band_hash").alias("band_hash"))
+    if bucket_cap is not None:
+        # population count is one map-side-combinable hash-agg on the
+        # join key itself; the keep-join then shuffles both sides into
+        # the same (band, band_hash) partitioning the candidate
+        # self-join needs anyway
+        keep = (bands.groupBy("band", "band_hash")
+                .agg(F.count("*").alias("pop"))
+                .where(F.col("pop") <= bucket_cap)
+                .select("band", "band_hash"))
+        bands = bands.join(keep, ["band", "band_hash"])
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_hash"])
@@ -243,6 +265,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CAP_MAX_DF = 50
 
+# Band-bucket population cap (minhash / simhash / embedding-LSH band
+# joins): a (band, bucket) of b members emits b*(b-1)/2 candidate pairs,
+# so the deployed form drops buckets above this population before the
+# self-join — the band-join twin of CAP_MAX_DF on the shingle index.
+BAND_BUCKET_CAP = 50
+
 
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_ngram_jaccard`` with the hot-shingle cap engaged
@@ -250,6 +278,15 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical doc-frequency filter, so this is value-checked, not
     just bounded."""
     return dedup_ngram_jaccard(spark, sf_dir, max_df=CAP_MAX_DF)
+
+
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_minhash_lsh`` with the band-bucket population cap engaged
+    (bucket_cap=BAND_BUCKET_CAP) — the form a 100 TB pipeline runs (a
+    giant boilerplate cluster otherwise makes one bucket quadratic).
+    The oracle applies the identical per-(band, band_hash) population
+    filter, so the capped pipeline is value-checked end to end."""
+    return dedup_minhash_lsh(spark, sf_dir, bucket_cap=BAND_BUCKET_CAP)
 
 
 CC_MAX_ITERS = 20
@@ -357,7 +394,8 @@ def cc_labels(spark: SparkSession, pairs: DataFrame,
     return labels
 
 
-def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_groups(spark: SparkSession, sf_dir: str,
+                 max_df: int | None = None) -> DataFrame:
     """Duplicate GROUPS: connected components over the exact n-gram
     Jaccard near-dup pairs, labeling every document with its component's
     minimum doc_id (singletons keep their own id) plus the group size —
@@ -370,8 +408,15 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY over the pair subgraph — docs with no near-dup edge are
     singletons by definition and rejoin at the end; see its docstring
     for the partitioning/checkpoint/convergence design.
-    """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+
+    ``max_df`` flows through to the candidate generation
+    (``dedup_ngram_jaccard``'s hot-shingle cap): the composed pipeline a
+    100 TB pass actually runs is the CAPPED one — an uncapped stop-
+    shingle makes the pair join quadratic before CC ever starts.
+    Default off = the oracle-exact textbook composition;
+    ``dedup_groups_capped`` is the gate entry with the cap engaged."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir, max_df=max_df) \
+        .select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     labels = cc_labels(spark, pairs, "doc_a", "doc_b") \
         .withColumnRenamed("node_id", "doc_id")
@@ -382,6 +427,18 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("label", "doc_id").alias("group_id"))
         .withColumn("group_size", F.count("*").over(w))
     )
+
+
+def dedup_groups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed group pipeline in its deployed form: connected
+    components over CAPPED candidate generation
+    (``dedup_ngram_jaccard(max_df=CAP_MAX_DF)``). The reference's own
+    correctness unit is the end-to-end pipeline golden-diff
+    (src/main/test-mr.sh:284-330) — this certifies the composition a
+    100 TB pass runs, not just its capped stage. The oracle builds its
+    pair list with the identical doc-frequency filter, then the same
+    recursive min-label reachability."""
+    return dedup_groups(spark, sf_dir, max_df=CAP_MAX_DF)
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,17 +470,33 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash(spark: SparkSession, sf_dir: str,
+                  bucket_cap: int | None = None) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= 3.
 
     Candidates via 4 x 8-bit band buckets (exact for Hamming<=3), verified
     with bit_count(xor). Equi-join only — no cross join at any scale.
-    """
+
+    ``bucket_cap``: the band-bucket population cap (same contract as
+    ``dedup_minhash_lsh``): (band, band_val) buckets holding more than
+    ``bucket_cap`` documents are dropped before the self-join, bounding
+    per-bucket pair fan-out at bucket_cap^2. With the cap on, the
+    Hamming<=3 pigeonhole exactness becomes "exact among pairs sharing a
+    surviving bucket" — the documented trade the deployed form makes.
+    Default off; ``dedup_simhash_capped`` is the gate entry with the cap
+    on (its DuckDB oracle reproduces the banding AND the identical
+    population filter)."""
     sh = simhash_docs(spark, sf_dir).cache()
     bands = sh.select(
         "doc_id", "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
     ).withColumn("band_val", F.expr("(simhash >> (band * 8)) & 255"))
+    if bucket_cap is not None:
+        keep = (bands.groupBy("band", "band_val")
+                .agg(F.count("*").alias("pop"))
+                .where(F.col("pop") <= bucket_cap)
+                .select("band", "band_val"))
+        bands = bands.join(keep, ["band", "band_val"])
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_val"])
@@ -441,6 +514,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_simhash`` with the band-bucket population cap engaged
+    (bucket_cap=BAND_BUCKET_CAP) — the deployed form. The oracle
+    reproduces the 4 x 8-bit banding with the identical population
+    filter (the uncapped oracle's simple all-pairs form is only valid
+    when every bucket survives)."""
+    return dedup_simhash(spark, sf_dir, bucket_cap=BAND_BUCKET_CAP)
 
 
 CONTAINMENT_MIN = 0.5
@@ -500,7 +582,8 @@ def shingle_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_keep_best(spark: SparkSession, sf_dir: str,
-                    groups_df: DataFrame | None = None) -> DataFrame:
+                    groups_df: DataFrame | None = None,
+                    max_df: int | None = None) -> DataFrame:
     """Survivorship selection: within each near-dup group
     (dedup_groups), keep the highest-quality document — quality score
     from operators/textstats.doc_quality, ties broken by doc_id so the
@@ -513,7 +596,10 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str,
     components labeling is computed ONCE and fed to every downstream
     consumer — pass it here so survivorship doesn't re-run the whole
     pair-join + CC iteration (5.5 s vs 1 s at sf0.1). Default (the gate
-    entry's behavior, unchanged): compute it.
+    entry's behavior, unchanged): compute it. ``max_df`` flows through
+    to that default's candidate generation (ignored when ``groups_df``
+    is given) — ``dedup_keep_best_capped`` is the gate entry running
+    the fully capped composition.
 
     One window pass over the group labeling; the quality join is
     doc_id-equi and pre-aggregated per doc."""
@@ -521,7 +607,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str,
 
     from mit_6_5840_mapreduce_spark.operators.textstats import doc_quality
     groups = (groups_df if groups_df is not None
-              else dedup_groups(spark, sf_dir))
+              else dedup_groups(spark, sf_dir, max_df=max_df))
     quality = doc_quality(spark, sf_dir).select("doc_id", "quality_score")
     w = W.partitionBy("group_id").orderBy(F.desc("quality_score"),
                                           F.asc("doc_id"))
@@ -531,6 +617,16 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str,
         .select("doc_id", "group_id", "group_size", "quality_score",
                 (F.col("rk") == 1).cast("int").alias("is_survivor"))
     )
+
+
+def dedup_keep_best_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full survivorship pipeline in its deployed form: capped
+    candidate generation -> connected components -> quality-ranked
+    survivor per group (``dedup_keep_best(max_df=CAP_MAX_DF)``). The
+    oracle composes the capped group labeling with the doc_quality
+    oracle under the identical filter — the end-to-end value check for
+    the composition a 100 TB dedup pass actually ships."""
+    return dedup_keep_best(spark, sf_dir, max_df=CAP_MAX_DF)
 
 
 # Incremental dedup: the daily-increment pipeline shape. "Existing
@@ -674,15 +770,19 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_groups": dedup_groups,
+    "dedup_groups_capped": dedup_groups_capped,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_keep_best_capped": dedup_keep_best_capped,
     "dedup_index_build": dedup_index_build,
     "dedup_incremental": dedup_incremental,
     "shingle_containment": shingle_containment,
     "shingle_containment_capped": shingle_containment_capped,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
     "simhash_docs": simhash_docs,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_capped": dedup_simhash_capped,
 }
 
 _PERMS_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(PERMS))
@@ -724,6 +824,72 @@ _DUCK_SIMHASH = rf"""
         )
         GROUP BY doc_id
 """
+
+def _minhash_lsh_oracle(bucket_cap: int | None = None) -> str:
+    """MinHash-LSH oracle, optionally with the band-bucket population
+    cap — the SQL filter is IDENTICAL to the engine's keep-join
+    (HAVING count(*) <= cap per (band, band_hash))."""
+    cap_ctes = "" if bucket_cap is None else f""",
+        keep AS (
+            SELECT band, band_hash FROM bands
+            GROUP BY band, band_hash HAVING count(*) <= {bucket_cap}
+        ),
+        kb AS (SELECT b.doc_id, b.band, b.band_hash
+               FROM bands b JOIN keep USING (band, band_hash))"""
+    src = "bands" if bucket_cap is None else "kb"
+    return f"""
+        WITH sigs AS ({_DUCK_SIGS}),
+        bands AS (
+            SELECT doc_id, perm_i // {BAND_ROWS} AS band,
+                   md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm_i))
+                       AS band_hash
+            FROM sigs GROUP BY doc_id, perm_i // {BAND_ROWS}
+        ){cap_ctes},
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM {src} x JOIN {src} y
+              ON x.band = y.band AND x.band_hash = y.band_hash
+             AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b,
+               floor(count(CASE WHEN sa.sig = sb.sig THEN 1 END)
+                     / {float(N_PERMS)} * 10000) / 10000 AS est_jaccard
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = doc_a
+        JOIN sigs sb ON sb.doc_id = doc_b AND sb.perm_i = sa.perm_i
+        GROUP BY doc_a, doc_b
+    """
+
+
+def _simhash_pairs_capped_oracle(bucket_cap: int) -> str:
+    """Capped SimHash oracle: must reproduce the 4 x 8-bit BANDING (the
+    uncapped oracle's all-pairs form is equivalent only when every
+    bucket survives) plus the identical population filter."""
+    return f"""
+        WITH sh AS ({_DUCK_SIMHASH}),
+        bands AS (
+            SELECT doc_id, simhash, band,
+                   (simhash >> (band * 8)) & 255 AS band_val
+            FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+        ),
+        keep AS (
+            SELECT band, band_val FROM bands
+            GROUP BY band, band_val HAVING count(*) <= {bucket_cap}
+        ),
+        kb AS (SELECT b.doc_id, b.simhash, b.band, b.band_val
+               FROM bands b JOIN keep USING (band, band_val)),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   x.simhash AS sim_a, y.simhash AS sim_b
+            FROM kb x JOIN kb y ON x.band = y.band
+                               AND x.band_val = y.band_val
+                               AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
+    """
+
 
 ORACLES = {
     "dedup_exact": """
@@ -821,44 +987,13 @@ ORACLES = {
         WHERE floor(n_common / (sa.n + sb.n - n_common) * 10000) / 10000
               >= {MIN_JACCARD}
     """,
-    # connected components via recursive min-label reachability: a doc's
-    # group is the min doc_id among everything transitively connected
-    # through the (undirected) near-dup pair edges
-    "dedup_groups": f"""
-        WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        ),
-        pairs AS (
-            SELECT doc_a, doc_b
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE floor(n_common / (sa.n + sb.n - n_common) * 10000) / 10000
-                  >= {MIN_JACCARD}
-        ),
-        edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM pairs
-            UNION ALL
-            SELECT doc_b AS src, doc_a AS dst FROM pairs
-        ),
-        reach(doc_id, label) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT e.dst, r.label
-            FROM edges e JOIN reach r ON r.doc_id = e.src
-        ),
-        grp AS (
-            SELECT doc_id, min(label) AS group_id FROM reach GROUP BY doc_id
-        )
-        SELECT doc_id, group_id,
-               count(*) OVER (PARTITION BY group_id) AS group_size
-        FROM grp
-    """,
+    # connected components: composed below via _groups_oracle from the
+    # corresponding pair-list oracle (uncapped / capped), so the capped
+    # composition applies the IDENTICAL candidate filter
+    "dedup_groups": "__built_below__",
+    "dedup_groups_capped": "__built_below__",
     "dedup_keep_best": "__built_below__",
+    "dedup_keep_best_capped": "__built_below__",
     # the oracle reproduces the 60-bit md5-prefix hash so the INDEX
     # ARTIFACT itself is value-checked, not just derived stats
     "dedup_index_build": f"""
@@ -941,29 +1076,10 @@ ORACLES = {
         FROM ({_DUCK_SIGS})
         GROUP BY doc_id
     """,
-    "dedup_minhash_lsh": f"""
-        WITH sigs AS ({_DUCK_SIGS}),
-        bands AS (
-            SELECT doc_id, perm_i // {BAND_ROWS} AS band,
-                   md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm_i))
-                       AS band_hash
-            FROM sigs GROUP BY doc_id, perm_i // {BAND_ROWS}
-        ),
-        cand AS (
-            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-            FROM bands x JOIN bands y
-              ON x.band = y.band AND x.band_hash = y.band_hash
-             AND x.doc_id < y.doc_id
-        )
-        SELECT doc_a, doc_b,
-               floor(count(CASE WHEN sa.sig = sb.sig THEN 1 END)
-                     / {float(N_PERMS)} * 10000) / 10000 AS est_jaccard
-        FROM cand
-        JOIN sigs sa ON sa.doc_id = doc_a
-        JOIN sigs sb ON sb.doc_id = doc_b AND sb.perm_i = sa.perm_i
-        GROUP BY doc_a, doc_b
-    """,
+    "dedup_minhash_lsh": _minhash_lsh_oracle(),
+    "dedup_minhash_lsh_capped": _minhash_lsh_oracle(BAND_BUCKET_CAP),
     "simhash_docs": _DUCK_SIMHASH,
+    "dedup_simhash_capped": _simhash_pairs_capped_oracle(BAND_BUCKET_CAP),
     "dedup_simhash": f"""
         WITH sh AS ({_DUCK_SIMHASH})
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -974,15 +1090,52 @@ ORACLES = {
 }
 
 
-def _keep_best_oracle() -> str:
-    # composed from the dedup_groups CC oracle + the doc_quality oracle
+def _groups_oracle(pairs_sql: str) -> str:
+    """Connected components via recursive min-label reachability,
+    composed from a near-dup PAIR-LIST oracle (uncapped or capped — one
+    source of truth per candidate filter): a doc's group is the min
+    doc_id among everything transitively connected through the
+    (undirected) pair edges. MATERIALIZED so the recursive reachability
+    doesn't re-evaluate the shingle self-join per iteration (the
+    semantic_dedup / doc_pagerank lesson)."""
+    return f"""
+        WITH RECURSIVE pairs AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({pairs_sql})
+        ),
+        edges AS MATERIALIZED (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(doc_id, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.label
+            FROM edges e JOIN reach r ON r.doc_id = e.src
+        ),
+        grp AS (
+            SELECT doc_id, min(label) AS group_id FROM reach GROUP BY doc_id
+        )
+        SELECT doc_id, group_id,
+               count(*) OVER (PARTITION BY group_id) AS group_size
+        FROM grp
+    """
+
+
+ORACLES["dedup_groups"] = _groups_oracle(ORACLES["dedup_ngram_jaccard"])
+ORACLES["dedup_groups_capped"] = _groups_oracle(
+    ORACLES["dedup_ngram_jaccard_capped"])
+
+
+def _keep_best_oracle(groups_sql: str) -> str:
+    # composed from a dedup_groups CC oracle + the doc_quality oracle
     # (one source of truth per sub-pipeline, same pattern as
     # textstats.curation_summary)
     from mit_6_5840_mapreduce_spark.operators.textstats import (
         ORACLES as TS_ORACLES,
     )
     return f"""
-        WITH g AS ({ORACLES["dedup_groups"]}),
+        WITH g AS ({groups_sql}),
         dq AS ({TS_ORACLES["doc_quality"]})
         SELECT g.doc_id, g.group_id, g.group_size, dq.quality_score,
                CASE WHEN row_number() OVER (
@@ -993,7 +1146,9 @@ def _keep_best_oracle() -> str:
     """
 
 
-ORACLES["dedup_keep_best"] = _keep_best_oracle()
+ORACLES["dedup_keep_best"] = _keep_best_oracle(ORACLES["dedup_groups"])
+ORACLES["dedup_keep_best_capped"] = _keep_best_oracle(
+    ORACLES["dedup_groups_capped"])
 
 
 def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

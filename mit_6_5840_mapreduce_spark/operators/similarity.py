@@ -457,7 +457,8 @@ def _band_val_sql(vec_sql: str, band: int) -> str:
         for j in range(BAND_BITS)) + ")"
 
 
-def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
+                          bucket_cap: int | None = None) -> DataFrame:
     """Near-dup via LSH banding: candidates share >=1 of 8 signature
     bands (equi-join — THE scale path, vs embedding_neardup's exact
     cross join), then verified with exact cosine >= NEARDUP_COS.
@@ -468,7 +469,18 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ivf_assign``+probe for broader search. False positives are zero
     by construction (exact cosine verification). The oracle recomputes
     the identical pipeline, so the check is exact for what the operator
-    CLAIMS to return."""
+    CLAIMS to return.
+
+    ``bucket_cap``: the band-bucket population cap (the
+    ``dedup.BAND_BUCKET_CAP`` contract): (band, band_val) buckets
+    holding more than ``bucket_cap`` vectors are dropped before the
+    self-join. Each band has only 256 buckets, so at corpus scale EVERY
+    bucket's expected population is n/256 and the uncapped self-join is
+    structurally quadratic in n — the cap (sized to the near-dup
+    cluster scale, not n) is what keeps candidate generation linear at
+    100 TB. Default off = the textbook form;
+    ``embedding_neardup_lsh_capped`` is the gate entry with the cap on
+    (its DuckDB oracle applies the identical population filter)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # fan_out BEFORE the 64-projection band computation (single-file
     # scan = single partition otherwise; no-op on already-wide scans),
@@ -489,6 +501,14 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once (the 100 TB version of "once" is a bucketed materialization;
     # bands are 3 ints/row, so this never approaches corpus size).
     bands = bands.repartition("band", "band_val").persist()
+    if bucket_cap is not None:
+        # both the population agg and the keep-join are keyed by the
+        # (band, band_val) partitioning just installed — no new exchange
+        keep = (bands.groupBy("band", "band_val")
+                .agg(F.count("*").alias("pop"))
+                .where(F.col("pop") <= bucket_cap)
+                .select("band", "band_val"))
+        bands = bands.join(keep, ["band", "band_val"])
     # distinct on id PAIRS only — never shuffle embedding arrays through
     # the dedup; re-join vectors for the verification step
     cand = (
@@ -507,6 +527,18 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / (F.col("na") * F.col("nb"))).alias("cos_sim"))
         .where(F.col("cos_sim") >= NEARDUP_COS)
     )
+
+
+def embedding_neardup_lsh_capped(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """``embedding_neardup_lsh`` with the band-bucket population cap
+    engaged (bucket_cap=dedup.BAND_BUCKET_CAP) — the deployed form: the
+    256-buckets-per-band geometry makes the uncapped self-join
+    structurally quadratic at corpus scale. Oracle applies the
+    identical population filter, so the capped pipeline is
+    value-checked, not just bounded."""
+    from mit_6_5840_mapreduce_spark.operators.dedup import BAND_BUCKET_CAP
+    return embedding_neardup_lsh(spark, sf_dir, bucket_cap=BAND_BUCKET_CAP)
 
 
 Q_LEVELS = 127                     # symmetric int8 quantization range
@@ -553,7 +585,8 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_Q_SCALE = 1 << 16   # fixed-point resolution for centroid arithmetic
 
 
-def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup(spark: SparkSession, sf_dir: str,
+                   bucket_cap: int | None = None) -> DataFrame:
     """Embedding-space dedup end to end — the semantic twin of the
     lexical ``dedup_groups``+``dedup_keep_best`` pipeline: LSH-banded
     near-dup candidate pairs (``embedding_neardup_lsh``), connected
@@ -561,7 +594,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label loop), then MEDOID survivorship: within each group, keep
     the member closest to the group centroid — the representative a
     semantic-dedup pass feeds to training, rather than an arbitrary
-    lowest-id pick.
+    lowest-id pick. ``bucket_cap`` flows through to the candidate
+    generation (the band-bucket population cap); the deployed
+    composition is ``semantic_dedup_capped``.
 
     Numerics are cross-engine exact where order freedom exists:
     embeddings are quantized elementwise to SEM_Q_SCALE fixed-point
@@ -579,7 +614,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bypass it); everything shuffles on (group_id, dim) / vec_id
     equi-keys, never all-pairs."""
     from mit_6_5840_mapreduce_spark.operators.dedup import cc_labels
-    pairs = embedding_neardup_lsh(spark, sf_dir).select("vec_a", "vec_b")
+    pairs = embedding_neardup_lsh(spark, sf_dir, bucket_cap=bucket_cap) \
+        .select("vec_a", "vec_b")
     labels = cc_labels(spark, pairs, "vec_a", "vec_b") \
         .withColumnRenamed("node_id", "vec_id") \
         .withColumnRenamed("label", "group_id")
@@ -602,13 +638,18 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the sum stays on Spark's unscaled-long aggregation path and
     # lands a DECIMAL(28,0) total (a per-row (38,0) operand forces the
     # slow wide-decimal accumulation — the sessionize lesson,
-    # functions/numeric.py:52). Overflow stays LOUD and the envelope
-    # WIDENS: qx ~ 2^16 and sx ~ g * 2^16, so the (18,0) row cast
-    # raises (under ANSI) at qx*sx > 1e18 — a near-dup group of
-    # g ~ 2.3e8 members, vs ~33M where the old full-BIGINT 64-dim sum
-    # overflowed; the (28,0) total holds 64 rows of 1e18 with 1e9x
-    # headroom. The exact integer converts to DOUBLE at the same
-    # ranking division either way, so values are unchanged.
+    # functions/numeric.py:52). Overflow stays LOUD, and the envelope
+    # trade is explicit (ADVICE r9): vs the pre-r7 all-BIGINT form this
+    # widened the cliff from a ~33M-member group (the 64-dim BIGINT sum)
+    # to ~2.3e8 (the (18,0) row cast raises under ANSI at qx*sx > 1e18,
+    # qx ~ 2^16, sx ~ g * 2^16); vs the (38,0) rows this code replaced
+    # it NARROWS from effectively unbounded to that same ~2.3e8-member
+    # cliff — an ACCEPTED loud bound, pinned by
+    # tests/test_decimal_overflow.py and recorded in docs/SCALE.md,
+    # bought for the ~20% hot-aggregate saving. The (28,0) total holds
+    # 64 rows of 1e18 with 1e9x headroom. The exact integer converts to
+    # DOUBLE at the same ranking division either way, so values are
+    # unchanged.
     dots = (
         qd.join(sums, ["group_id", "dim"])
         .groupBy("vec_id", "group_id")
@@ -634,6 +675,17 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1).cast("int").alias("is_medoid"))
     )
     return ranked.unionByName(singletons)
+
+
+def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed semantic-dedup pipeline in its deployed form:
+    CAPPED band-bucket candidate generation
+    (``embedding_neardup_lsh(bucket_cap=dedup.BAND_BUCKET_CAP)``) ->
+    connected components -> medoid survivorship. Certifies the
+    composition a 100 TB pass runs end to end; the oracle builds its
+    pair list with the identical population filter."""
+    from mit_6_5840_mapreduce_spark.operators.dedup import BAND_BUCKET_CAP
+    return semantic_dedup(spark, sf_dir, bucket_cap=BAND_BUCKET_CAP)
 
 
 HNSW_M = 8            # neighbors linked per inserted node
@@ -1066,7 +1118,9 @@ QUERIES = {
     # of operators.registry() so it doesn't consume a driver-window slot
     "embedding_lsh_signatures": embedding_lsh_signatures,
     "embedding_neardup_lsh": embedding_neardup_lsh,
+    "embedding_neardup_lsh_capped": embedding_neardup_lsh_capped,
     "semantic_dedup": semantic_dedup,
+    "semantic_dedup_capped": semantic_dedup_capped,
     "pq_encode": pq_encode,
     "pq_search": pq_search,
     "ivfpq_search": ivfpq_search,
@@ -1106,7 +1160,19 @@ def _d_band_val(band: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-_D_LSH_PAIRS = f"""
+def _d_lsh_pairs(cos: str, bucket_cap: int | None = None) -> str:
+    """LSH near-dup pair oracle, optionally with the band-bucket
+    population cap — the SQL filter is IDENTICAL to the engine's
+    keep-join (HAVING count(*) <= cap per (band, band_val))."""
+    cap_ctes = "" if bucket_cap is None else f""",
+        keep AS (
+            SELECT band, band_val FROM bands
+            GROUP BY band, band_val HAVING count(*) <= {bucket_cap}
+        ),
+        kb AS (SELECT b.vec_id, b.band, b.band_val
+               FROM bands b JOIN keep USING (band, band_val))"""
+    src = "bands" if bucket_cap is None else "kb"
+    return f"""
         WITH proj AS (
             SELECT vec_id,
                    {", ".join(f"{_d_band_val(b)} AS bv{b}"
@@ -1117,19 +1183,19 @@ _D_LSH_PAIRS = f"""
             {" UNION ALL ".join(
                 f"SELECT vec_id, {b} AS band, bv{b} AS band_val FROM proj"
                 for b in range(LSH_BANDS))}
-        ),
+        ){cap_ctes},
         cand AS (
             SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-            FROM bands x JOIN bands y
+            FROM {src} x JOIN {src} y
               ON x.band = y.band AND x.band_val = y.band_val
              AND x.vec_id < y.vec_id
         )
         SELECT vec_a, vec_b,
-               floor({{cos}} * 10000) / 10000 AS cos_sim
+               floor({cos} * 10000) / 10000 AS cos_sim
         FROM cand
         JOIN embeddings a ON a.vec_id = vec_a
         JOIN embeddings b ON b.vec_id = vec_b
-        WHERE floor({{cos}} * 10000) / 10000 >= {NEARDUP_COS}
+        WHERE floor({cos} * 10000) / 10000 >= {NEARDUP_COS}
 """
 
 _D_NEARDUP_EXACT = f"""
@@ -1174,8 +1240,10 @@ ORACLES = {
     "embedding_lsh_signatures": f"""
         SELECT vec_id, {_D_SIG} AS lsh_sig FROM embeddings
     """,
-    "embedding_neardup_lsh": _D_LSH_PAIRS.format(
-        cos=_d_cos("a.embedding", "b.embedding")),
+    "embedding_neardup_lsh": _d_lsh_pairs(
+        _d_cos("a.embedding", "b.embedding")),
+    "embedding_neardup_lsh_capped": "__built_below__",
+    "semantic_dedup_capped": "__built_below__",
     "embedding_topk": f"""
         SELECT query_id, cand_id, cos_sim, rank
         FROM (
@@ -1243,13 +1311,18 @@ ORACLES = {
         ) WHERE rank <= {TOP_K}
     """,
     "embedding_neardup_exact": _D_NEARDUP_EXACT,
-    # the LSH pair CTE is the embedding_neardup_lsh oracle verbatim;
-    # MATERIALIZED so the recursive reachability doesn't re-evaluate the
-    # 64-projection self-join per iteration (the doc_pagerank lesson)
-    "semantic_dedup": f"""
+    # the LSH pair CTE is the embedding_neardup_lsh oracle verbatim
+    # (capped twin composed below via _semantic_oracle); MATERIALIZED so
+    # the recursive reachability doesn't re-evaluate the 64-projection
+    # self-join per iteration (the doc_pagerank lesson)
+    "semantic_dedup": "__built_below__",
+}
+
+
+def _semantic_oracle(pairs_sql: str) -> str:
+    return f"""
         WITH RECURSIVE pairs AS MATERIALIZED (
-            SELECT vec_a, vec_b FROM ({_D_LSH_PAIRS.format(
-                cos=_d_cos("a.embedding", "b.embedding"))})
+            SELECT vec_a, vec_b FROM ({pairs_sql})
         ),
         edges AS MATERIALIZED (
             SELECT vec_a AS src, vec_b AS dst FROM pairs
@@ -1312,8 +1385,19 @@ ORACLES = {
                CAST(1 AS BIGINT) AS group_size, 1 AS is_medoid
         FROM embeddings e
         WHERE e.vec_id NOT IN (SELECT vec_id FROM grp)
-    """,
-}
+    """
+
+
+from mit_6_5840_mapreduce_spark.operators.dedup import (  # noqa: E402
+    BAND_BUCKET_CAP,
+)
+
+ORACLES["embedding_neardup_lsh_capped"] = _d_lsh_pairs(
+    _d_cos("a.embedding", "b.embedding"), BAND_BUCKET_CAP)
+ORACLES["semantic_dedup"] = _semantic_oracle(
+    _d_lsh_pairs(_d_cos("a.embedding", "b.embedding")))
+ORACLES["semantic_dedup_capped"] = _semantic_oracle(
+    ORACLES["embedding_neardup_lsh_capped"])
 
 # The Arrow/numpy variant's floor4 output is bit-identical to the JVM
 # fold on the gate corpora (pinned exactly by tests/test_pandas_topk.py)

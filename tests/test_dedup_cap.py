@@ -243,3 +243,144 @@ def test_cc_bound_is_pointer_jump_rounds(spark, tmp_path_factory,
     too_deep = _chain_corpus_dir(tmp_path_factory, d_ok + 2)
     with pytest.raises(RuntimeError, match="did not converge"):
         dmod.dedup_groups(spark, too_deep).collect()
+
+
+# ---- band-bucket population caps (round 10, VERDICT r9 item 1) ----------
+# A bucket of b members emits b*(b-1)/2 candidate pairs, so one
+# boilerplate cluster turns every band join quadratic. Plant exactly
+# that cluster and assert the cap removes the blowup while a small
+# legitimate near-dup pair (population-2 buckets) survives.
+
+N_CLONES = 30
+
+
+@pytest.fixture(scope="module")
+def clone_corpus_dir(tmp_path_factory):
+    """30 IDENTICAL documents (one boilerplate cluster: every band
+    bucket they occupy has population 30) plus one identical PAIR of an
+    unrelated text (population-2 buckets)."""
+    boiler = " ".join(_tok(9000 + j) for j in range(12))
+    other = " ".join(_tok(9500 + j) for j in range(12))
+    texts = [boiler] * N_CLONES + [other, other]
+    d = tmp_path_factory.mktemp("clone_sf")
+    table = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["synthetic"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(table, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_minhash_uncapped_clone_cluster_is_quadratic(spark,
+                                                     clone_corpus_dir):
+    from mit_6_5840_mapreduce_spark.operators.dedup import dedup_minhash_lsh
+    n = dedup_minhash_lsh(spark, clone_corpus_dir).count()
+    assert n == N_CLONES * (N_CLONES - 1) // 2 + 1
+
+
+def test_minhash_bucket_cap_keeps_small_cluster_only(spark,
+                                                     clone_corpus_dir):
+    from mit_6_5840_mapreduce_spark.operators.dedup import dedup_minhash_lsh
+    rows = dedup_minhash_lsh(spark, clone_corpus_dir,
+                             bucket_cap=10).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(N_CLONES, N_CLONES + 1)}
+    assert rows[0].est_jaccard == 1.0
+
+
+def test_simhash_uncapped_clone_cluster_is_quadratic(spark,
+                                                     clone_corpus_dir):
+    from mit_6_5840_mapreduce_spark.operators.dedup import dedup_simhash
+    n = dedup_simhash(spark, clone_corpus_dir).count()
+    assert n == N_CLONES * (N_CLONES - 1) // 2 + 1
+
+
+def test_simhash_bucket_cap_keeps_small_cluster_only(spark,
+                                                     clone_corpus_dir):
+    from mit_6_5840_mapreduce_spark.operators.dedup import dedup_simhash
+    rows = dedup_simhash(spark, clone_corpus_dir, bucket_cap=10).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(N_CLONES, N_CLONES + 1)}
+    assert rows[0].hamming == 0
+
+
+@pytest.fixture(scope="module")
+def clone_embeddings_dir(tmp_path_factory):
+    """30 copies of one unit vector u (every (band, band_val) bucket
+    they occupy has population 30) plus two copies of -u — all 64 plane
+    projections flip sign, so the pair's buckets are disjoint from the
+    cluster's in every band (population 2)."""
+    import math
+    import random
+    rng = random.Random(11)
+    u = [rng.gauss(0, 1) for _ in range(64)]
+    n = math.sqrt(sum(x * x for x in u))
+    u = [x / n for x in u]
+    neg = [-x for x in u]
+    vecs = [u] * N_CLONES + [neg, neg]
+    d = tmp_path_factory.mktemp("clone_emb_sf")
+    table = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([[float(x) for x in v] for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32()),
+    })
+    pq.write_table(table, os.path.join(str(d), "embeddings.parquet"))
+    return str(d)
+
+
+def test_embedding_lsh_uncapped_clone_cluster_is_quadratic(
+        spark, clone_embeddings_dir):
+    from mit_6_5840_mapreduce_spark.operators.similarity import (
+        embedding_neardup_lsh,
+    )
+    n = embedding_neardup_lsh(spark, clone_embeddings_dir).count()
+    assert n == N_CLONES * (N_CLONES - 1) // 2 + 1
+
+
+def test_embedding_lsh_bucket_cap_keeps_small_cluster_only(
+        spark, clone_embeddings_dir):
+    from mit_6_5840_mapreduce_spark.operators.similarity import (
+        embedding_neardup_lsh,
+    )
+    rows = embedding_neardup_lsh(spark, clone_embeddings_dir,
+                                 bucket_cap=10).collect()
+    assert {(r.vec_a, r.vec_b) for r in rows} == {(N_CLONES, N_CLONES + 1)}
+
+
+def test_semantic_dedup_cap_composes(spark, clone_embeddings_dir):
+    """The composed capped pipeline: with the clone cluster's buckets
+    dropped, the 30 clones become singletons (their own medoids) and
+    the surviving pair forms one 2-member group."""
+    from mit_6_5840_mapreduce_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    rows = semantic_dedup(spark, clone_embeddings_dir,
+                          bucket_cap=10).collect()
+    by_id = {r.vec_id: r for r in rows}
+    assert len(rows) == N_CLONES + 2
+    for i in range(N_CLONES):
+        assert by_id[i].group_size == 1 and by_id[i].is_medoid == 1
+    assert by_id[N_CLONES].group_id == N_CLONES
+    assert by_id[N_CLONES + 1].group_id == N_CLONES
+    assert (by_id[N_CLONES].group_size, by_id[N_CLONES + 1].group_size) \
+        == (2, 2)
+
+
+def test_dedup_groups_capped_gate_entry_splits_hot_component(
+        spark, stop_shingle_dir):
+    """The GATE entries compose the cap end to end: on the stop-shingle
+    corpus (df = 60 > CAP_MAX_DF = 50) the uncapped pipeline fuses all
+    docs into one component; the capped gate entry yields singletons."""
+    from mit_6_5840_mapreduce_spark.operators.dedup import (
+        dedup_groups, dedup_groups_capped, dedup_keep_best_capped,
+    )
+    uncapped = dedup_groups(spark, stop_shingle_dir).collect()
+    assert all(r.group_size == N_DOCS for r in uncapped)
+    capped = dedup_groups_capped(spark, stop_shingle_dir).collect()
+    assert all(r.group_size == 1 and r.group_id == r.doc_id
+               for r in capped)
+    survivors = dedup_keep_best_capped(spark, stop_shingle_dir) \
+        .where("is_survivor = 1").count()
+    assert survivors == N_DOCS

@@ -5,13 +5,13 @@ entries per round, rotated under the steady-state policy (VERDICT r5
 item 4): sentinels every round, every round-changed and newly
 registered query, and all remaining slots filled from
 tools/window_plan.py's staleness report (ceiling 4 rounds), oldest
-cert round first with name tiebreak. Round 9: mr_wc_assoc leads (the
-only query never driver-certified — registered at position 51 in r8,
-one past the window cutoff), semantic_dedup and user_value_outliers
-are round-changed (per-row decimal sums moved to the
-BIGINT-product -> DECIMAL(18,0) row shape), and the remaining slots
-take the entire 38-cert r5 stale cohort plus the first 5 of r6. This
-test fails loudly if a future registration reorders them out.
+cert round first with name tiebreak. Round 10: the six capped
+composed-pipeline gate entries are new (VERDICT r9 item 1); the four
+queries whose code/oracle the cap plumbing touched rotate as
+round-changed; the remaining 36 slots take the r6 stale cohort minus
+its last name (user_value_mad_sql — the one planner-scheduled spill to
+r11). This test fails loudly if a future registration reorders them
+out.
 """
 
 from __future__ import annotations
@@ -23,38 +23,43 @@ from mit_6_5840_mapreduce_spark.operators import (
 # regression sentinels: in-window EVERY round
 SENTINELS = {"mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts"}
 
-# round-9 lead: the declared-associative combine path's first driver
-# cert (VERDICT r8 item 1)
-NEVER_CERTIFIED = {"mr_wc_assoc"}
-
-# changed in round 9: medoid/variance aggregation moved to the
-# (18,0)-row fast-path shape (values identical, plan changed)
-CHANGED_THIS_ROUND = {"semantic_dedup", "user_value_outliers"}
-
-# staleness rotation (window_plan.py, ceiling 4 rounds): the full r5
-# cohort (38) + the 5-name head of the r6 cohort
-STALE_ROTATION = {
-    "ann_recall_eval", "bloom_prune_join", "bucketed_join_stats",
-    "cdc_apply", "customer_rfm", "data_quality_audit", "dedup_eval",
-    "dedup_incremental", "dedup_index_build", "doc_bfs", "doc_lm_score",
-    "duplicate_spans", "embedding_neardup", "funnel_windowed",
-    "heavy_hitters_cms", "heavy_hitters_cms_direct", "image_phash",
-    "image_phash_neardup", "ivfpq_search", "media_features",
-    "mr_indexer", "mv_incremental_refresh", "pq_encode", "pq_search",
-    "q11_important_stock", "q9_product_type_profit", "quality_ensemble",
-    "similarity_triangles", "skyline_pareto", "source_mix_weights",
-    "stream_cdc_upsert", "stream_topk_stateful", "table_diff",
-    "temperature_resample", "user_event_unpivot",
-    "user_growth_accounting", "user_scd2", "zorder_layout_stats",
-    "asof_join_orders", "audio_decode_stats", "curation_summary",
-    "customer_value_quartiles", "dedup_minhash_lsh",
+# new in round 10: the capped composed dedup pipelines — max_df-capped
+# candidate generation under the CC/survivorship compositions, and
+# band-bucket population caps under the three band joins
+NEW_THIS_ROUND = {
+    "dedup_groups_capped", "dedup_keep_best_capped",
+    "dedup_minhash_lsh_capped", "dedup_simhash_capped",
+    "embedding_neardup_lsh_capped", "semantic_dedup_capped",
 }
 
-MUST_BE_IN_WINDOW = (SENTINELS | NEVER_CERTIFIED | CHANGED_THIS_ROUND
+# changed in round 10 (cap plumbing threaded through; default path
+# value-identical) and not already in the stale cohort
+CHANGED_THIS_ROUND = {
+    "dedup_groups", "dedup_keep_best", "dedup_minhash_lsh",
+    "semantic_dedup",
+}
+
+# staleness rotation (window_plan.py, ceiling 4 rounds): the r6 cohort
+# minus user_value_mad_sql (last in name order; spills to r11)
+STALE_ROTATION = {
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
+    "doc_chunks", "doc_fingerprint", "doc_quality", "doc_split",
+    "embedding_lsh_signatures", "embedding_neardup_exact",
+    "embedding_neardup_lsh", "embedding_topk", "event_transitions",
+    "events_hourly", "events_props_stats", "graph_recall_eval",
+    "image_decode_stats", "ivf_assign", "ivf_search", "lang_id",
+    "minhash_signatures", "mr_doccount", "mr_docmeta", "mr_indexer_rdd",
+    "payload_thumbnail", "pq_recall_eval", "q3_shipping_priority",
+    "simhash_docs", "source_quota_cap", "stratified_sample",
+    "stream_dedup_events", "stream_sliding_counts", "stream_user_totals",
+    "tfidf_cosine_pairs", "tfidf_top_terms", "token_stats", "user_stats",
+}
+
+MUST_BE_IN_WINDOW = (SENTINELS | NEW_THIS_ROUND | CHANGED_THIS_ROUND
                      | STALE_ROTATION)
 
 
-def test_first_window_contains_round9_surface():
+def test_first_window_contains_round10_surface():
     queries, _ = registry()
     window = list(queries)[:WINDOW_SIZE]
     missing = MUST_BE_IN_WINDOW - set(window)
@@ -62,7 +67,7 @@ def test_first_window_contains_round9_surface():
 
 
 def test_window_is_exactly_the_must_list():
-    # 4 + 1 + 2 + 43 = 50: the round-9 window has no free slots
+    # 4 + 6 + 4 + 36 = 50: the round-10 window has no free slots
     assert len(MUST_BE_IN_WINDOW) == WINDOW_SIZE
 
 
