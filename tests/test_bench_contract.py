@@ -46,6 +46,39 @@ def test_resample_triggers_only_on_spike_under_load():
         ratio_thresh=1.5, load_thresh=4.0) == []
 
 
+def test_resample_triggers_on_decayed_midsweep_burst():
+    """ADVICE r9 / VERDICT r9 item 3: a co-tenant burst that decays
+    before sweep end leaves CLEAN endpoints around dirty medians —
+    BENCH_r09 shipped a 2.53x spike exactly this way. The per-query
+    loadavg PEAK the sweep records must gate the resample too."""
+    ratios = {"a": 1.0, "ivf": 2.5}
+    # endpoints idle, peak above threshold -> the spike resamples
+    assert bench.resample_candidates(
+        ratios, (1.9, 0, 0), (3.5, 0, 0),
+        ratio_thresh=1.5, load_thresh=4.0, load_peak=6.2) == ["ivf"]
+    # endpoints idle AND peak idle: real regression, no resample
+    assert bench.resample_candidates(
+        ratios, (1.9, 0, 0), (3.5, 0, 0),
+        ratio_thresh=1.5, load_thresh=4.0, load_peak=3.9) == []
+    # peak omitted (legacy callers): endpoint-only behavior unchanged
+    assert bench.resample_candidates(
+        ratios, (1.9, 0, 0), (3.5, 0, 0),
+        ratio_thresh=1.5, load_thresh=4.0) == []
+
+
+def test_main_passes_peak_into_resample():
+    """The wiring itself: main() must hand the chosen attempt's
+    load_peak to resample_candidates (the r9 gap was a recorded-but-
+    unused peak)."""
+    import ast
+    import inspect
+    tree = ast.parse(inspect.getsource(bench.main))
+    calls = [n for n in ast.walk(tree) if isinstance(n, ast.Call)
+             and getattr(n.func, "id", "") == "resample_candidates"]
+    assert calls, "main() no longer calls resample_candidates"
+    assert any(kw.arg == "load_peak" for c in calls for kw in c.keywords)
+
+
 def test_resample_thresholds_read_env(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_RESAMPLE_RATIO", "0.5")
     monkeypatch.setenv("SPARK_GRAFT_RESAMPLE_LOADAVG", "0.1")
