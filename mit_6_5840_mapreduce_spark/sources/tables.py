@@ -77,9 +77,14 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     # the tree's toString format, which can drift across Spark versions
     # (renamed nodes slipping past, new nodes sharing a banned prefix).
     # Class simple names are the node identities themselves.
+    # Distinct/Intersect/Except survive ANALYSIS (their rewrites to
+    # Aggregate/joins run in the OPTIMIZER), so an analyzed-plan walk
+    # must ban them by their own names too (ADVICE r9: a SQL
+    # `SELECT DISTINCT` input passed the guard and the .rdd probe
+    # silently executed the aggregate-equivalent shuffle)
     banned = {"Join", "Aggregate", "Repartition", "RepartitionByExpression",
               "Window", "Sort", "Union", "Deduplicate", "GlobalLimit",
-              "LocalLimit", "Generate"}
+              "LocalLimit", "Generate", "Distinct", "Intersect", "Except"}
     seen: set[str] = set()
     stack = [df._jdf.queryExecution().analyzed()]
     while stack:

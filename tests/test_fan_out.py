@@ -74,3 +74,30 @@ def test_fan_out_guard_matches_nodes_not_substrings(spark, sf_dir):
     ok = fan_out(spark, docs.where(F.col("source") != "Union Wire Sort")
                  .select("doc_id", F.col("text").alias("JoinText")))
     assert ok.count() > 0
+
+
+def test_fan_out_rejects_analysis_surviving_set_ops(spark, sf_dir):
+    """ADVICE r9: Distinct / Intersect / Except keep their own node
+    identity in the ANALYZED plan (their Aggregate/join rewrites run in
+    the optimizer), so the class-name denylist must ban them directly —
+    a SQL `SELECT DISTINCT` input previously passed the guard and the
+    .rdd probe silently executed the aggregate-equivalent shuffle."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("fan_out_setop_docs")
+    distinct_sql = spark.sql(
+        "SELECT DISTINCT lang FROM fan_out_setop_docs")
+    with pytest.raises(ValueError, match="scan-only"):
+        fan_out(spark, distinct_sql)
+    with pytest.raises(ValueError, match="scan-only"):
+        fan_out(spark, spark.sql(
+            "SELECT doc_id FROM fan_out_setop_docs WHERE doc_id < 10 "
+            "INTERSECT SELECT doc_id FROM fan_out_setop_docs"))
+    with pytest.raises(ValueError, match="scan-only"):
+        fan_out(spark, spark.sql(
+            "SELECT doc_id FROM fan_out_setop_docs "
+            "EXCEPT SELECT doc_id FROM fan_out_setop_docs WHERE doc_id < 10"))
+    # DataFrame-API .distinct() analyzes to Deduplicate (already banned)
+    with pytest.raises(ValueError, match="scan-only"):
+        fan_out(spark, docs.select("lang").distinct())
