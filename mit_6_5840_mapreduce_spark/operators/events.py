@@ -418,9 +418,14 @@ def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unscaled-long aggregation path instead of wide-decimal
     accumulation, the row cast raises loudly at c^2 > 1e18 (a single
     $10M event), and the DECIMAL(28,0) total holds 1e10 events/user of
-    max-magnitude cents. The exact integer converts to DOUBLE at the
-    same point as before, so values are bit-identical wherever the old
-    BIGINT form didn't overflow."""
+    max-magnitude cents. The envelope trade is explicit (ADVICE r9):
+    vs the pre-r6 BIGINT form the bound widened (~3e4 events/user ->
+    per-row only); vs the (38,0) rows this shape replaced it NARROWS
+    from effectively unbounded to that single-$10M-event cliff — an
+    ACCEPTED loud bound (pinned by tests/test_decimal_overflow.py,
+    recorded in docs/SCALE.md) bought for the ~20% hot-aggregate
+    saving. The exact integer converts to DOUBLE at the same point as
+    before, so values are bit-identical wherever no form overflowed."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("c"))
