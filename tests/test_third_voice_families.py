@@ -24,6 +24,15 @@ the documented CONTRACTS are re-implemented from their specs:
   bucket-share candidates -> est_jaccard = floor4(matches/16).
   The constants are restated here on purpose: a silent constant
   change in dedup.py must break THIS file, not just the oracle.
+- dedup_groups (round 10, VERDICT r9 item 4 — the CC family): pairs
+  re-derived from raw shingle STRINGS (letter-run tokens, word
+  3-grams, floor4(jaccard) >= 0.1), then pure-Python union-find with
+  attach-larger-root-under-smaller (so each component's root IS its
+  min doc_id — the engine's min-label semantics), singletons labeled
+  with their own id; (doc_id, group_id, group_size) diffed
+  bit-for-bit. This closes the last heavy family where the engine and
+  the DuckDB oracle share derivation logic (both use the 60-bit md5
+  shingle hash; this voice uses none).
 """
 
 from __future__ import annotations
@@ -35,6 +44,7 @@ from collections import defaultdict
 
 import pyarrow.parquet as pq
 
+from mit_6_5840_mapreduce_spark.operators.dedup import dedup_groups
 from mit_6_5840_mapreduce_spark.operators.dedup import dedup_minhash_lsh
 from mit_6_5840_mapreduce_spark.operators.events import sessionize
 from mit_6_5840_mapreduce_spark.operators.similarity import embedding_topk
@@ -223,6 +233,68 @@ def test_embedding_topk_third_voice(spark, sf_dir):
     assert got == expected
 
 
+def test_dedup_groups_third_voice(spark, sf_dir):
+    """CC family: connected components re-derived with a pure-Python
+    union-find over an independently built pair list. The engine
+    hashes shingles to 60-bit ints and iterates Pregel-style
+    propagate+shortcut rounds; this voice uses raw shingle strings and
+    sequential union-find — agreement certifies the labeling, not the
+    mechanism."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    sh: dict[int, set[str]] = {}
+    for r in docs.itertuples():
+        toks = _letters(r.text)
+        sh[r.doc_id] = {" ".join(toks[i:i + 3])
+                        for i in range(len(toks) - 2)}
+    inv: dict[str, list[int]] = defaultdict(list)
+    for d, ss in sh.items():
+        for s in ss:
+            inv[s].append(d)
+    inter: dict[tuple[int, int], int] = defaultdict(int)
+    for ds in inv.values():
+        ds.sort()
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                inter[(a, b)] += 1
+    pairs = [(a, b) for (a, b), c in inter.items()
+             if _floor4(c / (len(sh[a]) + len(sh[b]) - c)) >= 0.1]
+    assert pairs, "corpus produced no near-dup pairs at this SF"
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra      # larger root under smaller -> root = min
+
+    comp: dict[int, list[int]] = defaultdict(list)
+    for d in parent:
+        comp[find(d)].append(d)
+    expected: dict[int, tuple[int, int]] = {}
+    for root, members in comp.items():
+        assert root == min(members)
+        for m in members:
+            expected[m] = (root, len(members))
+    for d in sh:
+        if d not in expected:
+            expected[d] = (d, 1)          # singleton: own label, size 1
+
+    got = {r.doc_id: (r.group_id, r.group_size)
+           for r in dedup_groups(spark, sf_dir).collect()}
+    assert got == expected
+
+
 def test_family_third_voice_is_really_independent():
     """Same guard as tests/test_third_voice.py: only the two query
     entry points may come from the package — sharing the engine's
@@ -239,6 +311,8 @@ def test_family_third_voice_is_really_independent():
         if ln.startswith(("import ", "from "))
         and "mit_6_5840_mapreduce_spark" in ln)
     assert imports == [
+        "from mit_6_5840_mapreduce_spark.operators.dedup "
+        "import dedup_groups",
         "from mit_6_5840_mapreduce_spark.operators.dedup "
         "import dedup_minhash_lsh",
         "from mit_6_5840_mapreduce_spark.operators.events "
