@@ -91,6 +91,32 @@ def replicate(spark, sf_dir, out_dir, table, id_col, factor):
     df.coalesce(factor).write.mode("overwrite").parquet(path)
 
 
+def _replicate_events(spark, sf_dir, out_dir, factor):
+    """Events replica for the streaming state probe: rows AND keys grow
+    with the factor (user_id/event_id offset per replica so sessions and
+    state keys never alias across replicas). Written as a single FILE
+    named events.parquet — read_events_stream glob-filters on that file
+    name, so a directory-shaped replica would stream zero files."""
+    import glob
+    import shutil
+    ev = load_table(spark, sf_dir, "events")
+    parts = [ev.withColumn("user_id", F.col("user_id") + F.lit(k * 10 ** 9))
+               .withColumn("event_id",
+                           F.col("event_id") + F.lit(k * 10 ** 12))
+             for k in range(factor)]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionAll(p)
+    tmp = os.path.join(out_dir, "_events_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dst = os.path.join(out_dir, "events.parquet")
+    if os.path.lexists(dst):
+        os.remove(dst)
+    shutil.move(part, dst)
+    shutil.rmtree(tmp)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     queries, _ = registry()
@@ -152,6 +178,36 @@ def main() -> int:
     print("cc_labels[deep_chain]  diameter 10k -> 160k: "
           + ", ".join(f"{f}x: {t:.2f}s / {r} rounds"
                       for f, (t, r) in deep.items()))
+
+    # Streaming STATE probe (round 10, VERDICT r9 item 6): grow the
+    # event stream 16x in BOTH rows and keys (user_id/event_id offset
+    # per replica) and record wall + state-bearing result rows for the
+    # two stateful families — applyInPandasWithState running totals
+    # (state rows = users) and session_window sessionization (state
+    # rows = open sessions, result rows = sessions). The contract at
+    # 100 TB: state rows grow with KEYS, wall grows ~linearly with
+    # input; neither depends on stream lifetime.
+    STREAM_PROBES = ("stream_user_totals", "stream_sessionize")
+    stream_res: dict[str, dict[int, tuple[float, int]]] = {
+        q: {} for q in STREAM_PROBES}
+    for factor in (1, 16):
+        swork = os.path.join(tempfile.gettempdir(),
+                             f"stream_scale_{factor}x")
+        os.makedirs(swork, exist_ok=True)
+        _replicate_events(spark, sf_dir, swork, factor)
+        for name in STREAM_PROBES:
+            best, rows = float("inf"), -1
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                rows = queries[name](spark, swork).count()
+                best = min(best, time.perf_counter() - t0)
+            stream_res[name][factor] = (round(best, 2), rows)
+    for name, res in stream_res.items():
+        (w1, r1), (w16, r16) = res[1], res[16]
+        print(f"{name}[state]  1x: {w1:.2f}s / {r1} rows   "
+              f"16x: {w16:.2f}s / {r16} rows   "
+              f"wall {w16 / max(w1, 1e-9):.1f}x, rows {r16 / max(r1, 1):.1f}x")
 
     print(f"{'operator':24s}" + "".join(f"{f}x".rjust(9) for f in FACTORS)
           + "   16x/1x")
