@@ -360,7 +360,12 @@ def main() -> None:
              # round-8 trainers — ivf_train, bpe_train, hnsw_* — stay
              # out of bench: their wall is corpus-training time, timed
              # by tools/scale_probe.py instead of the per-round sweep)
-             "user_event_sequences_capped")
+             "user_event_sequences_capped",
+             # round 10: the capped composed dedup pipelines (gate
+             # entries a 100 TB pass runs) get per-round visibility
+             "dedup_groups_capped", "dedup_keep_best_capped",
+             "dedup_minhash_lsh_capped", "dedup_simhash_capped",
+             "embedding_neardup_lsh_capped", "semantic_dedup_capped")
     extra: dict[str, float] = {}
     for name in EXTRA:
         spark.catalog.clearCache()
