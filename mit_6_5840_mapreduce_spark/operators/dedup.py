@@ -828,18 +828,24 @@ _DUCK_SIMHASH = rf"""
 def _minhash_lsh_oracle(bucket_cap: int | None = None) -> str:
     """MinHash-LSH oracle, optionally with the band-bucket population
     cap — the SQL filter is IDENTICAL to the engine's keep-join
-    (HAVING count(*) <= cap per (band, band_hash))."""
+    (HAVING count(*) <= cap per (band, band_hash)). The capped form
+    MATERIALIZES sigs/bands/kb: DuckDB inlines a CTE per reference and
+    the cap adds two more (keep + kb, kb read twice by the self-join),
+    re-evaluating the shingle->signature aggregation per copy. The
+    uncapped text stays byte-identical to its certified form
+    (dedup_eval embeds it verbatim)."""
+    mat = "" if bucket_cap is None else " MATERIALIZED"
     cap_ctes = "" if bucket_cap is None else f""",
         keep AS (
             SELECT band, band_hash FROM bands
             GROUP BY band, band_hash HAVING count(*) <= {bucket_cap}
         ),
-        kb AS (SELECT b.doc_id, b.band, b.band_hash
+        kb AS MATERIALIZED (SELECT b.doc_id, b.band, b.band_hash
                FROM bands b JOIN keep USING (band, band_hash))"""
     src = "bands" if bucket_cap is None else "kb"
     return f"""
-        WITH sigs AS ({_DUCK_SIGS}),
-        bands AS (
+        WITH sigs AS{mat} ({_DUCK_SIGS}),
+        bands AS{mat} (
             SELECT doc_id, perm_i // {BAND_ROWS} AS band,
                    md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm_i))
                        AS band_hash
@@ -866,8 +872,8 @@ def _simhash_pairs_capped_oracle(bucket_cap: int) -> str:
     uncapped oracle's all-pairs form is equivalent only when every
     bucket survives) plus the identical population filter."""
     return f"""
-        WITH sh AS ({_DUCK_SIMHASH}),
-        bands AS (
+        WITH sh AS MATERIALIZED ({_DUCK_SIMHASH}),
+        bands AS MATERIALIZED (
             SELECT doc_id, simhash, band,
                    (simhash >> (band * 8)) & 255 AS band_val
             FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
@@ -876,7 +882,7 @@ def _simhash_pairs_capped_oracle(bucket_cap: int) -> str:
             SELECT band, band_val FROM bands
             GROUP BY band, band_val HAVING count(*) <= {bucket_cap}
         ),
-        kb AS (SELECT b.doc_id, b.simhash, b.band, b.band_val
+        kb AS MATERIALIZED (SELECT b.doc_id, b.simhash, b.band, b.band_val
                FROM bands b JOIN keep USING (band, band_val)),
         cand AS (
             SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,

@@ -1163,13 +1163,22 @@ def _d_band_val(band: int) -> str:
 def _d_lsh_pairs(cos: str, bucket_cap: int | None = None) -> str:
     """LSH near-dup pair oracle, optionally with the band-bucket
     population cap — the SQL filter is IDENTICAL to the engine's
-    keep-join (HAVING count(*) <= cap per (band, band_val))."""
+    keep-join (HAVING count(*) <= cap per (band, band_val)).
+
+    The capped form MATERIALIZES the bands CTE: DuckDB inlines a CTE
+    per reference, and the cap adds two more references (keep + kb, kb
+    itself read twice by the self-join), so without materialization the
+    64-projection pass re-evaluates ~4x (measured 16.4 s vs 9.8 s at
+    sf0.01). The uncapped text stays byte-identical to its certified
+    form (composing oracles — dedup_eval, lsh_recall_eval — embed it
+    verbatim)."""
+    mat = "" if bucket_cap is None else " MATERIALIZED"
     cap_ctes = "" if bucket_cap is None else f""",
         keep AS (
             SELECT band, band_val FROM bands
             GROUP BY band, band_val HAVING count(*) <= {bucket_cap}
         ),
-        kb AS (SELECT b.vec_id, b.band, b.band_val
+        kb AS MATERIALIZED (SELECT b.vec_id, b.band, b.band_val
                FROM bands b JOIN keep USING (band, band_val))"""
     src = "bands" if bucket_cap is None else "kb"
     return f"""
@@ -1179,7 +1188,7 @@ def _d_lsh_pairs(cos: str, bucket_cap: int | None = None) -> str:
                               for b in range(LSH_BANDS))}
             FROM embeddings
         ),
-        bands AS (
+        bands AS{mat} (
             {" UNION ALL ".join(
                 f"SELECT vec_id, {b} AS band, bv{b} AS band_val FROM proj"
                 for b in range(LSH_BANDS))}

@@ -104,6 +104,13 @@ REPRESENTATIVE = [
     "graph_recall_eval",
     # round 8: the hot-key-bounded sequences twin
     "user_event_sequences_capped",
+    # round 10: the capped composed pipelines (gate entries)
+    "dedup_groups_capped",
+    "dedup_keep_best_capped",
+    "dedup_minhash_lsh_capped",
+    "dedup_simhash_capped",
+    "embedding_neardup_lsh_capped",
+    "semantic_dedup_capped",
 ]
 
 # un-grouped audit/summary queries keep their fixed rows on empty input
