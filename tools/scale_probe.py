@@ -55,7 +55,16 @@ PROBES = ("mr_wc", "simhash_docs", "minhash_signatures",
           # job (bounded candidates), unlike the uncapped twins which
           # stay excluded (quadratic by construction under
           # replication).
-          "dedup_ngram_jaccard_capped", "shingle_containment_capped")
+          "dedup_ngram_jaccard_capped", "shingle_containment_capped",
+          # round 10: the band-bucket-capped variants are probe-safe
+          # the same way — replication multiplies every bucket's
+          # population by the factor, so 1x-buckets past cap/factor
+          # drop before the self-join while small clone buckets
+          # (population = factor <= cap) survive and correctly report
+          # their manufactured near-dups. Measured at sf0.1: wall ~flat
+          # at 16x (signatures dominate; the capped join stays bounded)
+          "dedup_minhash_lsh_capped", "dedup_simhash_capped",
+          "embedding_neardup_lsh_capped")
 FACTORS = (1, 4, 16)
 
 # The CC loop probe (VERDICT r5 item 5) can't ride the replicated
