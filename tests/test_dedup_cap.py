@@ -384,3 +384,49 @@ def test_dedup_groups_capped_gate_entry_splits_hot_component(
     survivors = dedup_keep_best_capped(spark, stop_shingle_dir) \
         .where("is_survivor = 1").count()
     assert survivors == N_DOCS
+
+
+def test_capped_outputs_are_subsets_with_equal_values(spark, sf_dir):
+    """Contract tying the capped variants to their textbook twins on
+    the REAL corpus: dropping buckets can only REMOVE candidate pairs,
+    never change a surviving pair's score (the estimate/verification
+    reads full signatures/vectors, not the buckets)."""
+    from mit_6_5840_mapreduce_spark.operators.dedup import (
+        dedup_minhash_lsh, dedup_minhash_lsh_capped,
+        dedup_simhash, dedup_simhash_capped,
+    )
+    from mit_6_5840_mapreduce_spark.operators.similarity import (
+        embedding_neardup_lsh, embedding_neardup_lsh_capped,
+    )
+    for full_fn, capped_fn in (
+            (dedup_minhash_lsh, dedup_minhash_lsh_capped),
+            (dedup_simhash, dedup_simhash_capped),
+            (embedding_neardup_lsh, embedding_neardup_lsh_capped)):
+        full = {tuple(r[:2]): tuple(r[2:])
+                for r in full_fn(spark, sf_dir).collect()}
+        capped = {tuple(r[:2]): tuple(r[2:])
+                  for r in capped_fn(spark, sf_dir).collect()}
+        assert set(capped) <= set(full), full_fn.__name__
+        for pair, vals in capped.items():
+            assert vals == full[pair], (full_fn.__name__, pair)
+
+
+def test_groups_capped_is_coarsening_respecting_cap(spark, sf_dir):
+    """Capped grouping on the real corpus: every capped group is a
+    subset of an uncapped group (removing edges can only SPLIT
+    components, never merge them)."""
+    from mit_6_5840_mapreduce_spark.operators.dedup import (
+        dedup_groups, dedup_groups_capped,
+    )
+    full = {r.doc_id: r.group_id
+            for r in dedup_groups(spark, sf_dir).collect()}
+    capped = {r.doc_id: r.group_id
+              for r in dedup_groups_capped(spark, sf_dir).collect()}
+    assert set(full) == set(capped)
+    # two docs in the same capped group must share an uncapped group
+    from collections import defaultdict
+    by_capped = defaultdict(set)
+    for d, g in capped.items():
+        by_capped[g].add(full[d])
+    for g, uncapped_groups in by_capped.items():
+        assert len(uncapped_groups) == 1, g
