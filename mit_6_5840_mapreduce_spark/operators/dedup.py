@@ -232,12 +232,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
         # population count is one map-side-combinable hash-agg on the
         # join key itself; the keep-join then shuffles both sides into
         # the same (band, band_hash) partitioning the candidate
-        # self-join needs anyway
+        # self-join needs anyway. Persist the capped frame: the
+        # self-join reads it twice, and without its own cache each
+        # side re-runs the keep-join (two extra band-table passes at
+        # 100 TB).
         keep = (bands.groupBy("band", "band_hash")
                 .agg(F.count("*").alias("pop"))
                 .where(F.col("pop") <= bucket_cap)
                 .select("band", "band_hash"))
-        bands = bands.join(keep, ["band", "band_hash"])
+        bands = bands.join(keep, ["band", "band_hash"]).persist()
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_hash"])
@@ -492,11 +495,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
     ).withColumn("band_val", F.expr("(simhash >> (band * 8)) & 255"))
     if bucket_cap is not None:
+        # same persist rationale as dedup_minhash_lsh's keep-join
         keep = (bands.groupBy("band", "band_val")
                 .agg(F.count("*").alias("pop"))
                 .where(F.col("pop") <= bucket_cap)
                 .select("band", "band_val"))
-        bands = bands.join(keep, ["band", "band_val"])
+        bands = bands.join(keep, ["band", "band_val"]).persist()
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_val"])

@@ -503,12 +503,17 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     bands = bands.repartition("band", "band_val").persist()
     if bucket_cap is not None:
         # both the population agg and the keep-join are keyed by the
-        # (band, band_val) partitioning just installed — no new exchange
+        # (band, band_val) partitioning just installed — no new
+        # exchange. The CAPPED frame is persisted too: the candidate
+        # self-join consumes it on both sides, and without its own
+        # cache each side would re-run the keep-join over the raw
+        # bands — two extra full passes over a corpus-sized band table
+        # at 100 TB.
         keep = (bands.groupBy("band", "band_val")
                 .agg(F.count("*").alias("pop"))
                 .where(F.col("pop") <= bucket_cap)
                 .select("band", "band_val"))
-        bands = bands.join(keep, ["band", "band_val"])
+        bands = bands.join(keep, ["band", "band_val"]).persist()
     # distinct on id PAIRS only — never shuffle embedding arrays through
     # the dedup; re-join vectors for the verification step
     cand = (
