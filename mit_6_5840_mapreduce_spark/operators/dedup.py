@@ -229,18 +229,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
     ).select("doc_id", F.col("b.band").alias("band"),
              F.col("b.band_hash").alias("band_hash"))
     if bucket_cap is not None:
-        # population count is one map-side-combinable hash-agg on the
-        # join key itself; the keep-join then shuffles both sides into
-        # the same (band, band_hash) partitioning the candidate
-        # self-join needs anyway. Persist the capped frame: the
-        # self-join reads it twice, and without its own cache each
-        # side re-runs the keep-join (two extra band-table passes at
-        # 100 TB).
-        keep = (bands.groupBy("band", "band_hash")
-                .agg(F.count("*").alias("pop"))
-                .where(F.col("pop") <= bucket_cap)
-                .select("band", "band_hash"))
-        bands = bands.join(keep, ["band", "band_hash"]).persist()
+        bands = cap_bucket_population(bands, ["band", "band_hash"],
+                                      bucket_cap)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_hash"])
@@ -273,6 +263,42 @@ CAP_MAX_DF = 50
 # so the deployed form drops buckets above this population before the
 # self-join — the band-join twin of CAP_MAX_DF on the shingle index.
 BAND_BUCKET_CAP = 50
+
+
+def cap_bucket_population(bands: DataFrame, keys: list[str],
+                          bucket_cap: int) -> DataFrame:
+    """THE band-bucket population cap — single-sourced for all three
+    band joins (minhash, simhash, embedding-LSH), so the engine filter
+    cannot drift per family: drop ``keys``-buckets holding more than
+    ``bucket_cap`` rows. The population count is one map-side-
+    combinable hash-agg on the join key itself; the keep-join shuffles
+    into (or, when the caller pre-partitioned on ``keys``, reuses) the
+    exact partitioning the candidate self-join needs. The CAPPED frame
+    is persisted: the self-join consumes it on both sides, and without
+    its own cache each side would re-run the keep-join over the raw
+    band table — two extra full passes at 100 TB. The SQL twin is
+    ``cap_bucket_sql`` (the oracle side of the same single source)."""
+    keep = (bands.groupBy(*keys)
+            .agg(F.count("*").alias("pop"))
+            .where(F.col("pop") <= bucket_cap)
+            .select(*keys))
+    return bands.join(keep, keys).persist()
+
+
+def cap_bucket_sql(keys: str, payload: str, bucket_cap: int) -> str:
+    """The oracle-side twin of ``cap_bucket_population``: the keep/kb
+    CTE fragment applying the IDENTICAL population filter (HAVING
+    count(*) <= cap per ``keys``-bucket) over a CTE named ``bands``.
+    ``payload`` = the columns the candidate join needs downstream.
+    kb is MATERIALIZED — DuckDB inlines a CTE per reference and the
+    self-join reads kb twice."""
+    return f""",
+        keep AS (
+            SELECT {keys} FROM bands
+            GROUP BY {keys} HAVING count(*) <= {bucket_cap}
+        ),
+        kb AS MATERIALIZED (SELECT {payload}
+               FROM bands b JOIN keep USING ({keys}))"""
 
 
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,12 +521,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
     ).withColumn("band_val", F.expr("(simhash >> (band * 8)) & 255"))
     if bucket_cap is not None:
-        # same persist rationale as dedup_minhash_lsh's keep-join
-        keep = (bands.groupBy("band", "band_val")
-                .agg(F.count("*").alias("pop"))
-                .where(F.col("pop") <= bucket_cap)
-                .select("band", "band_val"))
-        bands = bands.join(keep, ["band", "band_val"]).persist()
+        bands = cap_bucket_population(bands, ["band", "band_val"],
+                                      bucket_cap)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_val"])
@@ -839,13 +861,8 @@ def _minhash_lsh_oracle(bucket_cap: int | None = None) -> str:
     uncapped text stays byte-identical to its certified form
     (dedup_eval embeds it verbatim)."""
     mat = "" if bucket_cap is None else " MATERIALIZED"
-    cap_ctes = "" if bucket_cap is None else f""",
-        keep AS (
-            SELECT band, band_hash FROM bands
-            GROUP BY band, band_hash HAVING count(*) <= {bucket_cap}
-        ),
-        kb AS MATERIALIZED (SELECT b.doc_id, b.band, b.band_hash
-               FROM bands b JOIN keep USING (band, band_hash))"""
+    cap_ctes = "" if bucket_cap is None else cap_bucket_sql(
+        "band, band_hash", "b.doc_id, b.band, b.band_hash", bucket_cap)
     src = "bands" if bucket_cap is None else "kb"
     return f"""
         WITH sigs AS{mat} ({_DUCK_SIGS}),
@@ -881,13 +898,9 @@ def _simhash_pairs_capped_oracle(bucket_cap: int) -> str:
             SELECT doc_id, simhash, band,
                    (simhash >> (band * 8)) & 255 AS band_val
             FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
-        ),
-        keep AS (
-            SELECT band, band_val FROM bands
-            GROUP BY band, band_val HAVING count(*) <= {bucket_cap}
-        ),
-        kb AS MATERIALIZED (SELECT b.doc_id, b.simhash, b.band, b.band_val
-               FROM bands b JOIN keep USING (band, band_val)),
+        ){cap_bucket_sql("band, band_val",
+                         "b.doc_id, b.simhash, b.band, b.band_val",
+                         bucket_cap)},
         cand AS (
             SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
                    x.simhash AS sim_a, y.simhash AS sim_b

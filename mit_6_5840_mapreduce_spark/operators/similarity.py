@@ -502,18 +502,20 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     # bands are 3 ints/row, so this never approaches corpus size).
     bands = bands.repartition("band", "band_val").persist()
     if bucket_cap is not None:
-        # both the population agg and the keep-join are keyed by the
-        # (band, band_val) partitioning just installed — no new
-        # exchange. The CAPPED frame is persisted too: the candidate
-        # self-join consumes it on both sides, and without its own
-        # cache each side would re-run the keep-join over the raw
-        # bands — two extra full passes over a corpus-sized band table
-        # at 100 TB.
-        keep = (bands.groupBy("band", "band_val")
-                .agg(F.count("*").alias("pop"))
-                .where(F.col("pop") <= bucket_cap)
-                .select("band", "band_val"))
-        bands = bands.join(keep, ["band", "band_val"]).persist()
+        # the population agg and keep-join ride the (band, band_val)
+        # partitioning just installed — no new exchange. Footprint
+        # note: BOTH the raw and capped band frames stay persisted
+        # (2x a 3-int-per-row table); the raw one cannot be dropped
+        # lazily because the pop-agg and the keep-join's left side
+        # would otherwise each re-run the 64-projection pass, and
+        # unpersisting it eagerly would force a materializing action
+        # inside the operator. The 100 TB form of this trade is a
+        # bucketed materialization of the capped bands (docs/SCALE.md).
+        from mit_6_5840_mapreduce_spark.operators.dedup import (
+            cap_bucket_population,
+        )
+        bands = cap_bucket_population(bands, ["band", "band_val"],
+                                      bucket_cap)
     # distinct on id PAIRS only — never shuffle embedding arrays through
     # the dedup; re-join vectors for the verification step
     cand = (
@@ -1177,14 +1179,10 @@ def _d_lsh_pairs(cos: str, bucket_cap: int | None = None) -> str:
     sf0.01). The uncapped text stays byte-identical to its certified
     form (composing oracles — dedup_eval, lsh_recall_eval — embed it
     verbatim)."""
+    from mit_6_5840_mapreduce_spark.operators.dedup import cap_bucket_sql
     mat = "" if bucket_cap is None else " MATERIALIZED"
-    cap_ctes = "" if bucket_cap is None else f""",
-        keep AS (
-            SELECT band, band_val FROM bands
-            GROUP BY band, band_val HAVING count(*) <= {bucket_cap}
-        ),
-        kb AS MATERIALIZED (SELECT b.vec_id, b.band, b.band_val
-               FROM bands b JOIN keep USING (band, band_val))"""
+    cap_ctes = "" if bucket_cap is None else cap_bucket_sql(
+        "band, band_val", "b.vec_id, b.band, b.band_val", bucket_cap)
     src = "bands" if bucket_cap is None else "kb"
     return f"""
         WITH proj AS (

@@ -83,13 +83,28 @@ def _cc_chain_edges(spark, factor):
             .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b")))
 
 
-def replicate(spark, sf_dir, out_dir, table, id_col, factor):
+def _replicated_frame(spark, sf_dir, table, offsets, factor):
+    """The one replica-construction loop (shared by the batch table
+    replicas and the streaming events replica, so a future change to
+    the replication scheme cannot silently diverge the two): ``factor``
+    copies of ``table``, each copy's id columns shifted by
+    ``k * step`` per (column, step) in ``offsets``."""
     src = load_table(spark, sf_dir, table)
-    parts = [src.withColumn(id_col, F.col(id_col) + F.lit(k * 10 ** 9))
-             for k in range(factor)]
+    parts = []
+    for k in range(factor):
+        p = src
+        for col, step in offsets:
+            p = p.withColumn(col, F.col(col) + F.lit(k * step))
+        parts.append(p)
     df = parts[0]
     for p in parts[1:]:
         df = df.unionAll(p)
+    return df
+
+
+def replicate(spark, sf_dir, out_dir, table, id_col, factor):
+    df = _replicated_frame(spark, sf_dir, table, [(id_col, 10 ** 9)],
+                           factor)
     path = os.path.join(out_dir, f"{table}.parquet")
     # constant per-file bytes across factors (r9): the old
     # max(factor//2, 1) layout gave the 4x replica HALF the per-byte
@@ -108,14 +123,9 @@ def _replicate_events(spark, sf_dir, out_dir, factor):
     name, so a directory-shaped replica would stream zero files."""
     import glob
     import shutil
-    ev = load_table(spark, sf_dir, "events")
-    parts = [ev.withColumn("user_id", F.col("user_id") + F.lit(k * 10 ** 9))
-               .withColumn("event_id",
-                           F.col("event_id") + F.lit(k * 10 ** 12))
-             for k in range(factor)]
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionAll(p)
+    df = _replicated_frame(spark, sf_dir, "events",
+                           [("user_id", 10 ** 9),
+                            ("event_id", 10 ** 12)], factor)
     tmp = os.path.join(out_dir, "_events_tmp")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
@@ -209,8 +219,15 @@ def main() -> int:
             for _ in range(2):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                rows = queries[name](spark, swork).count()
+                result = queries[name](spark, swork)
+                rows = result.count()
                 best = min(best, time.perf_counter() - t0)
+                # the memory sink registers a uuid temp view per run
+                # (8 over the probe; ~1.5M rows each at 16x) — drop it
+                # once counted so driver heap doesn't accumulate them
+                for t in spark.catalog.listTables():
+                    if t.isTemporary:
+                        spark.catalog.dropTempView(t.name)
             stream_res[name][factor] = (round(best, 2), rows)
     for name, res in stream_res.items():
         (w1, r1), (w16, r16) = res[1], res[16]
