@@ -30,7 +30,12 @@ SWEEP = ("mr_wc", "training_shuffle", "pack_sequences",
          "q1_pricing_summary",
          # r7 second session: decimal-accumulated rarity sums — exact
          # integers in any merge order, so values must survive retuning
-         "token_rarity")
+         "token_rarity",
+         # r10: the capped compositions — the bucket-population count
+         # is an exact integer agg and the keep-join a plain equi-join,
+         # so the capped candidate set (and everything downstream: CC
+         # labels, signature comparison) must survive retuning
+         "dedup_minhash_lsh_capped", "dedup_groups_capped")
 
 
 def _rows(spark, sf_dir, name):
