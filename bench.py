@@ -365,7 +365,8 @@ def main() -> None:
              # entries a 100 TB pass runs) get per-round visibility
              "dedup_groups_capped", "dedup_keep_best_capped",
              "dedup_minhash_lsh_capped", "dedup_simhash_capped",
-             "embedding_neardup_lsh_capped", "semantic_dedup_capped")
+             "embedding_neardup_lsh_capped", "semantic_dedup_capped",
+             "dedup_fuzzy_verify")
     extra: dict[str, float] = {}
     for name in EXTRA:
         spark.catalog.clearCache()

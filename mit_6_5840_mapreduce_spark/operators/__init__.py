@@ -45,15 +45,17 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 # EVERY round; the SIX new capped-composition gate entries (VERDICT r9
 # item 1 — dedup_groups/keep_best over max_df-capped candidate
 # generation; band-bucket population caps for the minhash / simhash /
-# embedding-LSH band joins; semantic_dedup over the capped pairs); the
-# round-10 CHANGED queries whose code or oracle was touched by the cap
-# plumbing and are NOT in the stale cohort (dedup_groups,
-# dedup_keep_best — oracles recomposed from the pair-list oracles;
-# dedup_minhash_lsh, semantic_dedup — optional bucket_cap threaded
-# through, default path identical); then 36 of the 37-cert r6 stale
-# cohort (ceiling 4 rounds, oldest first, name tiebreak —
-# user_value_mad_sql, last in name order, is the one planner-scheduled
-# spill to r11). 4 + 6 + 4 + 36 = 50, no free slots.
+# embedding-LSH band joins; semantic_dedup over the capped pairs) plus
+# dedup_fuzzy_verify (edit-distance verification over the capped
+# banded candidates); the round-10 CHANGED queries whose code or
+# oracle was touched by the cap plumbing and are NOT in the stale
+# cohort (dedup_groups, dedup_keep_best — oracles recomposed from the
+# pair-list oracles; dedup_minhash_lsh, semantic_dedup — optional
+# bucket_cap threaded through, default path identical); then 35 of the
+# 37-cert r6 stale cohort (ceiling 4 rounds, oldest first, name
+# tiebreak — user_stats and user_value_mad_sql, the last two in name
+# order, are the planner-scheduled spill to r11).
+# 4 + 7 + 4 + 35 = 50, no free slots.
 # tests/test_registry_window.py pins this.
 WINDOW_SIZE = 50
 
@@ -61,9 +63,11 @@ WINDOW_FIRST: tuple[str, ...] = (
     # sentinels (every round)
     "mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts",
     # round-10 new: the capped composed dedup pipelines (VERDICT r9 #1)
+    # + the edit-distance verify stage over the capped candidates
     "dedup_groups_capped", "dedup_keep_best_capped",
     "dedup_minhash_lsh_capped", "dedup_simhash_capped",
     "embedding_neardup_lsh_capped", "semantic_dedup_capped",
+    "dedup_fuzzy_verify",
     # round-10 changed (cap plumbing; not already in the stale cohort)
     "dedup_groups", "dedup_keep_best", "dedup_minhash_lsh",
     "semantic_dedup",
@@ -79,7 +83,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "payload_thumbnail", "pq_recall_eval", "q3_shipping_priority",
     "simhash_docs", "source_quota_cap", "stratified_sample",
     "stream_dedup_events", "stream_sliding_counts", "stream_user_totals",
-    "tfidf_cosine_pairs", "tfidf_top_terms", "token_stats", "user_stats",
+    "tfidf_cosine_pairs", "tfidf_top_terms", "token_stats",
 )
 
 

@@ -551,6 +551,62 @@ def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_simhash(spark, sf_dir, bucket_cap=BAND_BUCKET_CAP)
 
 
+FUZZY_MIN_SIM = 0.4
+
+
+def _ascii_fold(c: Column) -> Column:
+    """Fold every non-ASCII character to '?' before edit distance.
+    This is the operator's documented contract, not a hack around one
+    engine: Levenshtein implementations disagree on the unit of edit
+    for multi-byte text (Spark counts UTF-8 CHARACTERS, DuckDB counts
+    BYTES — 'héllo'->'hello' is 1 vs 2), so a portable distance must
+    run over a representation where the two coincide. Post-fold the
+    strings are pure ASCII (bytes == chars) and the DP is identical on
+    any engine; each non-ASCII char still costs one edit when it
+    differs."""
+    return F.regexp_replace(c, r"[^\x00-\x7F]", "?")
+
+
+def dedup_fuzzy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup, the classic two-stage shape: capped MinHash-banded
+    CANDIDATES (``dedup_minhash_lsh(bucket_cap=BAND_BUCKET_CAP)`` — the
+    deployed generation path) verified by EXACT Levenshtein edit
+    distance over the ASCII-folded texts, keeping pairs with normalized
+    similarity 1 - dist/max(len) >= FUZZY_MIN_SIM. Banding finds
+    shingle-level overlap; the edit-distance verify is the signal it
+    can't give — HOW FAR apart two near-duplicates actually are (one
+    typo vs a rewritten paragraph), which is what survivorship and
+    diff-review tooling consume.
+
+    Scale design (100 TB): edit distance is O(len_a * len_b) per pair
+    and must NEVER run corpus x corpus — it runs only on the banded
+    candidate set (bounded by the bucket-population cap), and the raw
+    texts join in by doc_id equi-keys, so only candidate-pair texts
+    ever shuffle. The oracle applies the identical candidate filter and
+    the identical fold, so values (integer distance + floor4
+    similarity) hash-match cross-engine."""
+    cand = dedup_minhash_lsh(spark, sf_dir,
+                             bucket_cap=BAND_BUCKET_CAP) \
+        .select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _ascii_fold(F.col("text")).alias("t"))
+    a = docs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("t").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("t").alias("tb"))
+    sim = floor4(
+        F.lit(1.0)
+        - F.levenshtein("ta", "tb")
+        / F.greatest(F.length("ta"), F.length("tb"), F.lit(1)))
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b",
+                F.levenshtein("ta", "tb").alias("edit_dist"),
+                sim.alias("edit_sim"))
+        .where(F.col("edit_sim") >= FUZZY_MIN_SIM)
+    )
+
+
 CONTAINMENT_MIN = 0.5
 
 
@@ -806,6 +862,7 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
+    "dedup_fuzzy_verify": dedup_fuzzy_verify,
     "simhash_docs": simhash_docs,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_capped": dedup_simhash_capped,
@@ -1101,6 +1158,31 @@ ORACLES = {
     """,
     "dedup_minhash_lsh": _minhash_lsh_oracle(),
     "dedup_minhash_lsh_capped": _minhash_lsh_oracle(BAND_BUCKET_CAP),
+    # candidate CTE = the capped minhash oracle verbatim; the fold is
+    # the operator's documented ASCII contract (see _ascii_fold) and
+    # restores byte==char so DuckDB's byte-wise levenshtein equals
+    # Spark's character-wise one
+    "dedup_fuzzy_verify": f"""
+        WITH cand AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({_minhash_lsh_oracle(BAND_BUCKET_CAP)})
+        ),
+        t AS MATERIALIZED (
+            SELECT doc_id,
+                   regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS t
+            FROM documents
+        )
+        SELECT doc_a, doc_b,
+               levenshtein(a.t, b.t) AS edit_dist,
+               floor((1.0 - levenshtein(a.t, b.t)
+                            / greatest(length(a.t), length(b.t), 1))
+                     * 10000) / 10000 AS edit_sim
+        FROM cand
+        JOIN t a ON a.doc_id = doc_a
+        JOIN t b ON b.doc_id = doc_b
+        WHERE floor((1.0 - levenshtein(a.t, b.t)
+                           / greatest(length(a.t), length(b.t), 1))
+                    * 10000) / 10000 >= {FUZZY_MIN_SIM}
+    """,
     "simhash_docs": _DUCK_SIMHASH,
     "dedup_simhash_capped": _simhash_pairs_capped_oracle(BAND_BUCKET_CAP),
     "dedup_simhash": f"""

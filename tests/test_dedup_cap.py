@@ -430,3 +430,65 @@ def test_groups_capped_is_coarsening_respecting_cap(spark, sf_dir):
         by_capped[g].add(full[d])
     for g, uncapped_groups in by_capped.items():
         assert len(uncapped_groups) == 1, g
+
+
+# ---- fuzzy verification (round 10, edit-distance stage) ------------------
+
+
+@pytest.fixture(scope="module")
+def fuzzy_corpus_dir(tmp_path_factory):
+    """Three near-dup cases for the edit-distance verify: an exact
+    clone pair (distance 0), a one-typo pair (distance 1), and a
+    non-ASCII pair exercising the ASCII fold — 'héllo' vs 'hello' is
+    where byte-wise and char-wise Levenshtein disagree (2 vs 1)."""
+    base = " ".join(_tok(7000 + j) for j in range(30))
+    typo = base[:-1] + "q"                     # one substitution
+    uni_a = "héllo " + " ".join(_tok(7100 + j) for j in range(29))
+    uni_b = "hello " + " ".join(_tok(7100 + j) for j in range(29))
+    texts = [base, base, typo, uni_a, uni_b]
+    d = tmp_path_factory.mktemp("fuzzy_sf")
+    table = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["synthetic"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(table, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_fuzzy_verify_distances_and_fold(spark, fuzzy_corpus_dir):
+    from mit_6_5840_mapreduce_spark.operators.dedup import dedup_fuzzy_verify
+    rows = {(r.doc_a, r.doc_b): (r.edit_dist, r.edit_sim)
+            for r in dedup_fuzzy_verify(spark, fuzzy_corpus_dir).collect()}
+    # the clone pair and the typo pair are banded candidates by
+    # construction (near-identical shingle sets; all hashing is md5 +
+    # fixed permutations, so candidacy is deterministic)
+    assert rows[(0, 1)][0] == 0 and rows[(0, 1)][1] == 1.0
+    assert rows[(0, 2)][0] == 1 or rows[(1, 2)][0] == 1
+    # the non-ASCII pair: é folds to '?' so the engine-side distance is
+    # exactly 1 (one substitution), char-wise AND byte-wise
+    assert rows[(3, 4)][0] == 1
+
+
+def test_fuzzy_verify_oracle_agrees_on_non_ascii(spark, fuzzy_corpus_dir):
+    """The cross-engine hazard the ASCII fold exists for: DuckDB's
+    levenshtein counts BYTES ('héllo'->'hello' = 2), Spark counts
+    CHARACTERS (= 1). The gate corpus is pure ASCII and cannot catch a
+    fold regression, so this test runs the REAL oracle SQL on a
+    planted non-ASCII corpus and diffs values against the engine."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    got = {(r.doc_a, r.doc_b): (r.edit_dist, float(r.edit_sim))
+           for r in entrymod.queries()["dedup_fuzzy_verify"](
+               spark, fuzzy_corpus_dir).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(fuzzy_corpus_dir, 'documents.parquet')}'")
+    want = {(a, b): (d, float(s)) for a, b, d, s in con.execute(
+        entrymod.oracle_sql()["dedup_fuzzy_verify"]).fetchall()}
+    assert got == want
+    assert (3, 4) in got            # the non-ASCII pair reached verify

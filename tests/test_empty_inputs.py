@@ -111,6 +111,7 @@ REPRESENTATIVE = [
     "dedup_simhash_capped",
     "embedding_neardup_lsh_capped",
     "semantic_dedup_capped",
+    "dedup_fuzzy_verify",
 ]
 
 # un-grouped audit/summary queries keep their fixed rows on empty input

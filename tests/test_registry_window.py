@@ -8,9 +8,9 @@ tools/window_plan.py's staleness report (ceiling 4 rounds), oldest
 cert round first with name tiebreak. Round 10: the six capped
 composed-pipeline gate entries are new (VERDICT r9 item 1); the four
 queries whose code/oracle the cap plumbing touched rotate as
-round-changed; the remaining 36 slots take the r6 stale cohort minus
-its last name (user_value_mad_sql — the one planner-scheduled spill to
-r11). This test fails loudly if a future registration reorders them
+round-changed; the remaining 35 slots take the r6 stale cohort minus
+its last two names (user_stats, user_value_mad_sql — the
+planner-scheduled spill to r11). This test fails loudly if a future registration reorders them
 out.
 """
 
@@ -30,6 +30,8 @@ NEW_THIS_ROUND = {
     "dedup_groups_capped", "dedup_keep_best_capped",
     "dedup_minhash_lsh_capped", "dedup_simhash_capped",
     "embedding_neardup_lsh_capped", "semantic_dedup_capped",
+    # edit-distance verification over the capped banded candidates
+    "dedup_fuzzy_verify",
 }
 
 # changed in round 10 (cap plumbing threaded through; default path
@@ -40,7 +42,8 @@ CHANGED_THIS_ROUND = {
 }
 
 # staleness rotation (window_plan.py, ceiling 4 rounds): the r6 cohort
-# minus user_value_mad_sql (last in name order; spills to r11)
+# minus its last two names (user_stats, user_value_mad_sql; they spill
+# to r11 as the planner-scheduled tail)
 STALE_ROTATION = {
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
     "doc_chunks", "doc_fingerprint", "doc_quality", "doc_split",
@@ -52,7 +55,7 @@ STALE_ROTATION = {
     "payload_thumbnail", "pq_recall_eval", "q3_shipping_priority",
     "simhash_docs", "source_quota_cap", "stratified_sample",
     "stream_dedup_events", "stream_sliding_counts", "stream_user_totals",
-    "tfidf_cosine_pairs", "tfidf_top_terms", "token_stats", "user_stats",
+    "tfidf_cosine_pairs", "tfidf_top_terms", "token_stats",
 }
 
 MUST_BE_IN_WINDOW = (SENTINELS | NEW_THIS_ROUND | CHANGED_THIS_ROUND
@@ -67,7 +70,7 @@ def test_first_window_contains_round10_surface():
 
 
 def test_window_is_exactly_the_must_list():
-    # 4 + 6 + 4 + 36 = 50: the round-10 window has no free slots
+    # 4 + 7 + 4 + 35 = 50: the round-10 window has no free slots
     assert len(MUST_BE_IN_WINDOW) == WINDOW_SIZE
 
 
