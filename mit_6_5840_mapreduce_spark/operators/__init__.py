@@ -51,11 +51,14 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 # oracle was touched by the cap plumbing and are NOT in the stale
 # cohort (dedup_groups, dedup_keep_best — oracles recomposed from the
 # pair-list oracles; dedup_minhash_lsh, semantic_dedup — optional
-# bucket_cap threaded through, default path identical); then 35 of the
-# 37-cert r6 stale cohort (ceiling 4 rounds, oldest first, name
-# tiebreak — user_stats and user_value_mad_sql, the last two in name
-# order, are the planner-scheduled spill to r11).
-# 4 + 7 + 4 + 35 = 50, no free slots.
+# bucket_cap threaded through, default path identical; stream_user_totals
+# — last_ts carried in state + max_by final-state selection;
+# stream_cdc_upsert — cross-batch latest-wins extended to the FULL
+# four-column sequence, r10 review); then 34 of the 37-cert r6 stale
+# cohort (ceiling 4 rounds, oldest first, name tiebreak — token_stats,
+# user_stats and user_value_mad_sql, the last three in name order, are
+# the planner-scheduled spill to r11).
+# 4 + 7 + 5 + 34 = 50, no free slots.
 # tests/test_registry_window.py pins this.
 WINDOW_SIZE = 50
 
@@ -68,11 +71,12 @@ WINDOW_FIRST: tuple[str, ...] = (
     "dedup_minhash_lsh_capped", "dedup_simhash_capped",
     "embedding_neardup_lsh_capped", "semantic_dedup_capped",
     "dedup_fuzzy_verify",
-    # round-10 changed (cap plumbing; not already in the stale cohort)
+    # round-10 changed (cap plumbing + the streaming-review fixes; not
+    # already in the stale cohort — stream_user_totals is)
     "dedup_groups", "dedup_keep_best", "dedup_minhash_lsh",
-    "semantic_dedup",
-    # staleness rotation: the r6 cohort (36 of 37; user_value_mad_sql
-    # spills to r11)
+    "semantic_dedup", "stream_cdc_upsert",
+    # staleness rotation: the r6 cohort (34 of 37; token_stats,
+    # user_stats, user_value_mad_sql spill to r11)
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
     "doc_chunks", "doc_fingerprint", "doc_quality", "doc_split",
     "embedding_lsh_signatures", "embedding_neardup_exact",
@@ -83,7 +87,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "payload_thumbnail", "pq_recall_eval", "q3_shipping_priority",
     "simhash_docs", "source_quota_cap", "stratified_sample",
     "stream_dedup_events", "stream_sliding_counts", "stream_user_totals",
-    "tfidf_cosine_pairs", "tfidf_top_terms", "token_stats",
+    "tfidf_cosine_pairs", "tfidf_top_terms",
 )
 
 

@@ -135,31 +135,40 @@ _TOTALS_SCHEMA = StructType([
 _STATE_SCHEMA = StructType([
     StructField("n_events", LongType()),
     StructField("total_value_cents", LongType()),
+    # last event time carried as integer MICROSECONDS (r10 review: the
+    # emitted last_ts previously reflected only the CURRENT batch, so
+    # an out-of-order later batch made it regress below the user's
+    # true latest, and an empty Arrow chunk could poison it to NaT)
+    StructField("last_ts_us", LongType()),
 ])
 
 
 def _update_totals(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     """Running per-user totals; value tracked in integer cents so state
-    never accumulates float error."""
+    never accumulates float error, and the latest event time carried in
+    state as integer microseconds so it is monotone across
+    micro-batches regardless of arrival order."""
     (user_id,) = key
     if state.exists:
-        n, cents = state.get
+        n, cents, last_us = state.get
     else:
-        n, cents = 0, 0
-    last_ts = None
+        n, cents, last_us = 0, 0, None
     for pdf in pdfs:
+        if len(pdf) == 0:
+            continue          # empty chunk: max() would be NaT
         n += len(pdf)
         # per-ROW cents then integer sum (round 7): exact at any batch
         # size, where rounding one float batch-sum could drift
         cents += int(pdf["value"].mul(100).round().astype("int64").sum())
-        ts_max = pdf["ts"].max()
-        last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
-    state.update((n, cents))
+        batch_us = int(pdf["ts"].max().value // 1000)
+        last_us = batch_us if last_us is None else max(last_us, batch_us)
+    state.update((n, cents, last_us))
     yield pd.DataFrame({
         "user_id": [user_id],
         "n_events": [n],
         "total_value_cents": [cents],
-        "last_ts": [last_ts],
+        "last_ts": [pd.Timestamp(last_us * 1000)
+                    if last_us is not None else pd.NaT],
     })
 
 
@@ -243,7 +252,6 @@ def click_purchase_attribution_batch(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
     """Batch twin of the stream-stream attribution join (same logical
     query on the static table; used as the oracle for the stream)."""
-    from mit_6_5840_mapreduce_spark.sources.tables import load_table
     ev = load_table(spark, sf_dir, "events") \
         .withColumn("ts", F.col("ts").cast("timestamp"))
     clicks = ev.where(F.col("event_type") == "click").select(
@@ -304,7 +312,11 @@ def run_stream_to_parquet(spark: SparkSession, df: DataFrame, out_dir: str,
     into parquet — the pattern for sinks Structured Streaming doesn't
     ship natively (upserts, JDBC, multi-table writes): each micro-batch
     arrives as a plain DataFrame with a monotonically increasing
-    batch_id for idempotent commits."""
+    batch_id. The batch_id column is WRITTEN so a consumer can
+    implement idempotent commits, but this test sink itself APPENDS —
+    a retried micro-batch would duplicate its rows here; a production
+    deployment must overwrite/skip by batch_id (the versioned-snapshot
+    merge in run_cdc_upsert_stream shows the overwrite form)."""
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (batch_df.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(out_dir))
@@ -369,11 +381,18 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = run_stream_to_memory(
         spark, user_running_totals_stream(spark, sf_dir), _memq("totals"),
         output_mode="update")
-    # update mode emits one row per user per micro-batch; keep the final
-    # (= max) state so the result is batch-deterministic
+    # update mode emits one row per user per micro-batch; keep the FINAL
+    # state row. n_events strictly increases across a user's emissions
+    # (the operator is only invoked for keys with >= 1 row in the
+    # batch), so max_by(n_events) selects it deterministically — unlike
+    # independent per-column max(), which fabricates a never-emitted
+    # (n, cents) pair whenever a later batch carries a negative value
+    # (r10 review; corpus values are non-negative, but the selection
+    # rule should not depend on that)
     return got.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max("total_value_cents").alias("total_value_cents"))
+        F.max_by("total_value_cents", "n_events")
+         .alias("total_value_cents"))
 
 
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,11 +608,16 @@ def run_cdc_upsert_stream(spark: SparkSession, changelog: DataFrame,
     test). Batch N reads snapshot v{N} and writes v{N+1}, so a retried
     micro-batch simply overwrites its own output — the idempotent-sink
     discipline foreachBatch requires. The snapshot carries each key's
-    op + sequence (ts, event_id) as a TOMBSTONE column instead of
-    physically deleting, so a late-arriving older upsert in a later
-    micro-batch can never resurrect a deleted key: latest-wins is
-    decided by sequence comparison, which makes the merge independent
-    of how the changelog is split into batches.
+    op + FULL sequence (ts, event_id, event_type, value) as a TOMBSTONE
+    column instead of physically deleting, so a late-arriving older
+    upsert in a later micro-batch can never resurrect a deleted key:
+    latest-wins is decided by sequence comparison over the SAME
+    four-column ordering the per-batch max-struct and the shared
+    cdc_apply oracle use (r10 review: comparing only (ts, event_id)
+    cross-batch made the winner on a full sequence tie depend on the
+    batch split), which makes the merge independent of how the
+    changelog is split into batches even without an event_id
+    uniqueness assumption.
 
     Scale: each micro-batch is one hash-aggregate (latest-per-key,
     partial map-side) + one co-partitioned full-outer merge join
@@ -611,7 +635,9 @@ def run_cdc_upsert_stream(spark: SparkSession, changelog: DataFrame,
         F.lit(True).alias("base"),
         F.lit(None).cast("string").alias("op"),
         F.lit(None).cast("timestamp").alias("seq_ts"),
-        F.lit(None).cast("bigint").alias("seq_eid"))
+        F.lit(None).cast("bigint").alias("seq_eid"),
+        F.lit(None).cast("string").alias("seq_type"),
+        F.lit(None).cast("double").alias("seq_val"))
     base.write.mode("overwrite").parquet(os.path.join(root, "v0"))
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -627,14 +653,18 @@ def run_cdc_upsert_stream(spark: SparkSession, changelog: DataFrame,
                 F.col("l.value").alias("new_bal"),
                 F.upper(F.col("l.event_type")).alias("new_seg"),
                 F.col("l.ts").alias("l_ts"),
-                F.col("l.event_id").alias("l_eid")))
+                F.col("l.event_id").alias("l_eid"),
+                F.col("l.event_type").alias("l_type"),
+                F.col("l.value").alias("l_val")))
         m = snap.join(latest, snap.c_custkey == latest.key, "full_outer")
         # the batch entry wins iff the key is in this batch AND its
         # sequence beats the stored one (base rows have NULL = -inf)
         newer = F.col("key").isNotNull() & (
             F.col("seq_ts").isNull()
-            | (F.struct(F.col("l_ts"), F.col("l_eid"))
-               > F.struct(F.col("seq_ts"), F.col("seq_eid"))))
+            | (F.struct(F.col("l_ts"), F.col("l_eid"),
+                        F.col("l_type"), F.col("l_val"))
+               > F.struct(F.col("seq_ts"), F.col("seq_eid"),
+                          F.col("seq_type"), F.col("seq_val"))))
         upsert = newer & (F.col("l_op") == "U")
         merged = m.select(
             F.coalesce("c_custkey", "key").alias("c_custkey"),
@@ -650,7 +680,11 @@ def run_cdc_upsert_stream(spark: SparkSession, changelog: DataFrame,
             F.when(newer, F.col("l_ts")).otherwise(F.col("seq_ts"))
                 .alias("seq_ts"),
             F.when(newer, F.col("l_eid")).otherwise(F.col("seq_eid"))
-                .alias("seq_eid"))
+                .alias("seq_eid"),
+            F.when(newer, F.col("l_type")).otherwise(F.col("seq_type"))
+                .alias("seq_type"),
+            F.when(newer, F.col("l_val")).otherwise(F.col("seq_val"))
+                .alias("seq_val"))
         merged.write.mode("overwrite").parquet(
             os.path.join(root, f"v{batch_id + 1}"))
 
@@ -823,7 +857,10 @@ LATE_ORACLES = {
         FROM with_id
         GROUP BY user_id, session_seq
     """,
-    "stream_attribution": """
+    # window interpolated from ATTRIBUTION_WINDOW_MIN (r10 review: a
+    # hardcoded 60 would silently desync the oracle from the two Spark
+    # forms on a constant change)
+    "stream_attribution": f"""
         SELECT p.event_id AS purchase_id,
                p.user_id,
                p.ts AS purchase_ts,
@@ -834,7 +871,7 @@ LATE_ORACLES = {
         JOIN events c
           ON c.user_id = p.user_id
          AND c.ts <= p.ts
-         AND c.ts >= p.ts - INTERVAL 60 MINUTE
+         AND c.ts >= p.ts - INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTE
         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     """,
 }

@@ -130,3 +130,55 @@ def test_table_diff_reconstructs_applied_ops(spark, tmp_path_factory):
     assert rows[0].old_acctbal == 100.25 and rows[0].new_acctbal == 11.5
     assert rows[1].new_acctbal is None
     assert rows[5].old_acctbal is None and rows[5].new_acctbal == 42.75
+
+
+def test_stream_cdc_full_sequence_tie_matches_batch_ordering(
+        spark, tmp_path_factory):
+    """r10 review: cross-batch latest-wins compared only (ts, event_id),
+    so on a full (ts, event_id) tie the winner depended on which batch
+    arrived first. The snapshot now carries the FULL four-column
+    sequence (ts, event_id, event_type, value) — the same ordering the
+    per-batch max-struct and the batch cdc_apply oracle use. Here the
+    tied ops arrive in separate batches with the LOSING one first:
+    'error' > 'click' lexicographically, so the delete must win and
+    key 0 must be absent from the final snapshot."""
+    from mit_6_5840_mapreduce_spark.sources.tables import (
+        load_table, normalize_event_ts,
+    )
+    from mit_6_5840_mapreduce_spark.streaming.jobs import (
+        run_cdc_upsert_stream,
+    )
+    d = _mini_sf(tmp_path_factory)
+    src = str(tmp_path_factory.mktemp("cdc_tie_src"))
+
+    def write_events(name, rows):
+        eid, ts, uid, et, val = zip(*rows)
+        pq.write_table(pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("ns")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(list(et)),
+            "value": pa.array(val),
+            "props": pa.array(["{}"] * len(rows)),
+        }), os.path.join(src, name))
+
+    t0 = 1_700_000_000_000_000_000
+    # batch 0: the TIE LOSER (upsert) — same (ts, event_id) as batch 1
+    write_events("b0.parquet", [(20, t0 + 10**9, 0, "click", 5.0)])
+    # batch 1: the TIE WINNER (delete) under the 4-column ordering
+    write_events("b1.parquet", [(20, t0 + 10**9, 0, "error", 1.0)])
+    for i in range(2):
+        os.utime(os.path.join(src, f"b{i}.parquet"),
+                 (1_700_000_000 + i * 60,) * 2)
+
+    raw_schema = spark.read.parquet(os.path.join(src, "b0.parquet")).schema
+    changelog = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false").parquet(src),
+        target="timestamp")
+    got = run_cdc_upsert_stream(
+        spark, changelog, load_table(spark, d, "customer"))
+    rows = {r.c_custkey: r for r in got.collect()}
+    assert 0 not in rows            # the delete won the sequence tie
+    assert rows[2].cdc_op == "keep" and rows[3].cdc_op == "keep"

@@ -8,9 +8,9 @@ tools/window_plan.py's staleness report (ceiling 4 rounds), oldest
 cert round first with name tiebreak. Round 10: the six capped
 composed-pipeline gate entries are new (VERDICT r9 item 1); the four
 queries whose code/oracle the cap plumbing touched rotate as
-round-changed; the remaining 35 slots take the r6 stale cohort minus
-its last two names (user_stats, user_value_mad_sql — the
-planner-scheduled spill to r11). This test fails loudly if a future registration reorders them
+round-changed; the remaining 34 slots take the r6 stale cohort minus
+its last three names (token_stats, user_stats, user_value_mad_sql —
+the planner-scheduled spill to r11). This test fails loudly if a future registration reorders them
 out.
 """
 
@@ -39,11 +39,15 @@ NEW_THIS_ROUND = {
 CHANGED_THIS_ROUND = {
     "dedup_groups", "dedup_keep_best", "dedup_minhash_lsh",
     "semantic_dedup",
+    # streaming-review fix: cross-batch latest-wins over the full
+    # four-column sequence (stream_user_totals, the other streaming
+    # fix, rotates via the stale cohort below)
+    "stream_cdc_upsert",
 }
 
 # staleness rotation (window_plan.py, ceiling 4 rounds): the r6 cohort
-# minus its last two names (user_stats, user_value_mad_sql; they spill
-# to r11 as the planner-scheduled tail)
+# minus its last three names (token_stats, user_stats,
+# user_value_mad_sql; they spill to r11 as the planner-scheduled tail)
 STALE_ROTATION = {
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
     "doc_chunks", "doc_fingerprint", "doc_quality", "doc_split",
@@ -55,7 +59,7 @@ STALE_ROTATION = {
     "payload_thumbnail", "pq_recall_eval", "q3_shipping_priority",
     "simhash_docs", "source_quota_cap", "stratified_sample",
     "stream_dedup_events", "stream_sliding_counts", "stream_user_totals",
-    "tfidf_cosine_pairs", "tfidf_top_terms", "token_stats",
+    "tfidf_cosine_pairs", "tfidf_top_terms",
 }
 
 MUST_BE_IN_WINDOW = (SENTINELS | NEW_THIS_ROUND | CHANGED_THIS_ROUND
@@ -70,7 +74,7 @@ def test_first_window_contains_round10_surface():
 
 
 def test_window_is_exactly_the_must_list():
-    # 4 + 7 + 4 + 35 = 50: the round-10 window has no free slots
+    # 4 + 7 + 5 + 34 = 50: the round-10 window has no free slots
     assert len(MUST_BE_IN_WINDOW) == WINDOW_SIZE
 
 

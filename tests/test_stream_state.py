@@ -281,3 +281,62 @@ def test_session_window_state_is_watermark_bounded(spark, split_src):
     assert rows_total[-1] < n_events / 2, (
         f"final session state {rows_total[-1]} of {n_events} events: "
         f"closed sessions are not being evicted")
+
+
+def test_running_totals_last_ts_monotone_across_batches(spark,
+                                                        tmp_path_factory):
+    """r10 review: last_ts was emitted from the CURRENT batch only, so
+    a late out-of-order batch made it regress below the user's true
+    latest. It is now carried in state: the second emission (n=2) must
+    report the FIRST batch's newer timestamp."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path_factory.mktemp("totals_ooo_src"))
+    t0 = 1_700_000_000_000_000  # us
+    batches = [
+        [(1, (t0 + 3600 * 10**6), 7, "click", 1.0)],     # 13:00-ish
+        [(2, t0, 7, "click", 2.0)],                      # LATE: 12:00-ish
+    ]
+    for i, rows in enumerate(batches):
+        eid, ts, uid, et, val = zip(*rows)
+        pq.write_table(pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(list(ts), pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(list(et)),
+            "value": pa.array(val),
+            "props": pa.array(["{}"] * len(rows)),
+        }), os.path.join(src, f"b{i}.parquet"))
+        os.utime(os.path.join(src, f"b{i}.parquet"),
+                 (1_700_000_000 + i * 60,) * 2)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("latestFirst", "false")
+              .parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    from mit_6_5840_mapreduce_spark.streaming.jobs import _memq
+    name = _memq("totals_ooo")
+    # build the stateful transform directly over the batched stream
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mit_6_5840_mapreduce_spark.streaming.jobs import (
+        _STATE_SCHEMA, _TOTALS_SCHEMA, _update_totals,
+    )
+    out = (stream.select("user_id", "ts", "value")
+           .groupBy("user_id")
+           .applyInPandasWithState(
+               _update_totals, outputStructType=_TOTALS_SCHEMA,
+               stateStructType=_STATE_SCHEMA, outputMode="update",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    query = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+    query.awaitTermination(120)
+    rows = {r.n_events: r for r in spark.table(name).collect()}
+    spark.catalog.dropTempView(name)
+    assert set(rows) == {1, 2}
+    # both emissions report the TRUE latest (13:00), the late batch's
+    # older event must not regress it
+    assert rows[2].last_ts == rows[1].last_ts
+    assert rows[2].total_value_cents == 300
