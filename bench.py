@@ -366,7 +366,11 @@ def main() -> None:
              "dedup_groups_capped", "dedup_keep_best_capped",
              "dedup_minhash_lsh_capped", "dedup_simhash_capped",
              "embedding_neardup_lsh_capped", "semantic_dedup_capped",
-             "dedup_fuzzy_verify")
+             "dedup_fuzzy_verify",
+             # round 10 late: the TPC-H suite completers + the span
+             # alignment operator
+             "q2_min_cost_supplier", "q12_shipping_speed_priority",
+             "q20_dominant_suppliers", "dedup_span_pairs")
     extra: dict[str, float] = {}
     for name in EXTRA:
         spark.catalog.clearCache()

@@ -54,11 +54,21 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 # bucket_cap threaded through, default path identical; stream_user_totals
 # — last_ts carried in state + max_by final-state selection;
 # stream_cdc_upsert — cross-batch latest-wins extended to the FULL
-# four-column sequence, r10 review); then 34 of the 37-cert r6 stale
-# cohort (ceiling 4 rounds, oldest first, name tiebreak — token_stats,
-# user_stats and user_value_mad_sql, the last three in name order, are
-# the planner-scheduled spill to r11).
-# 4 + 7 + 5 + 34 = 50, no free slots.
+# four-column sequence, r10 review); the THREE suite-completing TPC-H
+# queries added late in the round (q2/q12/q20 — every classic TPC-H
+# number the corpus can express is now registered); the cross-document
+# span ALIGNMENT operator (dedup_span_pairs — new) plus
+# duplicate_spans (round-changed: its window generation factored into
+# the shared _span_windows helper both consume); then 29 of the
+# 37-cert r6 stale cohort (ceiling 4 rounds, oldest first, name
+# tiebreak — the planner-scheduled spill to r11 grows to eight names:
+# stratified_sample, stream_dedup_events, stream_sliding_counts,
+# tfidf_cosine_pairs, tfidf_top_terms — the name-order tail of the
+# cohort that is NOT round-changed (stream_user_totals IS, so it
+# stays) — plus the r9 spill token_stats, user_stats,
+# user_value_mad_sql; r11 will have ~40 free slots, so the spill
+# clears immediately).
+# 4 + 7 + 5 + 3 + 2 + 29 = 50, no free slots.
 # tests/test_registry_window.py pins this.
 WINDOW_SIZE = 50
 
@@ -75,8 +85,15 @@ WINDOW_FIRST: tuple[str, ...] = (
     # already in the stale cohort — stream_user_totals is)
     "dedup_groups", "dedup_keep_best", "dedup_minhash_lsh",
     "semantic_dedup", "stream_cdc_upsert",
-    # staleness rotation: the r6 cohort (34 of 37; token_stats,
-    # user_stats, user_value_mad_sql spill to r11)
+    # round-10 new (late): the TPC-H suite completers + the span
+    # alignment operator (and duplicate_spans, changed by the
+    # _span_windows factoring)
+    "q2_min_cost_supplier", "q12_shipping_speed_priority",
+    "q20_dominant_suppliers", "dedup_span_pairs", "duplicate_spans",
+    # staleness rotation: the r6 cohort (29 of 37; stratified_sample,
+    # stream_dedup_events, stream_sliding_counts, tfidf_cosine_pairs,
+    # tfidf_top_terms join token_stats, user_stats, user_value_mad_sql
+    # in the r11 spill)
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
     "doc_chunks", "doc_fingerprint", "doc_quality", "doc_split",
     "embedding_lsh_signatures", "embedding_neardup_exact",
@@ -85,9 +102,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "image_decode_stats", "ivf_assign", "ivf_search", "lang_id",
     "minhash_signatures", "mr_doccount", "mr_docmeta", "mr_indexer_rdd",
     "payload_thumbnail", "pq_recall_eval", "q3_shipping_priority",
-    "simhash_docs", "source_quota_cap", "stratified_sample",
-    "stream_dedup_events", "stream_sliding_counts", "stream_user_totals",
-    "tfidf_cosine_pairs", "tfidf_top_terms",
+    "simhash_docs", "source_quota_cap", "stream_user_totals",
 )
 
 

@@ -787,6 +787,84 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPAN_TOKENS = 10                # exact-substring window width (tokens)
 
+# Corpus-wide occurrence cap per window hash for the PAIR-ALIGNMENT
+# form: a window occurring in n places emits <= n*(n-1)/2 aligned hits,
+# so dedup_span_pairs drops window hashes above this population before
+# its self-join — the span-family twin of BAND_BUCKET_CAP.
+SPAN_OCC_CAP = 20
+
+
+def _span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, hw): every SPAN_TOKENS-token sliding window of the
+    corpus, 60-bit-hashed BEFORE any shuffle (fixed-width uniform keys;
+    window text never leaves the scan stage). Persisted — every
+    consumer (duplicate_spans' count/flag passes, dedup_span_pairs'
+    cap + self-join) reads it more than once."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    return (
+        toks.where(F.size("toks") >= SPAN_TOKENS)
+        .select("doc_id", F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (SPAN_TOKENS - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice(F.col("toks"), i, SPAN_TOKENS))
+                .alias("w")))).alias("s"))
+        .select("doc_id", F.col("s.pos").cast("bigint").alias("pos"),
+                F.conv(F.substring(F.md5("s.w"), 1, 15), 16, 10)
+                .cast("bigint").alias("hw"))
+    ).persist()
+
+
+def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-span ALIGNMENT — the pair-level view that
+    ``duplicate_spans`` aggregates away: for every ordered document
+    pair sharing text, each maximal shared run (which doc shares which,
+    where in EACH side, and for how many tokens) — the provenance /
+    contamination-attribution signal, and the input a cut-one-side
+    span-dedup pass needs.
+
+    Suffix-array ExactSubstr semantics, distributed: two SPAN_TOKENS
+    windows that match at consecutive start positions on the same
+    alignment DIAGONAL (pos_a - pos_b) are one longer shared
+    substring, so maximal shared spans fall out of gaps-and-islands
+    per (pair, diagonal): a run of R consecutive matching starts is
+    one shared span of R + SPAN_TOKENS - 1 tokens.
+
+    Scale design (100 TB): windows are 60-bit-hashed before the
+    shuffle; the corpus-wide occurrence cap (cap_bucket_population,
+    SPAN_OCC_CAP) bounds the self-join to <= cap^2 aligned hits per
+    window hash — the boilerplate window that appears in a million
+    documents is dropped before it can emit a quadratic hit list, the
+    band-bucket-cap doctrine (docs/SCALE.md). The island detection
+    windows over (doc_a, doc_b, diag) partitions bounded by document
+    length, never corpus size. Capped-form property: a shared span
+    whose INTERIOR window crosses the occurrence cap (boilerplate
+    embedded inside otherwise-unique text) splits into the two flanks;
+    the oracle applies the identical filter, so the split is
+    value-checked, not approximated."""
+    wins = cap_bucket_population(
+        _span_windows(spark, sf_dir), ["hw"], SPAN_OCC_CAP)
+    a, b = wins.alias("a"), wins.alias("b")
+    hits = (
+        a.join(b, (F.col("a.hw") == F.col("b.hw"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.pos").alias("pos_a"),
+                F.col("b.pos").alias("pos_b"),
+                (F.col("a.pos") - F.col("b.pos")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    return (
+        hits.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.min("pos_a").alias("start_a"),
+             F.min("pos_b").alias("start_b"),
+             (F.count("*") + (SPAN_TOKENS - 1)).alias("span_tokens"))
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )
+
 
 def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-span dedup statistics — the sliding-window form
@@ -808,20 +886,7 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     find arbitrary-length duplicates but needs global order — the
     fixed-window form is the standard distributed approximation and
     catches every duplicate of length >= SPAN_TOKENS."""
-    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
-    wins = (
-        toks.where(F.size("toks") >= SPAN_TOKENS)
-        .select("doc_id", F.explode(F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (SPAN_TOKENS - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.concat_ws(" ", F.slice(F.col("toks"), i, SPAN_TOKENS))
-                .alias("w")))).alias("s"))
-        .select("doc_id", F.col("s.pos").cast("bigint").alias("pos"),
-                F.conv(F.substring(F.md5("s.w"), 1, 15), 16, 10)
-                .cast("bigint").alias("hw"))
-    ).persist()
+    wins = _span_windows(spark, sf_dir)
     dup = (wins.groupBy("hw").agg(F.count("*").alias("n_occ"))
            .where(F.col("n_occ") >= 2).select("hw"))
     flagged = wins.join(dup, "hw").select("doc_id", "pos")
@@ -849,6 +914,7 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "duplicate_spans": duplicate_spans,
+    "dedup_span_pairs": dedup_span_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_groups": dedup_groups,
@@ -1026,6 +1092,45 @@ ORACLES = {
         FROM totals t
         LEFT JOIN dup_counts USING (doc_id)
         LEFT JOIN runs USING (doc_id)
+    """,
+    "dedup_span_pairs": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ),
+        bands AS MATERIALIZED (
+            SELECT doc_id, pos,
+                   CAST(concat('0x', substring(md5(array_to_string(
+                        list_slice(toks, pos, pos + {SPAN_TOKENS} - 1),
+                        ' ')), 1, 15)) AS BIGINT) AS hw
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - {SPAN_TOKENS} + 2))
+                           AS pos
+                FROM toks WHERE len(toks) >= {SPAN_TOKENS}
+            )
+        ){cap_bucket_sql("hw", "b.doc_id, b.pos, b.hw", SPAN_OCC_CAP)},
+        hits AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pos_a, b.pos AS pos_b,
+                   a.pos - b.pos AS diag
+            FROM kb a JOIN kb b
+              ON a.hw = b.hw AND a.doc_id < b.doc_id
+        ),
+        runs AS (
+            SELECT doc_a, doc_b, diag, pos_a, pos_b,
+                   pos_a - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
+                       AS grp
+            FROM hits
+        )
+        SELECT doc_a, doc_b,
+               min(pos_a) AS start_a, min(pos_b) AS start_b,
+               CAST(count(*) + {SPAN_TOKENS} - 1 AS BIGINT)
+                   AS span_tokens
+        FROM runs GROUP BY doc_a, doc_b, diag, grp
     """,
     "dedup_ngram_jaccard": f"""
         WITH sh AS ({_DUCK_SHINGLES}),

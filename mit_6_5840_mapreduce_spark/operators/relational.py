@@ -32,8 +32,8 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from mit_6_5840_mapreduce_spark.functions.numeric import (
-    duckdb_exact_round_sum as _ers, exact_round_sum, floor4, row_units_bigint,
-    units_total_to_dollars)
+    duckdb_exact_round_sum as _ers, duckdb_floor4, exact_round_sum, floor4,
+    row_units_bigint, units_total_to_dollars)
 from mit_6_5840_mapreduce_spark.sources.tables import load_table
 
 
@@ -1055,6 +1055,151 @@ def q16_parts_supplier_relationship(spark: SparkSession,
     )
 
 
+Q2_SIZE_MAX = 15
+Q2_TYPE = "STANDARD"
+Q2_REGION = "EUROPE"
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (corpus has no partsupp table — the
+    part/supplier supply relation derives from lineitem shipments,
+    q16's rule, and 'supply cost' is the cheapest unit price that
+    supplier ever charged for the part, floor4(extendedprice /
+    quantity)): for STANDARD parts of size <= 15, the EUROPE
+    supplier(s) whose cost equals the part's regional minimum.
+
+    The classic correlated MIN subquery decorrelates into a per-part
+    window min over the regional candidate set — one shuffle on
+    p_partkey, no second aggregate-and-join pass. floor4 of a single
+    division is the identical IEEE expression on both engines (module
+    docstring's ratio rule), so the min and the equality filter are
+    cross-engine exact. region/nation are fixed dims (broadcast by
+    policy); part and supplier grow with SF — unhinted. Top 100 by
+    (s_acctbal DESC, n_name, s_name, p_partkey); (s_name, p_partkey)
+    is unique per candidate row, so LIMIT membership is deterministic
+    on any engine or partitioning."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    supply = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(floor4(F.col("l_extendedprice") / F.col("l_quantity")))
+             .alias("supply_cost"))
+    )
+    part = (_t(spark, sf_dir, "part")
+            .where((F.col("p_size") <= Q2_SIZE_MAX)
+                   & (F.col("p_type") == Q2_TYPE))
+            .select("p_partkey", "p_name"))
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q2_REGION)
+    cand = (
+        supply
+        .join(part, supply.l_partkey == part.p_partkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                "supply_cost")
+    )
+    min_cost = F.min("supply_cost").over(Window.partitionBy("p_partkey"))
+    return (
+        cand.withColumn("min_cost", min_cost)
+        .where(F.col("supply_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q12_shipping_speed_priority(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (corpus has no l_shipmode or commit/receipt
+    dates — 'ship mode' becomes the shipping-speed class derived from
+    the order-to-ship delay: SLOW = shipped >= LATE_DAYS days after
+    the order date, the q4/q21 lateness rule): per speed class over
+    1996 shipments, how many lineitems belong to high-priority orders
+    (1-URGENT / 2-HIGH) vs everything else.
+
+    One fact-fact equi-join (shuffle on the order key; the 1996 filter
+    pushes to the lineitem scan) into a two-group hash-agg with
+    map-side partials. datediff of midnight-aligned timestamps is an
+    exact integer day count on both engines. No ORDER BY: two rows,
+    no LIMIT, and the gate canonicalizes row order (q16's rule)."""
+    year_lo = F.lit("1996-01-01").cast("timestamp")
+    year_hi = F.lit("1997-01-01").cast("timestamp")
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= year_lo)
+                 & (F.col("l_shipdate") < year_hi))
+          .select("l_orderkey", "l_shipdate"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    slow = (F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            >= LATE_DAYS)
+    high = F.col("o_orderpriority").isin(*HIGH_PRIORITIES)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.when(slow, "SLOW").otherwise("FAST").alias("ship_class"))
+        .agg(F.sum(high.cast("bigint")).alias("high_line_count"),
+             F.sum((~high).cast("bigint")).alias("low_line_count"))
+    )
+
+
+Q20_PART_PREFIX = "red"
+Q20_REGION = "MIDDLE EAST"
+Q20_SHARE = 0.5
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (corpus has no partsupp.ps_availqty — 'holds
+    excess stock' becomes 'dominant supplier': shipped MORE than half
+    of the part's total 1996 volume): suppliers in MIDDLE EAST that
+    dominated at least one red-prefixed part.
+
+    The classic nested-subquery chain keeps its shape: per
+    (part, supplier) shipped quantity (hash-agg after the selective
+    part semi-filter), the correlated per-part total as a window sum
+    whose exchange moves only the AGGREGATED pair rows — never raw
+    lineitems — then the > 0.5 * total filter, and the distinct
+    supplier keys SEMI-join the supplier dim, so the probe side stays
+    |suppliers|. Quantities are integer-valued doubles, so the sums
+    are exact in any merge order (q17's rule) and the share
+    comparison is cross-engine exact. No ORDER BY (no LIMIT; gate
+    canonicalizes)."""
+    part = (_t(spark, sf_dir, "part")
+            .where(F.col("p_name").startswith(Q20_PART_PREFIX))
+            .select("p_partkey"))
+    year_lo = F.lit("1996-01-01").cast("timestamp")
+    year_hi = F.lit("1997-01-01").cast("timestamp")
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= year_lo)
+                 & (F.col("l_shipdate") < year_hi))
+          .select("l_partkey", "l_suppkey", "l_quantity"))
+    shipped = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    total = F.sum("qty").over(Window.partitionBy("l_partkey"))
+    dom = (shipped.withColumn("part_total", total)
+           .where(F.col("qty") > Q20_SHARE * F.col("part_total"))
+           .select("l_suppkey").distinct())
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q20_REGION)
+    return (
+        supp.join(dom, supp.s_suppkey == dom.l_suppkey, "leftsemi")
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_name", "n_name", "s_acctbal")
+    )
+
+
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per customer, Recency (days from last order to
     the corpus's max order date), Frequency (order count), Monetary
@@ -1412,6 +1557,9 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
     "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q12_shipping_speed_priority": q12_shipping_speed_priority,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
     "customer_rfm": customer_rfm,
     "bucketed_join_stats": bucketed_join_stats,
     "user_event_unpivot": user_event_unpivot,
@@ -1681,6 +1829,71 @@ ORACLES = {
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 100
+    """,
+    "q2_min_cost_supplier": f"""
+        WITH supply AS (
+            SELECT l_partkey, l_suppkey,
+                   min({duckdb_floor4('l_extendedprice / l_quantity')})
+                       AS supply_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        cand AS (
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                   supply_cost,
+                   min(supply_cost) OVER (PARTITION BY p_partkey)
+                       AS min_cost
+            FROM supply
+            JOIN part ON l_partkey = p_partkey
+             AND p_size <= {Q2_SIZE_MAX} AND p_type = '{Q2_TYPE}'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+             AND r_name = '{Q2_REGION}'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+        FROM cand WHERE supply_cost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "q12_shipping_speed_priority": f"""
+        SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                         >= {LATE_DAYS}
+                    THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                        {HIGH_PRIORITIES} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                        {HIGH_PRIORITIES} THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY ship_class
+    """,
+    "q20_dominant_suppliers": f"""
+        WITH shipped AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+             AND p_name LIKE '{Q20_PART_PREFIX}%'
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey, l_suppkey
+        ),
+        dom AS (
+            SELECT DISTINCT l_suppkey
+            FROM (SELECT l_suppkey, qty,
+                         sum(qty) OVER (PARTITION BY l_partkey)
+                             AS part_total
+                  FROM shipped)
+            WHERE qty > {Q20_SHARE} * part_total
+        )
+        SELECT s_name, n_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+         AND r_name = '{Q20_REGION}'
+        WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
     """,
     # events_user_sketch: oracled below via artifact + exact-side
     # error() bounds (r8; see the entry past q21)

@@ -50,6 +50,11 @@ REPRESENTATIVE = [
     "stream_foreachbatch_roundtrip",
     # round-4 surface
     "q16_parts_supplier_relationship",
+    # r10 TPC-H completers: window-decorrelated min, conditional split
+    # counts, dominance semi-join
+    "q2_min_cost_supplier",
+    "q12_shipping_speed_priority",
+    "q20_dominant_suppliers",
     "pack_sequences",
     "training_shuffle",
     "decontaminate_split",
@@ -69,6 +74,7 @@ REPRESENTATIVE = [
     "user_event_unpivot",
     # round-4 extension surface (mixture / span dedup / adapted Q9)
     "duplicate_spans",
+    "dedup_span_pairs",
     "q9_product_type_profit",
     "source_mix_weights",
     "temperature_resample",

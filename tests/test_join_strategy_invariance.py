@@ -27,7 +27,10 @@ DEHINTED = ("q3_shipping_priority", "q19_discounted_revenue",
             "q14_promo_revenue", "q8_market_share",
             "q17_small_quantity_revenue", "q16_parts_supplier_relationship",
             "bloom_prune_join", "tfidf_top_terms", "tfidf_cosine_pairs",
-            "token_rarity", "stream_enriched_events")
+            "token_rarity", "stream_enriched_events",
+            # r10 TPC-H completers: filtered part / supplier joins are
+            # SF-growing and unhinted by the same policy
+            "q2_min_cost_supplier", "q20_dominant_suppliers")
 
 # streaming queries materialize through a memory sink; their micro-batch
 # plans aren't visible via df.explain, so they get the value check only

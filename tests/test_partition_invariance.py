@@ -35,7 +35,11 @@ SWEEP = ("mr_wc", "training_shuffle", "pack_sequences",
          # is an exact integer agg and the keep-join a plain equi-join,
          # so the capped candidate set (and everything downstream: CC
          # labels, signature comparison) must survive retuning
-         "dedup_minhash_lsh_capped", "dedup_groups_capped")
+         "dedup_minhash_lsh_capped", "dedup_groups_capped",
+         # r10 late: diagonal gaps-and-islands over occurrence-capped
+         # window hashes — run grouping rides a per-(pair, diag)
+         # row_number, which must not depend on shuffle partitioning
+         "dedup_span_pairs")
 
 
 def _rows(spark, sf_dir, name):

@@ -8,9 +8,16 @@ tools/window_plan.py's staleness report (ceiling 4 rounds), oldest
 cert round first with name tiebreak. Round 10: the six capped
 composed-pipeline gate entries are new (VERDICT r9 item 1); the four
 queries whose code/oracle the cap plumbing touched rotate as
-round-changed; the remaining 34 slots take the r6 stale cohort minus
-its last three names (token_stats, user_stats, user_value_mad_sql —
-the planner-scheduled spill to r11). This test fails loudly if a future registration reorders them
+round-changed; the three suite-completing TPC-H queries (q2/q12/q20)
+and the cross-document span alignment operator (dedup_span_pairs) are
+new, with duplicate_spans rotating as round-changed (shared
+_span_windows factoring); the remaining 29 slots take the r6 stale
+cohort minus its name-order tail that is not round-changed
+(stratified_sample, stream_dedup_events, stream_sliding_counts,
+tfidf_cosine_pairs, tfidf_top_terms — these join the r9 tail
+token_stats, user_stats, user_value_mad_sql as the planner-scheduled
+eight-name spill to r11, which clears immediately: r11 has ~40 free
+slots). This test fails loudly if a future registration reorders them
 out.
 """
 
@@ -32,6 +39,12 @@ NEW_THIS_ROUND = {
     "embedding_neardup_lsh_capped", "semantic_dedup_capped",
     # edit-distance verification over the capped banded candidates
     "dedup_fuzzy_verify",
+    # the TPC-H suite completers (every classic TPC-H number the
+    # corpus can express is now registered)
+    "q2_min_cost_supplier", "q12_shipping_speed_priority",
+    "q20_dominant_suppliers",
+    # cross-document exact-span alignment (ExactSubstr pair view)
+    "dedup_span_pairs",
 }
 
 # changed in round 10 (cap plumbing threaded through; default path
@@ -39,6 +52,9 @@ NEW_THIS_ROUND = {
 CHANGED_THIS_ROUND = {
     "dedup_groups", "dedup_keep_best", "dedup_minhash_lsh",
     "semantic_dedup",
+    # window generation factored into the shared _span_windows helper
+    # that dedup_span_pairs also consumes
+    "duplicate_spans",
     # streaming-review fix: cross-batch latest-wins over the full
     # four-column sequence (stream_user_totals, the other streaming
     # fix, rotates via the stale cohort below)
@@ -46,8 +62,10 @@ CHANGED_THIS_ROUND = {
 }
 
 # staleness rotation (window_plan.py, ceiling 4 rounds): the r6 cohort
-# minus its last three names (token_stats, user_stats,
-# user_value_mad_sql; they spill to r11 as the planner-scheduled tail)
+# minus the six-name spill to r11 (token_stats, user_stats,
+# user_value_mad_sql from r9's tail; stream_sliding_counts,
+# tfidf_cosine_pairs, tfidf_top_terms displaced by the late TPC-H
+# completers — stream_user_totals stays: it is round-changed)
 STALE_ROTATION = {
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
     "doc_chunks", "doc_fingerprint", "doc_quality", "doc_split",
@@ -57,9 +75,7 @@ STALE_ROTATION = {
     "image_decode_stats", "ivf_assign", "ivf_search", "lang_id",
     "minhash_signatures", "mr_doccount", "mr_docmeta", "mr_indexer_rdd",
     "payload_thumbnail", "pq_recall_eval", "q3_shipping_priority",
-    "simhash_docs", "source_quota_cap", "stratified_sample",
-    "stream_dedup_events", "stream_sliding_counts", "stream_user_totals",
-    "tfidf_cosine_pairs", "tfidf_top_terms",
+    "simhash_docs", "source_quota_cap", "stream_user_totals",
 }
 
 MUST_BE_IN_WINDOW = (SENTINELS | NEW_THIS_ROUND | CHANGED_THIS_ROUND
@@ -74,7 +90,7 @@ def test_first_window_contains_round10_surface():
 
 
 def test_window_is_exactly_the_must_list():
-    # 4 + 7 + 5 + 34 = 50: the round-10 window has no free slots
+    # 4 + 11 + 6 + 29 = 50: the round-10 window has no free slots
     assert len(MUST_BE_IN_WINDOW) == WINDOW_SIZE
 
 

@@ -70,6 +70,76 @@ def test_duplicate_spans_run_collapsing(spark, tmp_path_factory):
         assert r.longest_dup_tokens == SPAN_TOKENS + 2
 
 
+def test_span_pairs_alignment_and_offsets(spark, tmp_path_factory):
+    """dedup_span_pairs must report WHERE the shared text sits on EACH
+    side: doc 1 embeds doc 0's (SPAN_TOKENS + 2)-token prefix after a
+    3-token preamble -> exactly one span row, start_a = 1,
+    start_b = 4, span_tokens = SPAN_TOKENS + 2. Doc 2 shares nothing
+    long enough -> appears in no pair."""
+    shared = WORDS + ["lambda", "mu"]
+    texts = [" ".join(shared) + " nu xi",
+             "pre amble tokens " + " ".join(shared) + " rho sigma",
+             "totally unrelated words that never repeat anything here"]
+    d = _docs_dir(tmp_path_factory, "spanpairs", texts)
+    rows = entrymod.queries()["dedup_span_pairs"](spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    assert (r.start_a, r.start_b) == (1, 4)
+    assert r.span_tokens == SPAN_TOKENS + 2
+
+
+WORDS_B = "nu xi omicron pi rho sigma tau upsilon phi chi".split()
+assert len(WORDS_B) == SPAN_TOKENS
+
+
+def test_span_pairs_splits_on_diagonal_breaks(spark, tmp_path_factory):
+    """Two DISTINCT shared regions separated by differing text are two
+    span rows, not one: doc 0 and doc 1 share block A, diverge for a
+    few tokens (different lengths, so the second block sits on a
+    shifted diagonal), then share block B."""
+    mid0, mid1 = "one two three", "four five six seven"
+    texts = [" ".join(WORDS) + f" {mid0} " + " ".join(WORDS_B),
+             " ".join(WORDS) + f" {mid1} " + " ".join(WORDS_B)]
+    d = _docs_dir(tmp_path_factory, "spansplit", texts)
+    rows = sorted(
+        entrymod.queries()["dedup_span_pairs"](spark, d).collect(),
+        key=lambda r: r.start_a)
+    assert [r.span_tokens for r in rows] == [SPAN_TOKENS, SPAN_TOKENS]
+    assert (rows[0].start_a, rows[0].start_b) == (1, 1)
+    # second shared block: after block A + the differing middles
+    assert (rows[1].start_a, rows[1].start_b) == (
+        SPAN_TOKENS + len(mid0.split()) + 1,
+        SPAN_TOKENS + len(mid1.split()) + 1)
+
+
+def test_span_pairs_occurrence_cap_drops_boilerplate(spark,
+                                                     tmp_path_factory):
+    """A window occurring in more than SPAN_OCC_CAP places must emit
+    NO pairs (the quadratic-hit boilerplate guard), while a 2-copy
+    window on the same corpus still matches."""
+    from mit_6_5840_mapreduce_spark.operators.dedup import SPAN_OCC_CAP
+    boiler = " ".join(WORDS)
+    rare = "uniq rare unique tokens never elsewhere repeated at all ever"
+    assert len(rare.split()) == SPAN_TOKENS
+    texts = [boiler] * (SPAN_OCC_CAP + 1) + [rare, rare]
+    d = _docs_dir(tmp_path_factory, "spancap", texts)
+    rows = entrymod.queries()["dedup_span_pairs"](spark, d).collect()
+    assert len(rows) == 1
+    assert (rows[0].doc_a, rows[0].doc_b) == (SPAN_OCC_CAP + 1,
+                                              SPAN_OCC_CAP + 2)
+
+
+def test_span_pairs_intra_document_repeats_excluded(spark,
+                                                    tmp_path_factory):
+    """A document repeating ITS OWN text emits no pair rows (doc_a <
+    doc_b is strict): intra-doc duplication is duplicate_spans'
+    signal, not an alignment pair."""
+    texts = [" ".join(WORDS) + " stop " + " ".join(WORDS)]
+    d = _docs_dir(tmp_path_factory, "spanintra", texts)
+    assert entrymod.queries()["dedup_span_pairs"](spark, d).count() == 0
+
+
 def test_single_source_mix_keeps_everything(spark, tmp_path_factory):
     """With one source the sqrt-temperature weights collapse to the
     whole corpus: weight 1000 permille, resample keeps every doc."""

@@ -45,6 +45,13 @@ def main() -> int:
     only = set(sys.argv[2:])
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # a selector that names nothing (typo, or flag-style args the tool
+    # doesn't take) must fail loudly — a vacuous run prints the same
+    # "0 failures" as a real one
+    unknown = only - set(queries)
+    if unknown:
+        print(f"ERROR: not registered queries: {sorted(unknown)}")
+        return 2
 
     spark = get_spark("parity")
     con = duckdb.connect()
