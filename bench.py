@@ -368,9 +368,10 @@ def main() -> None:
              "embedding_neardup_lsh_capped", "semantic_dedup_capped",
              "dedup_fuzzy_verify",
              # round 10 late: the TPC-H suite completers + the span
-             # alignment operator
+             # alignment/cut operators
              "q2_min_cost_supplier", "q12_shipping_speed_priority",
-             "q20_dominant_suppliers", "dedup_span_pairs")
+             "q20_dominant_suppliers", "dedup_span_pairs",
+             "dedup_span_scrub")
     extra: dict[str, float] = {}
     for name in EXTRA:
         spark.catalog.clearCache()

@@ -57,18 +57,18 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 # four-column sequence, r10 review); the THREE suite-completing TPC-H
 # queries added late in the round (q2/q12/q20 — every classic TPC-H
 # number the corpus can express is now registered); the cross-document
-# span ALIGNMENT operator (dedup_span_pairs — new) plus
-# duplicate_spans (round-changed: its window generation factored into
-# the shared _span_windows helper both consume); then 29 of the
-# 37-cert r6 stale cohort (ceiling 4 rounds, oldest first, name
-# tiebreak — the planner-scheduled spill to r11 grows to eight names:
-# stratified_sample, stream_dedup_events, stream_sliding_counts,
-# tfidf_cosine_pairs, tfidf_top_terms — the name-order tail of the
-# cohort that is NOT round-changed (stream_user_totals IS, so it
-# stays) — plus the r9 spill token_stats, user_stats,
-# user_value_mad_sql; r11 will have ~40 free slots, so the spill
-# clears immediately).
-# 4 + 7 + 5 + 3 + 2 + 29 = 50, no free slots.
+# span ALIGNMENT + CUT operators (dedup_span_pairs, dedup_span_scrub —
+# new) plus duplicate_spans (round-changed: its window generation
+# factored into the shared _span_windows helper both consume); then 28
+# of the 37-cert r6 stale cohort (ceiling 4 rounds, oldest first, name
+# tiebreak — the planner-scheduled spill to r11 grows to nine names:
+# source_quota_cap, stratified_sample, stream_dedup_events,
+# stream_sliding_counts, tfidf_cosine_pairs, tfidf_top_terms — the
+# name-order tail of the cohort that is NOT round-changed
+# (stream_user_totals IS, so it stays) — plus the r9 spill
+# token_stats, user_stats, user_value_mad_sql; r11 will have ~40 free
+# slots, so the spill clears immediately).
+# 4 + 7 + 5 + 3 + 3 + 28 = 50, no free slots.
 # tests/test_registry_window.py pins this.
 WINDOW_SIZE = 50
 
@@ -86,14 +86,15 @@ WINDOW_FIRST: tuple[str, ...] = (
     "dedup_groups", "dedup_keep_best", "dedup_minhash_lsh",
     "semantic_dedup", "stream_cdc_upsert",
     # round-10 new (late): the TPC-H suite completers + the span
-    # alignment operator (and duplicate_spans, changed by the
+    # alignment/cut operators (and duplicate_spans, changed by the
     # _span_windows factoring)
     "q2_min_cost_supplier", "q12_shipping_speed_priority",
-    "q20_dominant_suppliers", "dedup_span_pairs", "duplicate_spans",
-    # staleness rotation: the r6 cohort (29 of 37; stratified_sample,
-    # stream_dedup_events, stream_sliding_counts, tfidf_cosine_pairs,
-    # tfidf_top_terms join token_stats, user_stats, user_value_mad_sql
-    # in the r11 spill)
+    "q20_dominant_suppliers", "dedup_span_pairs", "dedup_span_scrub",
+    "duplicate_spans",
+    # staleness rotation: the r6 cohort (28 of 37; source_quota_cap,
+    # stratified_sample, stream_dedup_events, stream_sliding_counts,
+    # tfidf_cosine_pairs, tfidf_top_terms join token_stats,
+    # user_stats, user_value_mad_sql in the r11 spill)
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
     "doc_chunks", "doc_fingerprint", "doc_quality", "doc_split",
     "embedding_lsh_signatures", "embedding_neardup_exact",
@@ -102,7 +103,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "image_decode_stats", "ivf_assign", "ivf_search", "lang_id",
     "minhash_signatures", "mr_doccount", "mr_docmeta", "mr_indexer_rdd",
     "payload_thumbnail", "pq_recall_eval", "q3_shipping_priority",
-    "simhash_docs", "source_quota_cap", "stream_user_totals",
+    "simhash_docs", "stream_user_totals",
 )
 
 

@@ -866,6 +866,62 @@ def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut-one-side exact-span dedup — the ACTION stage of the
+    ExactSubstr pipeline (detect: ``duplicate_spans``; attribute:
+    ``dedup_span_pairs``; cut: here). Every document keeps its tokens
+    except positions covered by a shared span in which it is the
+    HIGHER-doc_id side — the lower id is the canonical copy,
+    ``dedup_exact``'s min-id survivorship rule, so one copy of every
+    duplicated passage survives corpus-wide. Spans are the ones
+    detected on the ORIGINAL corpus (single-pass cut semantics: cuts
+    do not re-trigger detection against already-scrubbed text).
+    Output per document: token count, tokens cut, cut fraction, and
+    the scrubbed text recomposed from the surviving tokens (token-
+    joined — tokenize() has already dropped punctuation, so the
+    recomposition is over the token stream, not raw bytes).
+
+    Scale design (100 TB): the cut-position explode is bounded by
+    |pair spans| x span length (occurrence-capped upstream); the
+    anti-join and the per-doc regroup shuffle |corpus tokens| — the
+    same order as the window pass that found the spans; the regroup's
+    collect_list is per-document, bounded by document length (the
+    hot-key doctrine's bounded-group class), and array_sort makes the
+    recomposition order-deterministic under any merge order."""
+    pairs = dedup_span_pairs(spark, sf_dir)
+    cuts = (
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(F.sequence(
+                F.col("start_b"),
+                F.col("start_b") + F.col("span_tokens") - 1)).alias("pos"))
+        .distinct()
+    )
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    toks = (base.select("doc_id", F.posexplode("toks"))
+            .select("doc_id", (F.col("pos") + 1).cast("bigint").alias("pos"),
+                    F.col("col").alias("word")))
+    kept = toks.join(cuts, ["doc_id", "pos"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "word"))),
+            lambda s: s.word)).alias("scrubbed_text"))
+    totals = base.select("doc_id", F.size("toks").cast("bigint")
+                         .alias("n_tokens"))
+    n_cut = F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
+    return (
+        totals.join(kept_agg, "doc_id", "left")
+        .select("doc_id", "n_tokens", n_cut.alias("n_cut"),
+                F.when(F.col("n_tokens") > 0,
+                       floor4(n_cut / F.col("n_tokens")))
+                .otherwise(F.lit(0.0)).alias("cut_frac"),
+                F.coalesce("scrubbed_text", F.lit(""))
+                .alias("scrubbed_text"))
+    )
+
+
 def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-span dedup statistics — the sliding-window form
     of suffix-array substring dedup (find every SPAN_TOKENS-token
@@ -915,6 +971,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "duplicate_spans": duplicate_spans,
     "dedup_span_pairs": dedup_span_pairs,
+    "dedup_span_scrub": dedup_span_scrub,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_groups": dedup_groups,
@@ -1037,6 +1094,48 @@ def _simhash_pairs_capped_oracle(bucket_cap: int) -> str:
     """
 
 
+# Oracle for dedup_span_pairs — also embedded verbatim by the
+# dedup_span_scrub oracle (the cut stage consumes the pair alignments)
+_SPAN_PAIRS_SQL = rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ),
+        bands AS MATERIALIZED (
+            SELECT doc_id, pos,
+                   CAST(concat('0x', substring(md5(array_to_string(
+                        list_slice(toks, pos, pos + {SPAN_TOKENS} - 1),
+                        ' ')), 1, 15)) AS BIGINT) AS hw
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - {SPAN_TOKENS} + 2))
+                           AS pos
+                FROM toks WHERE len(toks) >= {SPAN_TOKENS}
+            )
+        ){cap_bucket_sql("hw", "b.doc_id, b.pos, b.hw", SPAN_OCC_CAP)},
+        hits AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pos_a, b.pos AS pos_b,
+                   a.pos - b.pos AS diag
+            FROM kb a JOIN kb b
+              ON a.hw = b.hw AND a.doc_id < b.doc_id
+        ),
+        runs AS (
+            SELECT doc_a, doc_b, diag, pos_a, pos_b,
+                   pos_a - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
+                       AS grp
+            FROM hits
+        )
+        SELECT doc_a, doc_b,
+               min(pos_a) AS start_a, min(pos_b) AS start_b,
+               CAST(count(*) + {SPAN_TOKENS} - 1 AS BIGINT)
+                   AS span_tokens
+        FROM runs GROUP BY doc_a, doc_b, diag, grp
+    """
+
 ORACLES = {
     "dedup_exact": """
         SELECT md5(text) AS content_hash,
@@ -1093,44 +1192,46 @@ ORACLES = {
         LEFT JOIN dup_counts USING (doc_id)
         LEFT JOIN runs USING (doc_id)
     """,
-    "dedup_span_pairs": rf"""
-        WITH toks AS (
+    "dedup_span_pairs": _SPAN_PAIRS_SQL,
+    "dedup_span_scrub": rf"""
+        WITH pairs AS MATERIALIZED ({_SPAN_PAIRS_SQL}),
+        cuts AS (
+            SELECT DISTINCT doc_b AS doc_id,
+                   unnest(range(start_b, start_b + span_tokens)) AS pos
+            FROM pairs
+        ),
+        dtoks AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
                                t -> t <> '') AS toks
             FROM documents
         ),
-        bands AS MATERIALIZED (
-            SELECT doc_id, pos,
-                   CAST(concat('0x', substring(md5(array_to_string(
-                        list_slice(toks, pos, pos + {SPAN_TOKENS} - 1),
-                        ' ')), 1, 15)) AS BIGINT) AS hw
-            FROM (
-                SELECT doc_id, toks,
-                       unnest(range(1, len(toks) - {SPAN_TOKENS} + 2))
-                           AS pos
-                FROM toks WHERE len(toks) >= {SPAN_TOKENS}
-            )
-        ){cap_bucket_sql("hw", "b.doc_id, b.pos, b.hw", SPAN_OCC_CAP)},
-        hits AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.pos AS pos_a, b.pos AS pos_b,
-                   a.pos - b.pos AS diag
-            FROM kb a JOIN kb b
-              ON a.hw = b.hw AND a.doc_id < b.doc_id
+        toks AS (
+            SELECT doc_id, pos, toks[pos] AS word
+            FROM (SELECT doc_id, toks,
+                         unnest(range(1, len(toks) + 1)) AS pos
+                  FROM dtoks)
         ),
-        runs AS (
-            SELECT doc_a, doc_b, diag, pos_a, pos_b,
-                   pos_a - row_number() OVER (
-                       PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
-                       AS grp
-            FROM hits
+        kept AS (
+            SELECT t.doc_id, t.pos, t.word
+            FROM toks t
+            WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                              WHERE c.doc_id = t.doc_id
+                                AND c.pos = t.pos)
+        ),
+        kept_agg AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(word, ' ' ORDER BY pos) AS scrubbed_text
+            FROM kept GROUP BY doc_id
         )
-        SELECT doc_a, doc_b,
-               min(pos_a) AS start_a, min(pos_b) AS start_b,
-               CAST(count(*) + {SPAN_TOKENS} - 1 AS BIGINT)
-                   AS span_tokens
-        FROM runs GROUP BY doc_a, doc_b, diag, grp
+        SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+               CAST(len(d.toks) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
+               CASE WHEN len(d.toks) > 0
+                    THEN floor((len(d.toks) - coalesce(n_kept, 0))
+                               / len(d.toks)::DOUBLE * 10000) / 10000
+                    ELSE 0.0 END AS cut_frac,
+               coalesce(scrubbed_text, '') AS scrubbed_text
+        FROM dtoks d LEFT JOIN kept_agg USING (doc_id)
     """,
     "dedup_ngram_jaccard": f"""
         WITH sh AS ({_DUCK_SHINGLES}),

@@ -75,6 +75,7 @@ REPRESENTATIVE = [
     # round-4 extension surface (mixture / span dedup / adapted Q9)
     "duplicate_spans",
     "dedup_span_pairs",
+    "dedup_span_scrub",
     "q9_product_type_profit",
     "source_mix_weights",
     "temperature_resample",

@@ -140,6 +140,48 @@ def test_span_pairs_intra_document_repeats_excluded(spark,
     assert entrymod.queries()["dedup_span_pairs"](spark, d).count() == 0
 
 
+def test_span_scrub_cuts_higher_id_side_only(spark, tmp_path_factory):
+    """The cut stage: doc 1 repeats doc 0's SPAN_TOKENS-token text
+    after its own preamble -> doc 0 (lower id, canonical) keeps every
+    token; doc 1 loses exactly the copied span and keeps its preamble
+    and tail; an untouched doc is recomposed verbatim (token-joined)
+    with zero cuts."""
+    shared = " ".join(WORDS)
+    texts = [shared,
+             "my own preamble " + shared + " my own tail",
+             "completely distinct words that appear nowhere else at all"]
+    d = _docs_dir(tmp_path_factory, "spanscrub", texts)
+    rows = {r.doc_id: r for r in
+            entrymod.queries()["dedup_span_scrub"](spark, d).collect()}
+    assert rows[0].n_cut == 0 and rows[0].scrubbed_text == shared
+    r1 = rows[1]
+    assert r1.n_tokens == SPAN_TOKENS + 6
+    assert r1.n_cut == SPAN_TOKENS
+    assert r1.scrubbed_text == "my own preamble my own tail"
+    assert rows[2].n_cut == 0
+    assert rows[2].scrubbed_text == texts[2]
+
+
+def test_span_scrub_overlapping_spans_cut_once(spark, tmp_path_factory):
+    """Overlapping coverage must not over-count: doc 2 copies a
+    (SPAN_TOKENS + 2)-token block that docs 0 AND 1 both contain ->
+    two pair spans covering the same doc-2 positions, cut once
+    (n_cut = SPAN_TOKENS + 2, not 2x)."""
+    block = " ".join(WORDS + ["lambda", "mu"])
+    texts = [block + " zero tail", block + " other ending here",
+             "third doc copies " + block]
+    d = _docs_dir(tmp_path_factory, "spanoverlap", texts)
+    rows = {r.doc_id: r for r in
+            entrymod.queries()["dedup_span_scrub"](spark, d).collect()}
+    assert rows[0].n_cut == 0
+    # doc 1 is the higher side of the (0, 1) pair: the shared block
+    # is cut there too
+    assert rows[1].n_cut == SPAN_TOKENS + 2
+    r2 = rows[2]
+    assert r2.n_cut == SPAN_TOKENS + 2
+    assert r2.scrubbed_text == "third doc copies"
+
+
 def test_single_source_mix_keeps_everything(spark, tmp_path_factory):
     """With one source the sqrt-temperature weights collapse to the
     whole corpus: weight 1000 permille, resample keeps every doc."""

@@ -43,7 +43,12 @@ PROBES = ("mr_wc", "simhash_docs", "minhash_signatures",
           # session-2 linear operators (duplicate_spans and the phash
           # PAIR query are excluded: replication manufactures duplicate
           # spans / hash collisions; per-doc image_phash and the
-          # broadcast-dim mixture ops are linear)
+          # broadcast-dim mixture ops are linear. The r10 span
+          # alignment/cut pair (dedup_span_pairs/_scrub) is excluded
+          # for the same reason — replication makes every doc a
+          # factor-sized clone clique whose window populations sit
+          # BELOW SPAN_OCC_CAP (16 < 20), so the probe would time a
+          # manufactured all-replicas pairing, not the operator)
           "doc_lm_score", "quality_ensemble", "temperature_resample",
           "source_mix_weights", "pq_encode", "image_phash",
           # round 8 (VERDICT r7 item 6): the CAPPED pairwise variants
