@@ -33,6 +33,10 @@ the documented CONTRACTS are re-implemented from their specs:
   bit-for-bit. This closes the last heavy family where the engine and
   the DuckDB oracle share derivation logic (both use the 60-bit md5
   shingle hash; this voice uses none).
+- dedup_span_pairs (round 10, the SPAN family): alignments re-derived
+  from raw window STRINGS (no hashing), occurrence cap and diagonal
+  islands recomputed in pure Python, the full
+  (doc_a, doc_b, start_a, start_b, span_tokens) set diffed exactly.
 """
 
 from __future__ import annotations
@@ -46,6 +50,7 @@ import pyarrow.parquet as pq
 
 from mit_6_5840_mapreduce_spark.operators.dedup import dedup_groups
 from mit_6_5840_mapreduce_spark.operators.dedup import dedup_minhash_lsh
+from mit_6_5840_mapreduce_spark.operators.dedup import dedup_span_pairs
 from mit_6_5840_mapreduce_spark.operators.events import sessionize
 from mit_6_5840_mapreduce_spark.operators.similarity import embedding_topk
 from mit_6_5840_mapreduce_spark.operators.textstats import tfidf_top_terms
@@ -295,6 +300,55 @@ def test_dedup_groups_third_voice(spark, sf_dir):
     assert got == expected
 
 
+def test_dedup_span_pairs_third_voice(spark, sf_dir):
+    """The SPAN family (round 10): engine and DuckDB oracle both run
+    the identical diagonal gaps-and-islands over 60-bit md5 window
+    hashes; this voice re-derives the alignments from raw window
+    STRINGS (no hashing at all) per the documented contract: 10-token
+    sliding windows (letter-run tokens, 1-based positions), drop
+    window texts occurring more than 20 times corpus-wide (the
+    occurrence cap; constants restated on purpose — a silent change in
+    dedup.py must break THIS file), cross-document hits with
+    doc_a < doc_b, maximal runs = consecutive pos_a per
+    (pair, pos_a - pos_b), span = run + 9 tokens."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    width, occ_cap = 10, 20
+    occurrences: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for r in docs.itertuples():
+        toks = _letters(r.text)
+        for i in range(len(toks) - width + 1):
+            occurrences[" ".join(toks[i:i + width])].append(
+                (r.doc_id, i + 1))
+    hits: dict[tuple[int, int, int], list[int]] = defaultdict(list)
+    for sites in occurrences.values():
+        if len(sites) > occ_cap:
+            continue
+        for da, pa in sites:
+            for db, pb in sites:
+                if da < db:
+                    hits[(da, db, pa - pb)].append(pa)
+    expected = set()
+    for (da, db, diag), positions in hits.items():
+        positions.sort()
+        run_start = prev = positions[0]
+        run = 1
+        for p in positions[1:]:
+            if p == prev + 1:
+                run += 1
+            else:
+                expected.add((da, db, run_start, run_start - diag,
+                              run + width - 1))
+                run_start, run = p, 1
+            prev = p
+        expected.add((da, db, run_start, run_start - diag,
+                      run + width - 1))
+    assert expected, "corpus produced no shared spans at this SF"
+    got = {(r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+           for r in dedup_span_pairs(spark, sf_dir).collect()}
+    assert got == expected
+
+
 def test_family_third_voice_is_really_independent():
     """Same guard as tests/test_third_voice.py: only the two query
     entry points may come from the package — sharing the engine's
@@ -315,6 +369,8 @@ def test_family_third_voice_is_really_independent():
         "import dedup_groups",
         "from mit_6_5840_mapreduce_spark.operators.dedup "
         "import dedup_minhash_lsh",
+        "from mit_6_5840_mapreduce_spark.operators.dedup "
+        "import dedup_span_pairs",
         "from mit_6_5840_mapreduce_spark.operators.events "
         "import sessionize",
         "from mit_6_5840_mapreduce_spark.operators.similarity "
