@@ -898,7 +898,11 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    base = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    # persisted: the tokenize scan feeds two branches (the posexplode
+    # and the totals size()) — without the cache each branch re-runs
+    # the per-row-heavy tokenize pass over the full corpus
+    base = docs.select("doc_id",
+                       tokenize(F.col("text")).alias("toks")).persist()
     toks = (base.select("doc_id", F.posexplode("toks"))
             .select("doc_id", (F.col("pos") + 1).cast("bigint").alias("pos"),
                     F.col("col").alias("word")))

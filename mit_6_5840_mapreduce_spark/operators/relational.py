@@ -1114,6 +1114,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+# explicit IN-list rendering: a Python tuple repr is valid SQL only for
+# length >= 2 (a 1-tuple renders with a trailing comma)
+_HIGH_IN = ", ".join(f"'{p}'" for p in HIGH_PRIORITIES)
 
 
 def q12_shipping_speed_priority(spark: SparkSession,
@@ -1140,7 +1143,11 @@ def q12_shipping_speed_priority(spark: SparkSession,
         "o_orderkey", "o_orderdate", "o_orderpriority")
     slow = (F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
             >= LATE_DAYS)
-    high = F.col("o_orderpriority").isin(*HIGH_PRIORITIES)
+    # coalesce: a NULL priority must count as LOW (the oracle's CASE
+    # ELSE branch), not vanish from both sums — isin() yields NULL on
+    # NULL input and sum() would silently skip the row
+    high = F.coalesce(F.col("o_orderpriority").isin(*HIGH_PRIORITIES),
+                      F.lit(False))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.when(slow, "SLOW").otherwise("FAST").alias("ship_class"))
@@ -1860,10 +1867,10 @@ ORACLES = {
                          >= {LATE_DAYS}
                     THEN 'SLOW' ELSE 'FAST' END AS ship_class,
                CAST(sum(CASE WHEN o_orderpriority IN
-                        {HIGH_PRIORITIES} THEN 1 ELSE 0 END) AS BIGINT)
+                        ({_HIGH_IN}) THEN 1 ELSE 0 END) AS BIGINT)
                    AS high_line_count,
                CAST(sum(CASE WHEN o_orderpriority IN
-                        {HIGH_PRIORITIES} THEN 0 ELSE 1 END) AS BIGINT)
+                        ({_HIGH_IN}) THEN 0 ELSE 1 END) AS BIGINT)
                    AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
