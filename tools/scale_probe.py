@@ -69,7 +69,15 @@ PROBES = ("mr_wc", "simhash_docs", "minhash_signatures",
           # their manufactured near-dups. Measured at sf0.1: wall ~flat
           # at 16x (signatures dominate; the capped join stays bounded)
           "dedup_minhash_lsh_capped", "dedup_simhash_capped",
-          "embedding_neardup_lsh_capped")
+          "embedding_neardup_lsh_capped",
+          # round 10 late: the TPC-H completers — orders/lineitem are
+          # replicated with matching orderkey offsets (dims stay 1x),
+          # so q12 measures linear fact-fact join growth, and q2/q20's
+          # supply/dominance aggregates REDUCE 16x input onto a
+          # constant-size (part, supplier) grid — the shape their 100TB
+          # claim rests on (output identical at every factor)
+          "q2_min_cost_supplier", "q12_shipping_speed_priority",
+          "q20_dominant_suppliers")
 FACTORS = (1, 4, 16)
 
 # The CC loop probe (VERDICT r5 item 5) can't ride the replicated
@@ -150,12 +158,18 @@ def main() -> int:
     for factor in FACTORS:
         work = os.path.join(tempfile.gettempdir(), f"scale_{factor}x")
         for table, id_col in (("documents", "doc_id"),
-                              ("embeddings", "vec_id")):
+                              ("embeddings", "vec_id"),
+                              # r10: fact tables for the TPC-H probes —
+                              # the SAME 1e9 orderkey step on both sides
+                              # keeps the join aligned per replica while
+                              # part/supp/cust keys stay unshifted (the
+                              # dims are fixed, so per-key groups grow
+                              # with the factor — the reduce shape)
+                              ("orders", "o_orderkey"),
+                              ("lineitem", "l_orderkey")):
             replicate(spark, sf_dir, work, table, id_col, factor)
-        # non-replicated tables resolve from the original dir; probes
-        # below only touch documents/embeddings
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem"):
+        # non-replicated dims resolve from the original dir
+        for t in ("region", "nation", "customer", "supplier", "part"):
             dst = os.path.join(work, f"{t}.parquet")
             if not os.path.exists(dst):
                 os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
