@@ -130,6 +130,58 @@ def test_span_pairs_occurrence_cap_drops_boilerplate(spark,
                                               SPAN_OCC_CAP + 2)
 
 
+def test_span_pairs_periodic_text_matches_brute_force(spark,
+                                                      tmp_path_factory):
+    """Periodic text is the adversarial shape for diagonal islands:
+    every window of 'w w w ... w' equals every other, so a doc pair
+    aligns on MANY diagonals at once (one island per diagonal, each a
+    maximal run). Verify the engine against an in-test brute-force
+    recomputation of the declared semantics on exactly this corpus
+    (window occurrences -> capped -> cross-doc hits -> consecutive
+    pos_a runs per (pair, diag))."""
+    n = SPAN_TOKENS + 4                     # 5 windows per doc
+    texts = ["rep " * n, "rep " * n]        # 10 occurrences < cap
+    d = _docs_dir(tmp_path_factory, "spanperiodic", [t.strip()
+                                                     for t in texts])
+    # brute force from raw token lists
+    toks = [t.strip().split() for t in texts]
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, tk in enumerate(toks):
+        for i in range(len(tk) - SPAN_TOKENS + 1):
+            occ.setdefault(" ".join(tk[i:i + SPAN_TOKENS]),
+                           []).append((doc_id, i + 1))
+    expected = set()
+    for sites in occ.values():
+        if len(sites) > 20:                 # SPAN_OCC_CAP, restated
+            continue
+        by_diag: dict[tuple[int, int, int], list[int]] = {}
+        for da, pa in sites:
+            for db, pb in sites:
+                if da < db:
+                    by_diag.setdefault((da, db, pa - pb), []).append(pa)
+        for (da, db, diag), ps in by_diag.items():
+            ps.sort()
+            start = prev = ps[0]
+            run = 1
+            for p in ps[1:]:
+                if p == prev + 1:
+                    run += 1
+                else:
+                    expected.add((da, db, start, start - diag,
+                                  run + SPAN_TOKENS - 1))
+                    start, run = p, 1
+                prev = p
+            expected.add((da, db, start, start - diag,
+                          run + SPAN_TOKENS - 1))
+    got = {(r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+           for r in entrymod.queries()["dedup_span_pairs"](
+               spark, d).collect()}
+    # 5 windows per side, all identical text -> one island per diagonal
+    # (9 diagonals, -4..4), lengths 10..14..10
+    assert len(expected) == 9
+    assert got == expected
+
+
 def test_span_pairs_intra_document_repeats_excluded(spark,
                                                     tmp_path_factory):
     """A document repeating ITS OWN text emits no pair rows (doc_a <
