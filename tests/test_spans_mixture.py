@@ -234,6 +234,84 @@ def test_span_scrub_overlapping_spans_cut_once(spark, tmp_path_factory):
     assert r2.scrubbed_text == "third doc copies"
 
 
+def test_span_pipeline_random_dense_corpus_matches_brute_force(
+        spark, tmp_path_factory):
+    """Fixed-seed randomized stress mixing three regimes in one
+    corpus: 22 identical boilerplate clones (their windows occur 22
+    times, crossing the occurrence cap), six docs embedding one shared
+    14-token block at varying random offsets inside random filler
+    (cross-diagonal alignments + overlapping cut coverage), and
+    random-filler noise docs including empty and sub-window lengths.
+    Both span operators are diffed against brute-force models of the
+    declared semantics (the pairs model as in the periodic test; the
+    scrub model cuts the union of covered positions on the higher-id
+    side)."""
+    import random
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    filler = lambda n: [rng.choice(vocab) for _ in range(n)]  # noqa: E731
+    boiler = " ".join(filler(SPAN_TOKENS))
+    block = filler(SPAN_TOKENS + 4)
+    texts = [boiler] * 22
+    for _ in range(6):
+        texts.append(" ".join(filler(rng.randrange(0, 8)) + block
+                              + filler(rng.randrange(0, 8))))
+    texts += [" ".join(filler(rng.randrange(0, 31))) for _ in range(8)]
+    d = _docs_dir(tmp_path_factory, "spanrandom", texts)
+    toks = [t.split() for t in texts]
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, tk in enumerate(toks):
+        for i in range(len(tk) - SPAN_TOKENS + 1):
+            occ.setdefault(" ".join(tk[i:i + SPAN_TOKENS]),
+                           []).append((doc_id, i + 1))
+    capped_bound = 0
+    expected_pairs = set()
+    by_diag: dict[tuple[int, int, int], list[int]] = {}
+    for sites in occ.values():
+        if len(sites) > 20:                  # SPAN_OCC_CAP, restated
+            capped_bound += 1
+            continue
+        for da, pa in sites:
+            for db, pb in sites:
+                if da < db:
+                    by_diag.setdefault((da, db, pa - pb), []).append(pa)
+    for (da, db, diag), ps in by_diag.items():
+        ps.sort()
+        start = prev = ps[0]
+        run = 1
+        for p in ps[1:]:
+            if p == prev + 1:
+                run += 1
+            else:
+                expected_pairs.add((da, db, start, start - diag,
+                                    run + SPAN_TOKENS - 1))
+                start, run = p, 1
+            prev = p
+        expected_pairs.add((da, db, start, start - diag,
+                            run + SPAN_TOKENS - 1))
+    # the corpus must actually exercise both regimes
+    assert capped_bound > 0, "no window hash crossed the cap"
+    assert expected_pairs, "no alignments survived the cap"
+    got_pairs = {(r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+                 for r in entrymod.queries()["dedup_span_pairs"](
+                     spark, d).collect()}
+    assert got_pairs == expected_pairs
+    # scrub model: union of covered positions on the higher-id side
+    cut: dict[int, set] = {}
+    for (_da, db, _sa, sb, span) in expected_pairs:
+        cut.setdefault(db, set()).update(range(sb, sb + span))
+    expected_scrub = {}
+    for doc_id, tk in enumerate(toks):
+        kept = [w for i, w in enumerate(tk, start=1)
+                if i not in cut.get(doc_id, set())]
+        expected_scrub[doc_id] = (len(tk), len(tk) - len(kept),
+                                  " ".join(kept))
+    got_scrub = {r.doc_id: (r.n_tokens, r.n_cut, r.scrubbed_text)
+                 for r in entrymod.queries()["dedup_span_scrub"](
+                     spark, d).collect()}
+    assert got_scrub == expected_scrub
+
+
 def test_single_source_mix_keeps_everything(spark, tmp_path_factory):
     """With one source the sqrt-temperature weights collapse to the
     whole corpus: weight 1000 permille, resample keeps every doc."""
