@@ -371,7 +371,7 @@ def main() -> None:
              # alignment/cut operators
              "q2_min_cost_supplier", "q12_shipping_speed_priority",
              "q20_dominant_suppliers", "dedup_span_pairs",
-             "dedup_span_scrub")
+             "dedup_span_scrub", "contamination_spans")
     extra: dict[str, float] = {}
     for name in EXTRA:
         spark.catalog.clearCache()

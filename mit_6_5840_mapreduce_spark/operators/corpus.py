@@ -33,6 +33,9 @@ from mit_6_5840_mapreduce_spark.functions.text import tokenize
 from mit_6_5840_mapreduce_spark.operators.dedup import (
     _DUCK_SHINGLES,
     _doc_shingles,
+    SPAN_OCC_CAP,
+    SPAN_TOKENS,
+    cap_bucket_sql,
 )
 from mit_6_5840_mapreduce_spark.operators.textstats import (
     SPLIT_BUCKETS,
@@ -67,6 +70,54 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
             floor4(F.coalesce("n_shared", F.lit(0))
                    / F.col("n_shingles")).alias("contaminated_frac"))
+    )
+
+
+def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination evidence — WHERE the training split
+    quotes the test split: for every (test doc, train doc) pair
+    sharing a SPAN_TOKENS-token window, each maximal shared run with
+    start offsets on BOTH sides. ``contamination_check`` scores the
+    overlap (shingle fraction per test doc); this names the exact
+    passages — the artifact an eval-hygiene audit reviews, and the
+    input a cut-from-train pass needs (``dedup_span_scrub``'s rule
+    applied across the split boundary instead of by doc id).
+
+    Composition: the occurrence-capped shared-window frame
+    (``_span_windows`` + ``cap_bucket_population``, the
+    dedup_span_pairs doctrine — caps bound the join to <= cap^2 hits
+    per window hash) tagged with ``doc_split``'s deterministic
+    md5-bucket assignment; test-side windows equi-join train-side
+    windows on the hash (splits are disjoint, so no doc_a < doc_b
+    dance), maximal runs fall out of gaps-and-islands per
+    (pair, diagonal) over partitions bounded by document length."""
+    from mit_6_5840_mapreduce_spark.operators.dedup import (
+        SPAN_OCC_CAP, SPAN_TOKENS, _span_windows, cap_bucket_population)
+    from pyspark.sql.window import Window
+    wins = cap_bucket_population(
+        _span_windows(spark, sf_dir), ["hw"], SPAN_OCC_CAP)
+    tagged = wins.join(doc_split(spark, sf_dir)
+                       .select("doc_id", "split"), "doc_id")
+    tw = tagged.where(F.col("split") == "test").alias("t")
+    rw = tagged.where(F.col("split") == "train").alias("r")
+    hits = (
+        tw.join(rw, F.col("t.hw") == F.col("r.hw"))
+        .select(F.col("t.doc_id").alias("test_doc_id"),
+                F.col("r.doc_id").alias("train_doc_id"),
+                F.col("t.pos").alias("pos_t"),
+                F.col("r.pos").alias("pos_r"),
+                (F.col("t.pos") - F.col("r.pos")).alias("diag"))
+    )
+    w = (Window.partitionBy("test_doc_id", "train_doc_id", "diag")
+         .orderBy("pos_t"))
+    return (
+        hits.withColumn("grp", F.col("pos_t") - F.row_number().over(w))
+        .groupBy("test_doc_id", "train_doc_id", "diag", "grp")
+        .agg(F.min("pos_t").alias("start_test"),
+             F.min("pos_r").alias("start_train"),
+             (F.count("*") + (SPAN_TOKENS - 1)).alias("span_tokens"))
+        .select("test_doc_id", "train_doc_id", "start_test",
+                "start_train", "span_tokens")
     )
 
 
@@ -249,6 +300,7 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "bigram_pmi": bigram_pmi,
     "doc_lm_score": doc_lm_score,
+    "contamination_spans": contamination_spans,
 }
 
 _SPLIT_SQL = f"""
@@ -264,6 +316,49 @@ _SPLIT_SQL = f"""
 """
 
 ORACLES = {
+    "contamination_spans": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ),
+        bands AS MATERIALIZED (
+            SELECT doc_id, pos,
+                   CAST(concat('0x', substring(md5(array_to_string(
+                        list_slice(toks, pos, pos + {SPAN_TOKENS} - 1),
+                        ' ')), 1, 15)) AS BIGINT) AS hw
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - {SPAN_TOKENS} + 2))
+                           AS pos
+                FROM toks WHERE len(toks) >= {SPAN_TOKENS}
+            )
+        ){cap_bucket_sql("hw", "b.doc_id, b.pos, b.hw", SPAN_OCC_CAP)},
+        split AS ({_SPLIT_SQL}),
+        tw AS (SELECT k.doc_id, pos, hw FROM kb k
+               JOIN split USING (doc_id) WHERE split = 'test'),
+        rw AS (SELECT k.doc_id, pos, hw FROM kb k
+               JOIN split USING (doc_id) WHERE split = 'train'),
+        hits AS (
+            SELECT tw.doc_id AS test_doc_id, rw.doc_id AS train_doc_id,
+                   tw.pos AS pos_t, rw.pos AS pos_r,
+                   tw.pos - rw.pos AS diag
+            FROM tw JOIN rw ON tw.hw = rw.hw
+        ),
+        runs AS (
+            SELECT test_doc_id, train_doc_id, diag, pos_t, pos_r,
+                   pos_t - row_number() OVER (
+                       PARTITION BY test_doc_id, train_doc_id, diag
+                       ORDER BY pos_t) AS grp
+            FROM hits
+        )
+        SELECT test_doc_id, train_doc_id,
+               min(pos_t) AS start_test, min(pos_r) AS start_train,
+               CAST(count(*) + {SPAN_TOKENS} - 1 AS BIGINT)
+                   AS span_tokens
+        FROM runs GROUP BY test_doc_id, train_doc_id, diag, grp
+    """,
     "doc_repetition": rf"""
         SELECT doc_id,
                len(sh) AS n_shingles,

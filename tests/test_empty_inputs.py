@@ -76,6 +76,7 @@ REPRESENTATIVE = [
     "duplicate_spans",
     "dedup_span_pairs",
     "dedup_span_scrub",
+    "contamination_spans",
     "q9_product_type_profit",
     "source_mix_weights",
     "temperature_resample",

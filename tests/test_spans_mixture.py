@@ -312,6 +312,38 @@ def test_span_pipeline_random_dense_corpus_matches_brute_force(
     assert got_scrub == expected_scrub
 
 
+def test_contamination_spans_cross_split_only(spark, tmp_path_factory):
+    """contamination_spans must emit (test, train) alignments ONLY:
+    doc 8 is the one test-split id among 0..11 (md5-bucket split,
+    verified in-test), embeds a shared block that train docs 2 and 5
+    also contain -> exactly the rows (8, 2) and (8, 5) with both-side
+    offsets; the train-train pair (2, 5) sharing the same block must
+    NOT appear."""
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8],
+                   16) % 100
+
+    assert bucket(8) >= 90 and all(bucket(i) < 80 for i in (2, 5))
+    block = WORDS + ["lambda", "mu"]
+    filler = ("just some ordinary filler text that matches "
+              "nothing else here")
+    texts = [filler] * 12
+    texts[2] = " ".join(block) + " train two tail"
+    texts[5] = "five starts here then " + " ".join(block)
+    texts[8] = "held out doc quoting " + " ".join(block) + " verbatim"
+    d = _docs_dir(tmp_path_factory, "contamspans", texts)
+    rows = sorted(
+        entrymod.queries()["contamination_spans"](spark, d).collect(),
+        key=lambda r: r.train_doc_id)
+    assert [(r.test_doc_id, r.train_doc_id) for r in rows] == \
+        [(8, 2), (8, 5)]
+    assert all(r.span_tokens == SPAN_TOKENS + 2 for r in rows)
+    assert [r.start_test for r in rows] == [5, 5]
+    assert [r.start_train for r in rows] == [1, 5]
+
+
 def test_single_source_mix_keeps_everything(spark, tmp_path_factory):
     """With one source the sqrt-temperature weights collapse to the
     whole corpus: weight 1000 permille, resample keeps every doc."""
