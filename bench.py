@@ -371,7 +371,8 @@ def main() -> None:
              # alignment/cut operators
              "q2_min_cost_supplier", "q12_shipping_speed_priority",
              "q20_dominant_suppliers", "dedup_span_pairs",
-             "dedup_span_scrub", "contamination_spans")
+             "dedup_span_scrub", "contamination_spans",
+             "decontaminate_span_scrub")
     extra: dict[str, float] = {}
     for name in EXTRA:
         spark.catalog.clearCache()

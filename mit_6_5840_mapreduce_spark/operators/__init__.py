@@ -58,19 +58,21 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 # queries added late in the round (q2/q12/q20 — every classic TPC-H
 # number the corpus can express is now registered); the cross-document
 # span ALIGNMENT + CUT operators (dedup_span_pairs, dedup_span_scrub)
-# and the split-aware decontamination-evidence composition
-# (contamination_spans) — all new — plus duplicate_spans
+# and the split-aware decontamination pair — positional evidence
+# (contamination_spans) and its cut-from-train action
+# (decontaminate_span_scrub) — all new — plus duplicate_spans
 # (round-changed: its window generation factored into the shared
-# _span_windows helper the family consumes); then 27 of the 37-cert
+# _span_windows helper the family consumes); then 26 of the 37-cert
 # r6 stale cohort (ceiling 4 rounds, oldest first, name tiebreak —
-# the planner-scheduled spill to r11 grows to ten names:
-# simhash_docs, source_quota_cap, stratified_sample,
-# stream_dedup_events, stream_sliding_counts, tfidf_cosine_pairs,
-# tfidf_top_terms — the name-order tail of the cohort that is NOT
-# round-changed (stream_user_totals IS, so it stays) — plus the r9
-# spill token_stats, user_stats, user_value_mad_sql; r11 will have
-# ~40 free slots, so the spill clears immediately).
-# 4 + 7 + 5 + 3 + 4 + 27 = 50, no free slots.
+# the planner-scheduled spill to r11 grows to eleven names:
+# q3_shipping_priority, simhash_docs, source_quota_cap,
+# stratified_sample, stream_dedup_events, stream_sliding_counts,
+# tfidf_cosine_pairs, tfidf_top_terms — the name-order tail of the
+# cohort that is NOT round-changed (stream_user_totals IS, so it
+# stays) — plus the r9 spill token_stats, user_stats,
+# user_value_mad_sql; r11 will have ~40 free slots, so the spill
+# clears immediately).
+# 4 + 7 + 5 + 3 + 5 + 26 = 50, no free slots.
 # tests/test_registry_window.py pins this.
 WINDOW_SIZE = 50
 
@@ -92,11 +94,13 @@ WINDOW_FIRST: tuple[str, ...] = (
     # _span_windows factoring)
     "q2_min_cost_supplier", "q12_shipping_speed_priority",
     "q20_dominant_suppliers", "dedup_span_pairs", "dedup_span_scrub",
-    "contamination_spans", "duplicate_spans",
-    # staleness rotation: the r6 cohort (27 of 37; simhash_docs,
-    # source_quota_cap, stratified_sample, stream_dedup_events,
-    # stream_sliding_counts, tfidf_cosine_pairs, tfidf_top_terms join
-    # token_stats, user_stats, user_value_mad_sql in the r11 spill)
+    "contamination_spans", "decontaminate_span_scrub",
+    "duplicate_spans",
+    # staleness rotation: the r6 cohort (26 of 37;
+    # q3_shipping_priority, simhash_docs, source_quota_cap,
+    # stratified_sample, stream_dedup_events, stream_sliding_counts,
+    # tfidf_cosine_pairs, tfidf_top_terms join token_stats,
+    # user_stats, user_value_mad_sql in the r11 spill)
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
     "doc_chunks", "doc_fingerprint", "doc_quality", "doc_split",
     "embedding_lsh_signatures", "embedding_neardup_exact",
@@ -104,8 +108,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "events_hourly", "events_props_stats", "graph_recall_eval",
     "image_decode_stats", "ivf_assign", "ivf_search", "lang_id",
     "minhash_signatures", "mr_doccount", "mr_docmeta", "mr_indexer_rdd",
-    "payload_thumbnail", "pq_recall_eval", "q3_shipping_priority",
-    "stream_user_totals",
+    "payload_thumbnail", "pq_recall_eval", "stream_user_totals",
 )
 
 

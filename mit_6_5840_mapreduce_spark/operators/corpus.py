@@ -121,6 +121,40 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_span_scrub(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The decontamination ACTION stage — cut the quoted test-set
+    passages FROM the training split (detect: ``contamination_check``;
+    attribute: ``contamination_spans``; cut: here). Per TRAIN-split
+    document: token count, tokens cut, cut fraction, and the scrubbed
+    text recomposed from the surviving tokens. The test split is
+    NEVER modified — eval sets stay fixed; training data loses the
+    quotes — and only positions inside a detected cross-split span
+    are cut, unlike a drop-the-whole-doc filter
+    (``decontaminate_split``), so a long train doc quoting one
+    benchmark paragraph keeps everything else.
+
+    Plumbing: ``contamination_spans``' train-side offsets explode to
+    cut positions (bounded by |quoted spans| x span length), then the
+    shared ``scrub_positions`` recompose stage (dedup.py) runs
+    restricted to train docs — identical anti-join/recompose
+    semantics as ``dedup_span_scrub`` by construction."""
+    from mit_6_5840_mapreduce_spark.operators.dedup import scrub_positions
+    spans = contamination_spans(spark, sf_dir)
+    cuts = (
+        spans.select(
+            F.col("train_doc_id").alias("doc_id"),
+            F.explode(F.sequence(
+                F.col("start_train"),
+                F.col("start_train") + F.col("span_tokens") - 1))
+            .alias("pos"))
+        .distinct()
+    )
+    train = (doc_split(spark, sf_dir)
+             .where(F.col("split") == "train").select("doc_id"))
+    return scrub_positions(spark, sf_dir, cuts, only=train)
+
+
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition score (the Gopher/C4-style quality
     rule): fraction of a doc's word-3-gram shingles that are repeats of
@@ -301,6 +335,7 @@ QUERIES = {
     "bigram_pmi": bigram_pmi,
     "doc_lm_score": doc_lm_score,
     "contamination_spans": contamination_spans,
+    "decontaminate_span_scrub": decontaminate_span_scrub,
 }
 
 _SPLIT_SQL = f"""
@@ -315,8 +350,9 @@ _SPLIT_SQL = f"""
               FROM documents)
 """
 
-ORACLES = {
-    "contamination_spans": rf"""
+# Oracle for contamination_spans — also embedded verbatim by the
+# decontaminate_span_scrub oracle (the cut stage consumes the quotes)
+_CONTAM_SPANS_SQL = rf"""
         WITH toks AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
@@ -358,6 +394,52 @@ ORACLES = {
                CAST(count(*) + {SPAN_TOKENS} - 1 AS BIGINT)
                    AS span_tokens
         FROM runs GROUP BY test_doc_id, train_doc_id, diag, grp
+    """
+
+ORACLES = {
+    "contamination_spans": _CONTAM_SPANS_SQL,
+    "decontaminate_span_scrub": rf"""
+        WITH contam AS MATERIALIZED ({_CONTAM_SPANS_SQL}),
+        cuts AS (
+            SELECT DISTINCT train_doc_id AS doc_id,
+                   unnest(range(start_train, start_train + span_tokens))
+                       AS pos
+            FROM contam
+        ),
+        split2 AS ({_SPLIT_SQL}),
+        dtoks AS (
+            SELECT d.doc_id,
+                   list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
+                               t -> t <> '') AS toks
+            FROM documents d JOIN split2 USING (doc_id)
+            WHERE split = 'train'
+        ),
+        ptoks AS (
+            SELECT doc_id, pos, toks[pos] AS word
+            FROM (SELECT doc_id, toks,
+                         unnest(range(1, len(toks) + 1)) AS pos
+                  FROM dtoks)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.word
+            FROM ptoks t
+            WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                              WHERE c.doc_id = t.doc_id
+                                AND c.pos = t.pos)
+        ),
+        kept_agg AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(word, ' ' ORDER BY pos) AS scrubbed_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+               CAST(len(d.toks) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
+               CASE WHEN len(d.toks) > 0
+                    THEN floor((len(d.toks) - coalesce(n_kept, 0))
+                               / len(d.toks)::DOUBLE * 10000) / 10000
+                    ELSE 0.0 END AS cut_frac,
+               coalesce(scrubbed_text, '') AS scrubbed_text
+        FROM dtoks d LEFT JOIN kept_agg USING (doc_id)
     """,
     "doc_repetition": rf"""
         SELECT doc_id,

@@ -897,12 +897,30 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("start_b") + F.col("span_tokens") - 1)).alias("pos"))
         .distinct()
     )
+    return scrub_positions(spark, sf_dir, cuts)
+
+
+def scrub_positions(spark: SparkSession, sf_dir: str, cuts: DataFrame,
+                    only: DataFrame | None = None) -> DataFrame:
+    """THE span-cut recompose stage — single-sourced for both cut
+    consumers (``dedup_span_scrub`` over pair alignments;
+    ``decontaminate_span_scrub`` over cross-split quotes), so the
+    anti-join/recompose semantics cannot drift per caller. ``cuts`` is
+    a (doc_id, pos) frame of token positions to remove; ``only``
+    optionally restricts the output to a (doc_id) subset (semi join).
+    Per surviving document: token count, tokens cut, cut fraction,
+    and the scrubbed text recomposed deterministically
+    (array_sort(collect_list(struct(pos, word))) — merge-order-proof;
+    the per-doc collect_list is the bounded-group class)."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     # persisted: the tokenize scan feeds two branches (the posexplode
     # and the totals size()) — without the cache each branch re-runs
     # the per-row-heavy tokenize pass over the full corpus
     base = docs.select("doc_id",
-                       tokenize(F.col("text")).alias("toks")).persist()
+                       tokenize(F.col("text")).alias("toks"))
+    if only is not None:
+        base = base.join(only, "doc_id", "leftsemi")
+    base = base.persist()
     toks = (base.select("doc_id", F.posexplode("toks"))
             .select("doc_id", (F.col("pos") + 1).cast("bigint").alias("pos"),
                     F.col("col").alias("word")))

@@ -77,6 +77,7 @@ REPRESENTATIVE = [
     "dedup_span_pairs",
     "dedup_span_scrub",
     "contamination_spans",
+    "decontaminate_span_scrub",
     "q9_product_type_profit",
     "source_mix_weights",
     "temperature_resample",

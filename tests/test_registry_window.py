@@ -10,13 +10,14 @@ composed-pipeline gate entries are new (VERDICT r9 item 1); the four
 queries whose code/oracle the cap plumbing touched rotate as
 round-changed; the three suite-completing TPC-H queries (q2/q12/q20)
 and the span-family operators (dedup_span_pairs, dedup_span_scrub,
-contamination_spans) are new, with duplicate_spans rotating as
-round-changed (shared _span_windows factoring); the remaining 27
-slots take the r6 stale cohort minus its name-order tail that is not
-round-changed (simhash_docs, source_quota_cap, stratified_sample,
+contamination_spans, decontaminate_span_scrub) are new, with
+duplicate_spans rotating as round-changed (shared _span_windows
+factoring); the remaining 26 slots take the r6 stale cohort minus its
+name-order tail that is not round-changed (q3_shipping_priority,
+simhash_docs, source_quota_cap, stratified_sample,
 stream_dedup_events, stream_sliding_counts, tfidf_cosine_pairs,
 tfidf_top_terms — these join the r9 tail token_stats, user_stats,
-user_value_mad_sql as the planner-scheduled ten-name spill to r11,
+user_value_mad_sql as the planner-scheduled eleven-name spill to r11,
 which clears immediately: r11 has ~40 free slots). This test fails
 loudly if a future registration reorders them out.
 """
@@ -45,8 +46,9 @@ NEW_THIS_ROUND = {
     "q20_dominant_suppliers",
     # cross-document exact-span alignment (ExactSubstr pair view), the
     # cut-one-side action stage consuming it, and the split-aware
-    # decontamination-evidence composition
+    # decontamination pair (positional evidence + cut-from-train)
     "dedup_span_pairs", "dedup_span_scrub", "contamination_spans",
+    "decontaminate_span_scrub",
 }
 
 # changed in round 10 (cap plumbing threaded through; default path
@@ -76,8 +78,7 @@ STALE_ROTATION = {
     "events_hourly", "events_props_stats", "graph_recall_eval",
     "image_decode_stats", "ivf_assign", "ivf_search", "lang_id",
     "minhash_signatures", "mr_doccount", "mr_docmeta", "mr_indexer_rdd",
-    "payload_thumbnail", "pq_recall_eval", "q3_shipping_priority",
-    "stream_user_totals",
+    "payload_thumbnail", "pq_recall_eval", "stream_user_totals",
 }
 
 MUST_BE_IN_WINDOW = (SENTINELS | NEW_THIS_ROUND | CHANGED_THIS_ROUND
@@ -92,7 +93,7 @@ def test_first_window_contains_round10_surface():
 
 
 def test_window_is_exactly_the_must_list():
-    # 4 + 13 + 6 + 27 = 50: the round-10 window has no free slots
+    # 4 + 14 + 6 + 26 = 50: the round-10 window has no free slots
     assert len(MUST_BE_IN_WINDOW) == WINDOW_SIZE
 
 

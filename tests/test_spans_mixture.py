@@ -342,6 +342,18 @@ def test_contamination_spans_cross_split_only(spark, tmp_path_factory):
     assert all(r.span_tokens == SPAN_TOKENS + 2 for r in rows)
     assert [r.start_test for r in rows] == [5, 5]
     assert [r.start_train for r in rows] == [1, 5]
+    # the cut stage: the quoted block leaves BOTH train docs, the test
+    # doc is never modified (train-only output), untouched train docs
+    # keep their text verbatim with zero cuts
+    scrub = {r.doc_id: r for r in
+             entrymod.queries()["decontaminate_span_scrub"](
+                 spark, d).collect()}
+    assert 8 not in scrub
+    assert scrub[2].n_cut == SPAN_TOKENS + 2
+    assert scrub[2].scrubbed_text == "train two tail"
+    assert scrub[5].n_cut == SPAN_TOKENS + 2
+    assert scrub[5].scrubbed_text == "five starts here then"
+    assert scrub[0].n_cut == 0 and scrub[0].scrubbed_text == filler
 
 
 def test_single_source_mix_keeps_everything(spark, tmp_path_factory):
