@@ -148,6 +148,28 @@ def test_q15_threshold_is_broadcast_not_shuffled(spark, sf_dir):
     assert has_broadcast_join(q(spark, sf_dir, "q15_top_supplier"))
 
 
+def test_q2_min_decorrelates_into_one_partitioned_window(spark, sf_dir):
+    """Q2's correlated MIN must be ONE p_partkey-partitioned window
+    over the regional candidates — not a second aggregate-and-join
+    pass, and never an unpartitioned (single-task) sort."""
+    df = q(spark, sf_dir, "q2_min_cost_supplier")
+    plan = executed_plan(df)
+    assert plan.count("Window") == 1, plan
+    assert not unpartitioned_windows(df)
+    assert not has_cartesian_product(df)
+
+
+def test_q20_semi_joins_the_supplier_dim(spark, sf_dir):
+    """Q20's dominant-supplier set must reach the supplier dim as a
+    SEMI join (probe side |suppliers|, never a fan-out), with the
+    per-part total as a partitioned window over aggregated pairs."""
+    df = q(spark, sf_dir, "q20_dominant_suppliers")
+    plan = executed_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert plan.count("Window") == 1, plan
+    assert not unpartitioned_windows(df)
+
+
 def test_stratified_sample_is_broadcast_no_shuffle(spark, sf_dir):
     """Rates ride a broadcast dim: scan -> broadcast join -> filter,
     zero data shuffles."""
