@@ -27,6 +27,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -794,15 +796,34 @@ SPAN_TOKENS = 10                # exact-substring window width (tokens)
 SPAN_OCC_CAP = 20
 
 
+# Memoized persisted window frames, keyed by (applicationId, sf_dir):
+# a persisted DataFrame is owned by the SparkContext, and applicationId
+# is stable for the context's lifetime, so the key dies with the cache
+# it names. Without this, every span-family call re-persisted a fresh
+# corpus-token-sized frame and never released it — dedup_span_scrub /
+# decontaminate_span_scrub stack 2-3 such frames PER INVOCATION, and a
+# long-lived session (the driver gate runs dozens of queries on one
+# session) accumulates them until the storage memory pool churns
+# (ADVICE r10). One frame per (app, sf_dir) is the steady state every
+# consumer shares; re-calling is now free.
+_SPAN_WINDOWS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, hw): every SPAN_TOKENS-token sliding window of the
     corpus, 60-bit-hashed BEFORE any shuffle (fixed-width uniform keys;
-    window text never leaves the scan stage). Persisted — every
-    consumer (duplicate_spans' count/flag passes, dedup_span_pairs'
-    cap + self-join) reads it more than once."""
+    window text never leaves the scan stage). Persisted AND memoized
+    per (application, sf_dir) — every consumer (duplicate_spans'
+    count/flag passes, dedup_span_pairs' cap + self-join) reads it more
+    than once, and repeat invocations in one session reuse one cache
+    instead of stacking new persisted frames (ADVICE r10)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _SPAN_WINDOWS_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
-    return (
+    wins = (
         toks.where(F.size("toks") >= SPAN_TOKENS)
         .select("doc_id", F.explode(F.transform(
             F.sequence(F.lit(1), F.size("toks") - (SPAN_TOKENS - 1)),
@@ -814,6 +835,8 @@ def _span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.conv(F.substring(F.md5("s.w"), 1, 15), 16, 10)
                 .cast("bigint").alias("hw"))
     ).persist()
+    _SPAN_WINDOWS_CACHE[key] = wins
+    return wins
 
 
 def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

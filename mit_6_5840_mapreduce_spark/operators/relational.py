@@ -1123,8 +1123,11 @@ def q12_shipping_speed_priority(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """TPC-H Q12 adapted (corpus has no l_shipmode or commit/receipt
     dates — 'ship mode' becomes the shipping-speed class derived from
-    the order-to-ship delay: SLOW = shipped >= LATE_DAYS days after
-    the order date, the q4/q21 lateness rule): per speed class over
+    the order-to-ship delay: SLOW = datediff(ship, order) >= LATE_DAYS.
+    NOTE the boundary is INCLUSIVE here by design — q4/q21's lateness
+    rule is the strict form (shipdate > orderdate + LATE_DAYS days);
+    q12's >= intentionally differs and the oracle matches it, so do
+    not "unify" the two (ADVICE r10)): per speed class over
     1996 shipments, how many lineitems belong to high-priority orders
     (1-URGENT / 2-HIGH) vs everything else.
 

@@ -66,10 +66,14 @@ CHANGED_THIS_ROUND = {
 }
 
 # staleness rotation (window_plan.py, ceiling 4 rounds): the r6 cohort
-# minus the six-name spill to r11 (token_stats, user_stats,
-# user_value_mad_sql from r9's tail; stream_sliding_counts,
-# tfidf_cosine_pairs, tfidf_top_terms displaced by the late TPC-H
-# completers — stream_user_totals stays: it is round-changed)
+# minus the ELEVEN-name spill to r11 (ADVICE r10 — this comment
+# previously undercounted it as six): the eight r6 names
+# q3_shipping_priority, simhash_docs, source_quota_cap,
+# stratified_sample, stream_dedup_events, stream_sliding_counts,
+# tfidf_cosine_pairs, tfidf_top_terms plus the r9-tail trio
+# token_stats, user_stats, user_value_mad_sql — matching the
+# eleven-name list in operators/__init__.py
+# (stream_user_totals stays: it is round-changed)
 STALE_ROTATION = {
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
     "doc_chunks", "doc_fingerprint", "doc_quality", "doc_split",
