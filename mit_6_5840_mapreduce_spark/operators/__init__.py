@@ -123,6 +123,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
         mixture,
         mrqueries,
         multimodal,
+        quality,
         relational,
         scrub,
         similarity,
@@ -136,7 +137,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
                                       ORACLES=multimodal.LATE_ORACLES)
     modules = (mrqueries, dedup, similarity, textstats, scrub, formats,
                multimodal, streaming_jobs, events, corpus, streaming_late,
-               multimodal_late, relational, mixture, bpe)
+               multimodal_late, relational, mixture, bpe, quality)
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for m in modules:

@@ -1,0 +1,290 @@
+"""Trained document-quality classifier — the TRAINING half of the
+quality-gating family (``textstats.doc_quality`` is the heuristic
+half). Nothing in the reference implements this; it is north-star
+LLM-pipeline extension surface like ``operators/bpe.py`` (a real
+curation pipeline labels a sample with an expensive signal — human
+raters, a big LM — then TRAINS a cheap linear model to gate the full
+corpus; here the label source is the corpus's own planted quality
+tiers, thresholded from the certified ``doc_quality`` heuristic, so
+both engines can derive identical labels).
+
+``quality_train`` runs QUALITY_GD_ROUNDS full-batch gradient-descent
+rounds of least-squares linear regression (a linear probability model:
+predict y in {0,1}, classify at p >= 0.5) over the doc-quality feature
+vector; ``quality_classify`` is the serving half, scoring every
+document with the trained weights.
+
+Determinism — the property that makes an ITERATIVE float trainer
+ORACLE-able (the ``bpe_train`` unrolled-replay discipline, applied to
+gradient descent):
+
+- Per-row math is bit-identical across engines: every feature is
+  floor4-quantized from the already-certified ``doc_quality`` columns,
+  the prediction is the SAME parenthesized expression tree on both
+  sides (neither engine reassociates IEEE float ops), and sigmoid/exp
+  is deliberately avoided (libm exp() is NOT correctly-rounded, so a
+  logistic link would not reproduce bit-for-bit across engines — the
+  linear probability model keeps every op a single correctly-rounded
+  IEEE operation).
+- The ONLY order-dependent step — the gradient sum over rows — is made
+  order-FREE by quantizing each row's contribution to integer
+  micro-units (floor(g * GRAD_SCALE) as BIGINT) and summing exact
+  integers; partitioning, shuffle order, and engine cannot change the
+  result.
+- The weight update runs on the driver from those integer sums with a
+  fixed operation order and floors each new weight onto the W_SCALE
+  grid — the same scalar expression the oracle's per-round CTE
+  computes.
+
+The driver gate replays the ENTIRE training loop in DuckDB as an
+unrolled per-round CTE chain (``_replay_ctes``), independently
+re-deriving every feature, every gradient sum, every weight update and
+every per-round accuracy; ``tests/test_quality.py`` additionally pins
+the loop against a sequential pure-Python/numpy reference and a
+planted two-tier corpus.
+
+Scale design (100 TB): ONE corpus scan builds the feature matrix
+(doc_id + 4 doubles — narrow), checkpointed once; every GD round is a
+single map-side-combined aggregation over it (6 integer sums), so the
+per-round cost is one reduce of 32-partition partials and the model
+(4 doubles) is the only driver traffic per round — the ``ivf_train``
+rule. No shuffle of row data ever happens: training is embarrassingly
+map-reducible.
+
+On this synthetic corpus the punctuation feature is degenerate (the
+generated text contains no punctuation, so x_punct = 0 for every doc)
+— the trainer provably pins w_punct at exactly 0.0 (every per-row
+gradient term floors ±0.0 to 0), which the planted-corpus test turns
+into a free invariant; with a real corpus the feature participates.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_spark.functions.numeric import floor4
+
+QUALITY_GD_ROUNDS = 8       # full-batch GD update rounds
+QUALITY_LR = 0.5            # exact binary fraction: lr * x is one IEEE op
+QUALITY_LABEL_MIN = 0.7     # doc_quality score gate distilled into labels
+GRAD_SCALE = 1_000_000.0    # per-row gradient quantum (micro-units)
+W_SCALE = 100_000_000.0     # weight grid after each update (1e-8)
+
+# feature order everywhere: bias, len, punct, tok
+_W_COLS = ("w_bias", "w_len", "w_punct", "w_tok")
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, x1, x2, x3, y): the doc_quality capped signals,
+    floor4-quantized, plus the distilled binary label. Composes the
+    certified ``doc_quality`` query so the per-row float surface this
+    module adds is just three least/floor4 expressions."""
+    from mit_6_5840_mapreduce_spark.operators.textstats import doc_quality
+    dq = doc_quality(spark, sf_dir)
+    return dq.select(
+        "doc_id",
+        floor4(F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)))
+        .alias("x1"),
+        floor4(F.least(F.col("punct_ratio") * F.lit(5.0), F.lit(1.0)))
+        .alias("x2"),
+        floor4(F.least(F.col("avg_token_len") / F.lit(8.0), F.lit(1.0)))
+        .alias("x3"),
+        F.when(F.col("quality_score") >= F.lit(QUALITY_LABEL_MIN),
+               F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+
+
+def _predict(w: tuple[float, float, float, float]) -> Column:
+    """w . x with a FIXED left-to-right association — the exact
+    expression tree the oracle writes, so both engines perform the
+    identical sequence of IEEE operations."""
+    return ((F.lit(w[0]) + F.lit(w[1]) * F.col("x1"))
+            + F.lit(w[2]) * F.col("x2")) + F.lit(w[3]) * F.col("x3")
+
+
+def _gd_pass(feats: DataFrame, w: tuple[float, float, float, float]):
+    """One full-batch pass at weights ``w``: integer gradient sums (the
+    order-free quantized form), correct-prediction count, quantized
+    SSE, and n — a single map-side-combined aggregation."""
+    p = _predict(w)
+    r = p - F.col("y")
+
+    def q(c: Column) -> Column:
+        return F.floor(c * F.lit(GRAD_SCALE)).cast("long")
+
+    return feats.agg(
+        F.sum(q(r)).alias("g0"),
+        F.sum(q(r * F.col("x1"))).alias("g1"),
+        F.sum(q(r * F.col("x2"))).alias("g2"),
+        F.sum(q(r * F.col("x3"))).alias("g3"),
+        F.sum(F.when((p >= F.lit(0.5)) == (F.col("y") == F.lit(1.0)),
+                     F.lit(1)).otherwise(F.lit(0))).cast("long")
+        .alias("n_correct"),
+        F.sum(q(r * r)).alias("sse_micro"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+
+
+def _update(w: tuple[float, float, float, float], g: tuple[int, ...],
+            n: int) -> tuple[float, float, float, float]:
+    """w <- floor_grid(w - lr * mean_gradient): the fixed-order scalar
+    update the oracle's per-round CTE mirrors token for token."""
+    return tuple(
+        math.floor((wj - QUALITY_LR * ((gj / GRAD_SCALE) / n)) * W_SCALE)
+        / W_SCALE
+        for wj, gj in zip(w, g))
+
+
+def _train_rows(spark: SparkSession, sf_dir: str
+                ) -> list[tuple[int, float, float, float, float, int, int]]:
+    """Run the GD loop; row k = (round k, weights AFTER k updates,
+    n_correct and quantized SSE measured AT those weights). Pass k
+    serves double duty: it evaluates round k's metrics and produces
+    round k+1's gradient, so the loop is QUALITY_GD_ROUNDS + 1 jobs."""
+    feats = _features(spark, sf_dir).localCheckpoint(eager=True)
+    w = (0.0, 0.0, 0.0, 0.0)
+    rows = []
+    for k in range(QUALITY_GD_ROUNDS + 1):
+        res = _gd_pass(feats, w)
+        rows.append((k, w[0], w[1], w[2], w[3],
+                     int(res["n_correct"]), int(res["sse_micro"])))
+        if k < QUALITY_GD_ROUNDS:
+            w = _update(w, (res["g0"], res["g1"], res["g2"], res["g3"]),
+                        int(res["n"]))
+    return rows
+
+
+def quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the linear quality classifier; returns the full training
+    trace — one row per round with the weight vector after that round's
+    update and the training accuracy/SSE at those weights (round 0 is
+    the zero model). The trace IS the trained artifact plus its
+    convergence evidence: the last row's weights are what
+    ``quality_classify`` serves."""
+    return spark.createDataFrame(
+        _train_rows(spark, sf_dir),
+        "round INT, w_bias DOUBLE, w_len DOUBLE, w_punct DOUBLE, "
+        "w_tok DOUBLE, n_correct BIGINT, sse_micro BIGINT")
+
+
+def quality_classify(spark: SparkSession, sf_dir: str,
+                     weights: tuple[float, float, float, float] | None = None
+                     ) -> DataFrame:
+    """Serve the trained classifier: per document the linear quality
+    probability (floor4), the thresholded prediction, and the distilled
+    label it was trained against. ``weights``: a pre-trained vector —
+    a real pipeline trains once and classifies many times (the
+    ``bpe_encode`` rule); the gate default retrains so the registered
+    query stays self-contained, and the oracle replays the identical
+    loop before scoring."""
+    if weights is None:
+        weights = tuple(_train_rows(spark, sf_dir)[-1][1:5])
+    feats = _features(spark, sf_dir)
+    p = _predict(weights)
+    return feats.select(
+        "doc_id",
+        floor4(p).alias("p_quality"),
+        (p >= F.lit(0.5)).cast("int").alias("pred_quality"),
+        F.col("y").cast("int").alias("label_quality"),
+    )
+
+
+def _replay_ctes(n_rounds: int) -> str:
+    """DuckDB CTE chain replaying the GD loop UNROLLED per round — a
+    fully independent oracle, not an artifact echo: DuckDB re-derives
+    the features from the documents table (via the certified
+    doc_quality SQL), re-sums every quantized gradient, re-applies
+    every weight update on the same 1e-8 grid, and re-measures every
+    round's accuracy. w{k} = weights after k updates; e{k} = the pass
+    AT w{k} (metrics for round k's output row + gradient for w{k+1})."""
+    from mit_6_5840_mapreduce_spark.operators.textstats import (
+        ORACLES as _TEXT_ORACLES,
+    )
+    parts = [f"""
+        dq AS MATERIALIZED ({_TEXT_ORACLES["doc_quality"]}),
+        feats AS MATERIALIZED (
+            SELECT doc_id,
+                   floor(least(n_tokens / 100.0, 1.0) * 10000) / 10000
+                       AS x1,
+                   floor(least(punct_ratio * 5.0, 1.0) * 10000) / 10000
+                       AS x2,
+                   floor(least(avg_token_len / 8.0, 1.0) * 10000) / 10000
+                       AS x3,
+                   CASE WHEN quality_score >= {QUALITY_LABEL_MIN}
+                        THEN 1.0 ELSE 0.0 END AS y
+            FROM dq
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
+        w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""]
+    for k in range(n_rounds + 1):
+        parts.append(f"""
+        e{k} AS MATERIALIZED (
+            SELECT
+                CAST(sum(CAST(floor(r * {GRAD_SCALE}) AS BIGINT))
+                     AS BIGINT) AS g0,
+                CAST(sum(CAST(floor((r * x1) * {GRAD_SCALE}) AS BIGINT))
+                     AS BIGINT) AS g1,
+                CAST(sum(CAST(floor((r * x2) * {GRAD_SCALE}) AS BIGINT))
+                     AS BIGINT) AS g2,
+                CAST(sum(CAST(floor((r * x3) * {GRAD_SCALE}) AS BIGINT))
+                     AS BIGINT) AS g3,
+                CAST(sum(CASE WHEN (p >= 0.5) = (y = 1.0)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                CAST(sum(CAST(floor((r * r) * {GRAD_SCALE}) AS BIGINT))
+                     AS BIGINT) AS sse_micro
+            FROM (SELECT x1, x2, x3, y, p, (p - y) AS r
+                  FROM (SELECT x1, x2, x3, y,
+                               (((w0 + w1 * x1) + w2 * x2) + w3 * x3) AS p
+                        FROM feats, w{k}))
+        )""")
+        if k < n_rounds:
+            parts.append(f"""
+        w{k + 1} AS (
+            SELECT
+                floor((w0 - {QUALITY_LR} * ((g0 / {GRAD_SCALE}) / n))
+                      * {W_SCALE}) / {W_SCALE} AS w0,
+                floor((w1 - {QUALITY_LR} * ((g1 / {GRAD_SCALE}) / n))
+                      * {W_SCALE}) / {W_SCALE} AS w1,
+                floor((w2 - {QUALITY_LR} * ((g2 / {GRAD_SCALE}) / n))
+                      * {W_SCALE}) / {W_SCALE} AS w2,
+                floor((w3 - {QUALITY_LR} * ((g3 / {GRAD_SCALE}) / n))
+                      * {W_SCALE}) / {W_SCALE} AS w3
+            FROM w{k}, e{k}, nn
+        )""")
+    return "WITH" + ",".join(parts)
+
+
+_TRACE_UNION = " UNION ALL ".join(
+    f"SELECT CAST({k} AS INTEGER) AS round, w0 AS w_bias, w1 AS w_len, "
+    f"w2 AS w_punct, w3 AS w_tok, n_correct, sse_micro FROM w{k}, e{k}"
+    for k in range(QUALITY_GD_ROUNDS + 1))
+
+QUERIES = {
+    # iterative float model training + its serving half: oracled by a
+    # FULL UNROLLED SQL REPLAY of the GD loop (the bpe_train
+    # discipline), exact by construction — order-free integer gradient
+    # sums + grid-floored weight updates (module docstring); pinned
+    # against a sequential numpy reference and a planted two-tier
+    # corpus by tests/test_quality.py
+    "quality_train": quality_train,
+    "quality_classify": quality_classify,
+}
+
+ORACLES: dict[str, str] = {
+    "quality_train": _replay_ctes(QUALITY_GD_ROUNDS) + f"""
+        SELECT * FROM ({_TRACE_UNION})
+    """,
+    "quality_classify": _replay_ctes(QUALITY_GD_ROUNDS) + f"""
+        SELECT doc_id,
+               floor(p * 10000) / 10000 AS p_quality,
+               CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS INTEGER)
+                   AS pred_quality,
+               CAST(y AS INTEGER) AS label_quality
+        FROM (SELECT doc_id, y,
+                     (((w0 + w1 * x1) + w2 * x2) + w3 * x3) AS p
+              FROM feats, w{QUALITY_GD_ROUNDS})
+    """,
+}

@@ -1,0 +1,133 @@
+"""quality_train / quality_classify — the trained quality classifier.
+
+Three voices (the suite's standing discipline):
+- the Spark engine (under test),
+- the DuckDB unrolled-replay oracle (tools/parity.py, driver gate),
+- here: a SEQUENTIAL numpy/pure-Python gradient-descent reference that
+  must reproduce the engine's weight trace EXACTLY (not approximately
+  — the whole point of the order-free quantized-gradient design is
+  that partitioning cannot perturb a single bit), plus a planted
+  two-tier corpus where the labels, the degenerate punctuation weight,
+  and the converged accuracy are known by construction.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mit_6_5840_mapreduce_spark.operators.quality import (
+    GRAD_SCALE,
+    QUALITY_GD_ROUNDS,
+    QUALITY_LR,
+    W_SCALE,
+    _features,
+    quality_classify,
+    quality_train,
+)
+
+
+def _numpy_trace(X: np.ndarray, y: np.ndarray):
+    """Sequential reference of the GD loop with the identical
+    quantization: per-row contributions floored to micro-unit int64
+    (order-free by construction), weights floored to the 1e-8 grid
+    with the same fixed-order scalar expression."""
+    n = len(y)
+    w = [0.0, 0.0, 0.0, 0.0]
+    trace = []
+    for _ in range(QUALITY_GD_ROUNDS + 1):
+        p = ((w[0] + w[1] * X[:, 0]) + w[2] * X[:, 1]) + w[3] * X[:, 2]
+        r = p - y
+        g = [
+            np.floor(r * GRAD_SCALE).astype(np.int64).sum(),
+            np.floor((r * X[:, 0]) * GRAD_SCALE).astype(np.int64).sum(),
+            np.floor((r * X[:, 1]) * GRAD_SCALE).astype(np.int64).sum(),
+            np.floor((r * X[:, 2]) * GRAD_SCALE).astype(np.int64).sum(),
+        ]
+        n_correct = int(((p >= 0.5) == (y == 1.0)).sum())
+        sse = int(np.floor((r * r) * GRAD_SCALE).astype(np.int64).sum())
+        trace.append((tuple(w), n_correct, sse))
+        w = [
+            math.floor((w[j] - QUALITY_LR * ((int(g[j]) / GRAD_SCALE) / n))
+                       * W_SCALE) / W_SCALE
+            for j in range(4)
+        ]
+    return trace
+
+
+def test_train_trace_matches_numpy_exactly(spark, sf_dir):
+    feats = _features(spark, sf_dir).toPandas()
+    X = feats[["x1", "x2", "x3"]].to_numpy(dtype=np.float64)
+    y = feats["y"].to_numpy(dtype=np.float64)
+    expected = _numpy_trace(X, y)
+    got = quality_train(spark, sf_dir).orderBy("round").collect()
+    assert len(got) == QUALITY_GD_ROUNDS + 1
+    for row, (w, n_correct, sse) in zip(got, expected):
+        # EXACT float equality is the contract, not a tolerance
+        assert (row.w_bias, row.w_len, row.w_punct, row.w_tok) == w
+        assert row.n_correct == n_correct
+        assert row.sse_micro == sse
+
+
+def test_training_converges_on_real_corpus(spark, sf_dir):
+    rows = quality_train(spark, sf_dir).orderBy("round").collect()
+    n = _features(spark, sf_dir).count()
+    assert rows[0].n_correct < rows[-1].n_correct   # it actually learned
+    assert rows[-1].n_correct / n >= 0.9
+    # the synthetic corpus has no punctuation -> x2 == 0 for every doc
+    # -> every per-round gradient term floors +-0.0 to 0 -> the dead
+    # feature's weight is pinned at exactly 0.0 through all rounds
+    assert all(r.w_punct == 0.0 for r in rows)
+
+
+def test_classify_agrees_with_trained_weights(spark, sf_dir):
+    last = quality_train(spark, sf_dir).orderBy("round").collect()[-1]
+    w = (last.w_bias, last.w_len, last.w_punct, last.w_tok)
+    default = quality_classify(spark, sf_dir).orderBy("doc_id").collect()
+    explicit = quality_classify(spark, sf_dir, weights=w) \
+        .orderBy("doc_id").collect()
+    assert default == explicit
+    # prediction column is the thresholded probability, bit-for-bit
+    n = len(default)
+    agree = sum(1 for r in default if r.pred_quality == r.label_quality)
+    assert agree == last.n_correct and agree / n >= 0.9
+
+
+N_TIER = 30
+
+
+@pytest.fixture(scope="module")
+def two_tier_dir(tmp_path_factory):
+    """Planted corpus with quality tiers known by construction:
+    HI docs = 120 eight-letter tokens (x1 = 1, x3 = 1, score = 1.0),
+    LO docs = 5 two-letter tokens (x1 = 0.05, x3 = 0.25,
+    score = 0.375) — the distilled labels are exactly the tiers and
+    the tiers are linearly separable in (x1, x3)."""
+    hi = " ".join(["abcdefgh"] * 120)
+    lo = "ab cd ef gh ij"
+    texts = [hi] * N_TIER + [lo] * N_TIER
+    d = tmp_path_factory.mktemp("two_tier_sf")
+    table = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["synthetic"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(table, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_planted_tiers_label_and_separate(spark, two_tier_dir):
+    out = quality_classify(spark, two_tier_dir).orderBy("doc_id").collect()
+    assert len(out) == 2 * N_TIER
+    for r in out:
+        assert r.label_quality == (1 if r.doc_id < N_TIER else 0)
+    # linearly separable tiers: the trained model classifies every
+    # document correctly (deterministic, so equality is safe)
+    assert all(r.pred_quality == r.label_quality for r in out)
