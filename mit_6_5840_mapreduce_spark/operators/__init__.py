@@ -39,76 +39,72 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # each round, so window composition is an explicit, reviewed list rather
-# than an accident of module ordering. Round-10 window, composed under
+# than an accident of module ordering. Round-11 window, composed under
 # the steady-state policy (sentinels + round-changed + new + stalest
 # certs, tools/window_plan.py's draft): the sentinel set kept in-window
-# EVERY round; the SIX new capped-composition gate entries (VERDICT r9
-# item 1 — dedup_groups/keep_best over max_df-capped candidate
-# generation; band-bucket population caps for the minhash / simhash /
-# embedding-LSH band joins; semantic_dedup over the capped pairs) plus
-# dedup_fuzzy_verify (edit-distance verification over the capped
-# banded candidates); the round-10 CHANGED queries whose code or
-# oracle was touched by the cap plumbing and are NOT in the stale
-# cohort (dedup_groups, dedup_keep_best — oracles recomposed from the
-# pair-list oracles; dedup_minhash_lsh, semantic_dedup — optional
-# bucket_cap threaded through, default path identical; stream_user_totals
-# — last_ts carried in state + max_by final-state selection;
-# stream_cdc_upsert — cross-batch latest-wins extended to the FULL
-# four-column sequence, r10 review); the THREE suite-completing TPC-H
-# queries added late in the round (q2/q12/q20 — every classic TPC-H
-# number the corpus can express is now registered); the cross-document
-# span ALIGNMENT + CUT operators (dedup_span_pairs, dedup_span_scrub)
-# and the split-aware decontamination pair — positional evidence
-# (contamination_spans) and its cut-from-train action
-# (decontaminate_span_scrub) — all new — plus duplicate_spans
-# (round-changed: its window generation factored into the shared
-# _span_windows helper the family consumes); then 26 of the 37-cert
-# r6 stale cohort (ceiling 4 rounds, oldest first, name tiebreak —
-# the planner-scheduled spill to r11 grows to eleven names:
-# q3_shipping_priority, simhash_docs, source_quota_cap,
+# EVERY round; the TWO new trained-quality-classifier entries
+# (quality_train / quality_classify — VERDICT r10 item 2, the GD loop
+# oracled by a full unrolled SQL replay); the FIVE span-family queries
+# round-changed by the _span_windows persist-memoization fix (ADVICE
+# r10 — dedup_span_pairs, dedup_span_scrub, duplicate_spans,
+# contamination_spans, decontaminate_span_scrub all consume the shared
+# frame; docstring/comment-ONLY edits such as the q12 lateness-rule
+# reword do NOT re-certify — no plan or value surface moves); then the
+# ENTIRE staleness backlog the slots can hold, oldest cert first with
+# name tiebreak (VERDICT r10 item 1): all ELEVEN r6-certified spill
+# names (q3_shipping_priority, simhash_docs, source_quota_cap,
 # stratified_sample, stream_dedup_events, stream_sliding_counts,
-# tfidf_cosine_pairs, tfidf_top_terms — the name-order tail of the
-# cohort that is NOT round-changed (stream_user_totals IS, so it
-# stays) — plus the r9 spill token_stats, user_stats,
-# user_value_mad_sql; r11 will have ~40 free slots, so the spill
-# clears immediately).
-# 4 + 7 + 5 + 3 + 5 + 26 = 50, no free slots.
+# tfidf_cosine_pairs, tfidf_top_terms, token_stats, user_stats,
+# user_value_mad_sql — after this round NO query's latest cert is
+# <= r6) and the first 28 of the 45-name r7 cohort in name order
+# (bigram_pmi .. q21_suppliers_kept_waiting). The remaining 17 r7
+# names (q22_idle_customers .. xml_roundtrip_stats) spill to r12 —
+# scheduled, not lost: r12 has ~44 free slots. POLICY CHANGE this
+# round (VERDICT r10 item 1): the staleness ceiling moves from 4 to 5
+# rounds (tools/window_plan.py STALE_ROUNDS, COVERAGE.md "window
+# policy") — with 193 registered queries and ~44 free slots per round
+# a full rotation takes ceil(193/44) = 5 rounds, so a 4-round ceiling
+# is structurally unmeetable; 5 is the smallest ceiling the window
+# can actually sustain.
+# 4 + 2 + 5 + 11 + 28 = 50, no free slots.
 # tests/test_registry_window.py pins this.
 WINDOW_SIZE = 50
 
 WINDOW_FIRST: tuple[str, ...] = (
     # sentinels (every round)
     "mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts",
-    # round-10 new: the capped composed dedup pipelines (VERDICT r9 #1)
-    # + the edit-distance verify stage over the capped candidates
-    "dedup_groups_capped", "dedup_keep_best_capped",
-    "dedup_minhash_lsh_capped", "dedup_simhash_capped",
-    "embedding_neardup_lsh_capped", "semantic_dedup_capped",
-    "dedup_fuzzy_verify",
-    # round-10 changed (cap plumbing + the streaming-review fixes; not
-    # already in the stale cohort — stream_user_totals is)
-    "dedup_groups", "dedup_keep_best", "dedup_minhash_lsh",
-    "semantic_dedup", "stream_cdc_upsert",
-    # round-10 new (late): the TPC-H suite completers + the span
-    # alignment/cut operators (and duplicate_spans, changed by the
-    # _span_windows factoring)
-    "q2_min_cost_supplier", "q12_shipping_speed_priority",
-    "q20_dominant_suppliers", "dedup_span_pairs", "dedup_span_scrub",
+    # round-11 new: the trained quality classifier (VERDICT r10 #2)
+    "quality_train", "quality_classify",
+    # round-11 changed: the span family — all five consume the
+    # _span_windows frame whose persist is now memoized per
+    # (application, sf_dir) instead of stacked per call (ADVICE r10)
+    "dedup_span_pairs", "dedup_span_scrub", "duplicate_spans",
     "contamination_spans", "decontaminate_span_scrub",
-    "duplicate_spans",
-    # staleness rotation: the r6 cohort (26 of 37;
-    # q3_shipping_priority, simhash_docs, source_quota_cap,
-    # stratified_sample, stream_dedup_events, stream_sliding_counts,
-    # tfidf_cosine_pairs, tfidf_top_terms join token_stats,
-    # user_stats, user_value_mad_sql in the r11 spill)
-    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
-    "doc_chunks", "doc_fingerprint", "doc_quality", "doc_split",
-    "embedding_lsh_signatures", "embedding_neardup_exact",
-    "embedding_neardup_lsh", "embedding_topk", "event_transitions",
-    "events_hourly", "events_props_stats", "graph_recall_eval",
-    "image_decode_stats", "ivf_assign", "ivf_search", "lang_id",
-    "minhash_signatures", "mr_doccount", "mr_docmeta", "mr_indexer_rdd",
-    "payload_thumbnail", "pq_recall_eval", "stream_user_totals",
+    # staleness rotation, oldest first: the eleven-name r6 spill —
+    # clearing it empties the <= r6 cohort entirely
+    "q3_shipping_priority", "simhash_docs", "source_quota_cap",
+    "stratified_sample", "stream_dedup_events", "stream_sliding_counts",
+    "tfidf_cosine_pairs", "tfidf_top_terms", "token_stats",
+    "user_stats", "user_value_mad_sql",
+    # staleness rotation: the r7 cohort, first 28 in name order (the
+    # 17-name tail q22_idle_customers, q5_local_supplier_volume,
+    # q6_forecast_revenue, q7_nation_volume, q8_market_share,
+    # sql_priority_status_sets, sql_revenue_by_segment,
+    # stream_attribution, stream_enriched_events, stream_sessionize,
+    # token_length_histogram, token_rarity, top3_orders_per_customer,
+    # url_domain_stats, user_gap_stats, video_frame_stats,
+    # xml_roundtrip_stats spills to r12)
+    "bigram_pmi", "brand_price_stats", "cohort_retention",
+    "column_histogram", "contamination_check", "csv_roundtrip_stats",
+    "curation_funnel", "doc_chunks_udtf", "doc_pagerank",
+    "doc_repetition", "frame_sample", "gif_decode_stats",
+    "jsonl_roundtrip_stats", "lang_confusion", "lsh_recall_eval",
+    "multimodal_meta", "orc_roundtrip_stats", "pii_scrub",
+    "pyds_roundtrip_stats", "q10_returned_items",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_discounted_revenue", "q1_pricing_summary",
+    "q21_suppliers_kept_waiting",
 )
 
 

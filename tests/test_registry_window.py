@@ -4,22 +4,20 @@ The driver's CORRECTNESS gate verifies only the FIRST 50 registry
 entries per round, rotated under the steady-state policy (VERDICT r5
 item 4): sentinels every round, every round-changed and newly
 registered query, and all remaining slots filled from
-tools/window_plan.py's staleness report (ceiling 4 rounds), oldest
-cert round first with name tiebreak. Round 10: the six capped
-composed-pipeline gate entries are new (VERDICT r9 item 1); the four
-queries whose code/oracle the cap plumbing touched rotate as
-round-changed; the three suite-completing TPC-H queries (q2/q12/q20)
-and the span-family operators (dedup_span_pairs, dedup_span_scrub,
-contamination_spans, decontaminate_span_scrub) are new, with
-duplicate_spans rotating as round-changed (shared _span_windows
-factoring); the remaining 26 slots take the r6 stale cohort minus its
-name-order tail that is not round-changed (q3_shipping_priority,
-simhash_docs, source_quota_cap, stratified_sample,
-stream_dedup_events, stream_sliding_counts, tfidf_cosine_pairs,
-tfidf_top_terms — these join the r9 tail token_stats, user_stats,
-user_value_mad_sql as the planner-scheduled eleven-name spill to r11,
-which clears immediately: r11 has ~40 free slots). This test fails
-loudly if a future registration reorders them out.
+tools/window_plan.py's staleness report, oldest cert round first with
+name tiebreak. Round 11: the trained quality classifier pair is new
+(VERDICT r10 item 2); the five span-family queries rotate as
+round-changed (the shared _span_windows persist is now memoized per
+(application, sf_dir) — ADVICE r10); the eleven-name r6 spill clears
+(after this round no query's latest cert is <= r6) and the first 28 of
+the 45-name r7 cohort fill the rest, with the 17-name tail scheduled
+for r12. POLICY CHANGE (VERDICT r10 item 1): the staleness ceiling is
+now 5 rounds — 193 registered queries across ~44 free slots per round
+need ceil(193/44) = 5 rounds per full rotation, so the old 4-round
+ceiling was structurally unmeetable. Docstring/comment-only edits
+(e.g. this round's q12 lateness-rule reword) do NOT re-certify: no
+plan or value surface moves. This test fails loudly if a future
+registration reorders the window.
 """
 
 from __future__ import annotations
@@ -31,65 +29,54 @@ from mit_6_5840_mapreduce_spark.operators import (
 # regression sentinels: in-window EVERY round
 SENTINELS = {"mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts"}
 
-# new in round 10: the capped composed dedup pipelines — max_df-capped
-# candidate generation under the CC/survivorship compositions, and
-# band-bucket population caps under the three band joins
+# new in round 11: the trained quality classifier — full-batch GD over
+# the doc-quality features with order-free quantized gradients, plus
+# its serving half (VERDICT r10 item 2)
 NEW_THIS_ROUND = {
-    "dedup_groups_capped", "dedup_keep_best_capped",
-    "dedup_minhash_lsh_capped", "dedup_simhash_capped",
-    "embedding_neardup_lsh_capped", "semantic_dedup_capped",
-    # edit-distance verification over the capped banded candidates
-    "dedup_fuzzy_verify",
-    # the TPC-H suite completers (every classic TPC-H number the
-    # corpus can express is now registered)
-    "q2_min_cost_supplier", "q12_shipping_speed_priority",
-    "q20_dominant_suppliers",
-    # cross-document exact-span alignment (ExactSubstr pair view), the
-    # cut-one-side action stage consuming it, and the split-aware
-    # decontamination pair (positional evidence + cut-from-train)
-    "dedup_span_pairs", "dedup_span_scrub", "contamination_spans",
-    "decontaminate_span_scrub",
+    "quality_train", "quality_classify",
 }
 
-# changed in round 10 (cap plumbing threaded through; default path
-# value-identical) and not already in the stale cohort
+# changed in round 11: every consumer of the shared _span_windows
+# frame (its persist is now memoized per (application, sf_dir) instead
+# of stacked per call — ADVICE r10; values unchanged by design, which
+# is exactly what the re-certification shows)
 CHANGED_THIS_ROUND = {
-    "dedup_groups", "dedup_keep_best", "dedup_minhash_lsh",
-    "semantic_dedup",
-    # window generation factored into the shared _span_windows helper
-    # that dedup_span_pairs also consumes
-    "duplicate_spans",
-    # streaming-review fix: cross-batch latest-wins over the full
-    # four-column sequence (stream_user_totals, the other streaming
-    # fix, rotates via the stale cohort below)
-    "stream_cdc_upsert",
+    "dedup_span_pairs", "dedup_span_scrub", "duplicate_spans",
+    "contamination_spans", "decontaminate_span_scrub",
 }
 
-# staleness rotation (window_plan.py, ceiling 4 rounds): the r6 cohort
-# minus the ELEVEN-name spill to r11 (ADVICE r10 — this comment
-# previously undercounted it as six): the eight r6 names
-# q3_shipping_priority, simhash_docs, source_quota_cap,
-# stratified_sample, stream_dedup_events, stream_sliding_counts,
-# tfidf_cosine_pairs, tfidf_top_terms plus the r9-tail trio
-# token_stats, user_stats, user_value_mad_sql — matching the
-# eleven-name list in operators/__init__.py
-# (stream_user_totals stays: it is round-changed)
-STALE_ROTATION = {
-    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
-    "doc_chunks", "doc_fingerprint", "doc_quality", "doc_split",
-    "embedding_lsh_signatures", "embedding_neardup_exact",
-    "embedding_neardup_lsh", "embedding_topk", "event_transitions",
-    "events_hourly", "events_props_stats", "graph_recall_eval",
-    "image_decode_stats", "ivf_assign", "ivf_search", "lang_id",
-    "minhash_signatures", "mr_doccount", "mr_docmeta", "mr_indexer_rdd",
-    "payload_thumbnail", "pq_recall_eval", "stream_user_totals",
+# staleness rotation part 1 (window_plan.py, ceiling now 5 rounds):
+# the full eleven-name spill whose latest cert is r6 — the oldest
+# cohort in the registry, cleared in one stroke (VERDICT r10 item 1)
+STALE_R6_SPILL = {
+    "q3_shipping_priority", "simhash_docs", "source_quota_cap",
+    "stratified_sample", "stream_dedup_events", "stream_sliding_counts",
+    "tfidf_cosine_pairs", "tfidf_top_terms", "token_stats",
+    "user_stats", "user_value_mad_sql",
+}
+
+# staleness rotation part 2: the r7 cohort's first 28 names in name
+# order; the 17-name tail (q22_idle_customers .. xml_roundtrip_stats)
+# is the planner-scheduled spill to r12 (~44 free slots there)
+STALE_R7_HEAD = {
+    "bigram_pmi", "brand_price_stats", "cohort_retention",
+    "column_histogram", "contamination_check", "csv_roundtrip_stats",
+    "curation_funnel", "doc_chunks_udtf", "doc_pagerank",
+    "doc_repetition", "frame_sample", "gif_decode_stats",
+    "jsonl_roundtrip_stats", "lang_confusion", "lsh_recall_eval",
+    "multimodal_meta", "orc_roundtrip_stats", "pii_scrub",
+    "pyds_roundtrip_stats", "q10_returned_items",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_discounted_revenue", "q1_pricing_summary",
+    "q21_suppliers_kept_waiting",
 }
 
 MUST_BE_IN_WINDOW = (SENTINELS | NEW_THIS_ROUND | CHANGED_THIS_ROUND
-                     | STALE_ROTATION)
+                     | STALE_R6_SPILL | STALE_R7_HEAD)
 
 
-def test_first_window_contains_round10_surface():
+def test_first_window_contains_round11_surface():
     queries, _ = registry()
     window = list(queries)[:WINDOW_SIZE]
     missing = MUST_BE_IN_WINDOW - set(window)
@@ -97,7 +84,7 @@ def test_first_window_contains_round10_surface():
 
 
 def test_window_is_exactly_the_must_list():
-    # 4 + 14 + 6 + 26 = 50: the round-10 window has no free slots
+    # 4 + 2 + 5 + 11 + 28 = 50: the round-11 window has no free slots
     assert len(MUST_BE_IN_WINDOW) == WINDOW_SIZE
 
 
