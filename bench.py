@@ -18,6 +18,14 @@ ratio table against the frozen round-1 baseline (BASELINE.md /
 BENCH_r01.json) so a single noisy run is distinguishable from a plan
 regression: uniform ratio inflation = host load; one query moving alone
 = that query regressed.
+
+Two headline generations (r11, VERDICT r10 item 3): the r1 set keeps
+its frozen BASELINE_R1 contract for cross-round comparability, and
+HEADLINE_V2 covers the post-r1 heavy operators (span scrub, capped
+dedup compositions, stream-stream join, BPE training) against a
+baseline frozen in r11 — both blocks run in every sweep, both medians
+gate the contamination retry, and both participate in the post-sweep
+resample, so a regression in EITHER generation trips the machinery.
 """
 
 from __future__ import annotations
@@ -77,6 +85,35 @@ BASELINE_R1 = {
     "tfidf_top_terms": 1.132, "q7_nation_volume": 0.99,
 }
 
+# v2 headline set (VERDICT r10 item 3): the post-r1 HEAVY operators the
+# r1 contract can't see — a 2x regression in any of these was
+# previously invisible to the gate (they were timed once in the EXTRA
+# sidecar, no baseline, no retry/resample). Runs inside the same sweep
+# under the same contamination/retry/resample machinery; tracked as a
+# SEPARATE ratio block (ratio_median_v2) so the r1 cross-round contract
+# stays comparable.
+HEADLINE_V2 = (
+    "dedup_span_scrub",         # span-family cut stage (2 window passes)
+    "semantic_dedup_capped",    # LSH -> CC -> medoid composition
+    "dedup_groups_capped",      # capped candidate gen -> CC label loop
+    "stream_attribution",       # dual-watermark stream-stream join
+    "bpe_train",                # 12-round iterative trainer
+)
+
+# Frozen round-11 per-query seconds (idle host, warm JVM — measured
+# with the sweep protocol: warm pass first, then median of 3 with
+# clearCache between runs; the v2 analogue of BASELINE_R1).
+BASELINE_V2 = {
+    "dedup_span_scrub": 2.677,
+    "semantic_dedup_capped": 12.144,
+    "dedup_groups_capped": 5.088,
+    "stream_attribution": 6.02,
+    "bpe_train": 3.859,
+}
+
+# baseline lookup across both headline generations (resample ratios)
+BASELINE_ALL = {**BASELINE_R1, **BASELINE_V2}
+
 
 # Self-adjudication under load (VERDICT r6 "what's wrong" #1): a
 # per-query ratio spike in a run that started under host contention is
@@ -131,17 +168,30 @@ SWEEP_ATTEMPTS = 3
 RETRY_STOP_RATIO = 1.0
 
 
+def worst_median(attempt: dict) -> float:
+    """The retry/selection signal across BOTH headline generations: the
+    worse of ratio_median (r1 set) and ratio_median_v2 — a sweep is
+    only self-adjudicated clean when NEITHER block regressed. Falls
+    back to the r1 median for attempts without a v2 block (tests,
+    legacy records)."""
+    return max(attempt["ratio_median"],
+               attempt.get("ratio_median_v2", attempt["ratio_median"]))
+
+
 def pick_cleanest(attempts: list[dict]) -> int:
     """Index of the attempt the contract line should report: the first
     uncontaminated one (attempt order — later retries of an already
     clean sweep don't exist), else the contaminated attempt with the
-    lowest ratio_median (total_sec tiebreak)."""
+    lowest worst-of-both-blocks ratio median (total_sec tiebreak,
+    summed across both headline sets)."""
     for i, a in enumerate(attempts):
         if not a["contaminated"]:
             return i
     return min(range(len(attempts)),
-               key=lambda i: (attempts[i]["ratio_median"],
-                              sum(attempts[i]["timings"].values())))
+               key=lambda i: (worst_median(attempts[i]),
+                              sum(attempts[i]["timings"].values())
+                              + sum(attempts[i].get("timings_v2", {})
+                                    .values())))
 
 
 def contaminated(load_before: tuple[float, ...],
@@ -245,42 +295,57 @@ def resample_candidates(ratios: dict[str, float],
 
 
 def run_headline_sweep(spark, queries, sf_dir: str, repeat: int) -> dict:
-    """One full headline sweep: idle-wait, time every headline query
-    (median of ``repeat`` runs), and summarize — timings, per-query
-    [min, median, max] spread, loadavg at both ends, baseline ratios,
-    and the contamination verdict for THIS attempt."""
+    """One full headline sweep: idle-wait, time every headline query —
+    the r1 set, then the v2 set (VERDICT r10 item 3) — each the median
+    of ``repeat`` runs, and summarize: timings, per-query
+    [min, median, max] spread, loadavg at both ends, baseline ratios
+    per generation, and the contamination verdict for THIS attempt."""
     load_before = wait_for_idle()
-    timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     load_peak = 0.0
-    for name in HEADLINE:
-        runs = []
-        for _ in range(repeat):
-            spark.catalog.clearCache()   # operators may cache() internally
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.mode("overwrite") \
-                .format("noop").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
-        # per-query [min, median, max] so a reader can separate noise
-        # from regression WITHIN one bench run: a wide min..max band is
-        # co-tenant contention, a tight band with a moved median is real
-        spread[name] = [round(min(runs), 3), timings[name],
-                        round(max(runs), 3)]
-        # mid-sweep burst detection (r9): a co-tenant burst can decay
-        # before sweep end, leaving clean endpoints around dirty medians
-        load_peak = max(load_peak, os.getloadavg()[0])
+
+    def timed_set(names: tuple[str, ...]) -> dict[str, float]:
+        nonlocal load_peak
+        timings: dict[str, float] = {}
+        for name in names:
+            runs = []
+            for _ in range(repeat):
+                spark.catalog.clearCache()  # ops may cache() internally
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.mode("overwrite") \
+                    .format("noop").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(runs), 3)
+            # per-query [min, median, max] so a reader can separate
+            # noise from regression WITHIN one bench run: a wide
+            # min..max band is co-tenant contention, a tight band with
+            # a moved median is real
+            spread[name] = [round(min(runs), 3), timings[name],
+                            round(max(runs), 3)]
+            # mid-sweep burst detection (r9): a co-tenant burst can
+            # decay before sweep end, leaving clean endpoints around
+            # dirty medians
+            load_peak = max(load_peak, os.getloadavg()[0])
+        return timings
+
+    timings = timed_set(HEADLINE)
+    timings_v2 = timed_set(HEADLINE_V2)
     load_after = os.getloadavg()
     ratios = {name: round(timings[name] / BASELINE_R1[name], 2)
               for name in HEADLINE if name in BASELINE_R1}
+    ratios_v2 = {name: round(timings_v2[name] / BASELINE_V2[name], 2)
+                 for name in HEADLINE_V2 if name in BASELINE_V2}
     return {
         "timings": timings,
+        "timings_v2": timings_v2,
         "spread": spread,
         "load_before": load_before,
         "load_after": load_after,
         "load_peak": round(load_peak, 2),
         "ratios": ratios,
+        "ratios_v2": ratios_v2,
         "ratio_median": round(statistics.median(ratios.values()), 2),
+        "ratio_median_v2": round(statistics.median(ratios_v2.values()), 2),
         "contaminated": contaminated(load_before, load_after,
                                      load_peak=load_peak),
     }
@@ -312,21 +377,22 @@ def main() -> None:
         attempts.append(a)
         if not a["contaminated"]:
             break
-        if a["ratio_median"] <= RETRY_STOP_RATIO:
+        if worst_median(a) <= RETRY_STOP_RATIO:
             print(f"bench: sweep attempt {i + 1} stamped (peak "
-                  f"{a['load_peak']:.2f}) but ratio_median "
-                  f"{a['ratio_median']} <= {RETRY_STOP_RATIO} — "
+                  f"{a['load_peak']:.2f}) but worst ratio median "
+                  f"{worst_median(a)} <= {RETRY_STOP_RATIO} — "
                   f"self-adjudicated clean, not retrying", flush=True)
             break
         print(f"bench: sweep attempt {i + 1} contaminated "
               f"(load {a['load_before'][0]:.2f} -> "
               f"{a['load_after'][0]:.2f}, ratio_median "
-              f"{a['ratio_median']}); "
+              f"{a['ratio_median']} / v2 {a['ratio_median_v2']}); "
               + ("retrying full sweep" if i + 1 < max(max_attempts, 1)
                  else "out of attempts — keeping cleanest"), flush=True)
     used = pick_cleanest(attempts)
     chosen = attempts[used]
     timings = chosen["timings"]
+    timings_v2 = chosen["timings_v2"]
     spread = chosen["spread"]
     load_before = chosen["load_before"]
     load_after = chosen["load_after"]
@@ -362,17 +428,22 @@ def main() -> None:
              # by tools/scale_probe.py instead of the per-round sweep)
              "user_event_sequences_capped",
              # round 10: the capped composed dedup pipelines (gate
-             # entries a 100 TB pass runs) get per-round visibility
-             "dedup_groups_capped", "dedup_keep_best_capped",
+             # entries a 100 TB pass runs) get per-round visibility;
+             # r11 PROMOTED dedup_groups_capped, semantic_dedup_capped
+             # and dedup_span_scrub out of this sidecar into the
+             # baselined HEADLINE_V2 set
+             "dedup_keep_best_capped",
              "dedup_minhash_lsh_capped", "dedup_simhash_capped",
-             "embedding_neardup_lsh_capped", "semantic_dedup_capped",
+             "embedding_neardup_lsh_capped",
              "dedup_fuzzy_verify",
              # round 10 late: the TPC-H suite completers + the span
              # alignment/cut operators
              "q2_min_cost_supplier", "q12_shipping_speed_priority",
              "q20_dominant_suppliers", "dedup_span_pairs",
-             "dedup_span_scrub", "contamination_spans",
-             "decontaminate_span_scrub")
+             "contamination_spans",
+             "decontaminate_span_scrub",
+             # round 11: the trained quality classifier pair
+             "quality_train", "quality_classify")
     extra: dict[str, float] = {}
     for name in EXTRA:
         spark.catalog.clearCache()
@@ -422,13 +493,18 @@ def main() -> None:
         cc_probe[f"{factor}x"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    total_v2 = round(sum(timings_v2.values()), 3)
     ratios = chosen["ratios"]
+    ratios_v2 = chosen["ratios_v2"]
 
     # post-sweep resample of load-contaminated spikes (see
-    # resample_candidates): the contract keeps the PRIMARY number; the
-    # sidecar carries both so the record is self-adjudicating
+    # resample_candidates) — BOTH headline generations participate:
+    # the contract keeps the PRIMARY number; the sidecar carries both
+    # so the record is self-adjudicating
+    merged_timings = {**timings, **timings_v2}
     resampled: dict[str, dict[str, float]] = {}
-    for name in resample_candidates(ratios, load_before, load_after,
+    for name in resample_candidates({**ratios, **ratios_v2},
+                                    load_before, load_after,
                                     load_peak=chosen["load_peak"]):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
@@ -436,9 +512,9 @@ def main() -> None:
             .format("noop").save()
         t = round(time.perf_counter() - t0, 3)
         resampled[name] = {
-            "primary_sec": timings[name], "resample_sec": t,
-            "ratio_primary": ratios[name],
-            "ratio_resample": round(t / BASELINE_R1[name], 2),
+            "primary_sec": merged_timings[name], "resample_sec": t,
+            "ratio_primary": {**ratios, **ratios_v2}[name],
+            "ratio_resample": round(t / BASELINE_ALL[name], 2),
         }
     # Round-4 lesson (VERDICT r4 "What's wrong" #2): the driver captures
     # a BOUNDED TAIL of stdout, so the machine-readable contract line
@@ -453,8 +529,10 @@ def main() -> None:
         "per_query_stat": f"median_of_{repeat}",
         "per_query_min_med_max": spread,
         "sweep_attempt_timings": [a["timings"] for a in attempts],
+        "sweep_attempt_timings_v2": [a["timings_v2"] for a in attempts],
         "extra_query_wall_single_run": extra,
         "ratio_vs_baseline_r1": ratios,
+        "ratio_vs_baseline_v2": ratios_v2,
         "codec_payload_mb_per_sec": codec_mb_s,
         "codec_corpus_mb": round(corpus_mb, 2),
         "cc_chain_probe_wall_sec": cc_probe,
@@ -475,6 +553,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_v2": timings_v2,
         "sf": sf,
         "notes": {
             "per_query_stat": f"median_of_{repeat}",
@@ -482,6 +561,12 @@ def main() -> None:
             "loadavg_after": [round(x, 2) for x in load_after],
             "ratio_median": round(statistics.median(ratios.values()), 2),
             "ratio_max": round(max(ratios.values()), 2),
+            # v2 block (VERDICT r10 item 3): the post-r1 heavy
+            # operators against their frozen r11 baseline
+            "total_v2_sec": total_v2,
+            "ratio_median_v2": round(
+                statistics.median(ratios_v2.values()), 2),
+            "ratio_max_v2": round(max(ratios_v2.values()), 2),
             **({"resampled": sorted(resampled)} if resampled else {}),
             **({"contaminated": True} if chosen["contaminated"] else {}),
             # full-sweep retry trail (r9): one summary per attempt, the
@@ -492,6 +577,7 @@ def main() -> None:
                              round(a["load_after"][0], 2),
                              a["load_peak"]],
                     "ratio_median": a["ratio_median"],
+                    "ratio_median_v2": a["ratio_median_v2"],
                     "contaminated": a["contaminated"],
                     **({"used": True} if i == used else {})}
                    for i, a in enumerate(attempts)]}

@@ -820,6 +820,13 @@ def _span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     cached = _SPAN_WINDOWS_CACHE.get(key)
     if cached is not None:
+        # an external spark.catalog.clearCache() (bench does this
+        # between timed runs) unpersists the memoized frame behind our
+        # back; restore the persist contract so multi-consumer reads
+        # stay one-compute (correctness is unaffected either way)
+        lvl = cached.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            cached.persist()
         return cached
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))

@@ -364,8 +364,13 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= NEARDUP_COS — the EXACT
     all-pairs baseline (a deliberate cartesian, whitelisted in
-    tests/test_plans.py). Never the scale path: reach for
-    ``embedding_neardup_lsh`` first; this exists to pin its recall."""
+    tests/test_plans.py). EVAL-SCALE-ONLY (r11, VERDICT r10 item 6):
+    like the uncapped band joins, this query (and its legacy alias
+    ``embedding_neardup``) exists to pin the recall of the deployed
+    forms — run it on evaluation samples (<= ~10^5 vectors), never the
+    corpus; the deployed near-dup path is ``embedding_neardup_lsh`` /
+    ``embedding_neardup_lsh_capped`` (docs/SCALE.md "similarity
+    search")."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = _with_norm(emb, "vec_a", "ea", "na")
     b = _with_norm(emb, "vec_b", "eb", "nb")

@@ -12,13 +12,43 @@ def test_baseline_covers_exactly_the_headline_set():
     assert set(bench.BASELINE_R1) == set(bench.HEADLINE)
 
 
+def test_baseline_v2_covers_exactly_the_v2_set():
+    assert set(bench.BASELINE_V2) == set(bench.HEADLINE_V2)
+    # the two generations must not overlap: a query with two baselines
+    # would double-count in resample ratio lookups (BASELINE_ALL)
+    assert not set(bench.HEADLINE) & set(bench.HEADLINE_V2)
+
+
 def test_headline_queries_are_registered_with_oracles():
     from mit_6_5840_mapreduce_spark.operators import registry
     queries, oracles = registry()
-    missing = [n for n in bench.HEADLINE if n not in queries]
+    both = bench.HEADLINE + bench.HEADLINE_V2
+    missing = [n for n in both if n not in queries]
     assert not missing, f"headline queries not registered: {missing}"
-    no_oracle = [n for n in bench.HEADLINE if n not in oracles]
+    no_oracle = [n for n in both if n not in oracles]
     assert not no_oracle, f"headline queries without oracles: {no_oracle}"
+
+
+def test_worst_median_spans_both_generations():
+    """The retry/selection signal must see a v2-only regression (the
+    r10 gap: a 2x move in a post-r1 heavy operator was invisible)."""
+    assert bench.worst_median(
+        {"ratio_median": 0.9, "ratio_median_v2": 2.1}) == 2.1
+    assert bench.worst_median(
+        {"ratio_median": 1.4, "ratio_median_v2": 0.8}) == 1.4
+    # legacy attempts without a v2 block fall back to the r1 median
+    assert bench.worst_median({"ratio_median": 1.2}) == 1.2
+
+
+def test_pick_cleanest_sees_v2_regression():
+    """All-dirty selection must prefer the attempt whose WORST block is
+    best — an attempt with a clean r1 median but a regressed v2 median
+    must lose to one that is mediocre in both."""
+    a = {"contaminated": True, "ratio_median": 0.8,
+         "ratio_median_v2": 2.4, "timings": {"q": 30.0}, "timings_v2": {}}
+    b = {"contaminated": True, "ratio_median": 1.2,
+         "ratio_median_v2": 1.1, "timings": {"q": 31.0}, "timings_v2": {}}
+    assert bench.pick_cleanest([a, b]) == 1
 
 
 def test_resample_triggers_only_on_spike_under_load():

@@ -44,11 +44,15 @@ PROBES = ("mr_wc", "simhash_docs", "minhash_signatures",
           # PAIR query are excluded: replication manufactures duplicate
           # spans / hash collisions; per-doc image_phash and the
           # broadcast-dim mixture ops are linear. The r10 span
-          # alignment/cut pair (dedup_span_pairs/_scrub) is excluded
-          # for the same reason — replication makes every doc a
-          # factor-sized clone clique whose window populations sit
-          # BELOW SPAN_OCC_CAP (16 < 20), so the probe would time a
-          # manufactured all-replicas pairing, not the operator)
+          # alignment/cut pair (dedup_span_pairs/_scrub) cannot ride
+          # the REPLICATED corpus for the same reason — replication
+          # makes every doc a factor-sized clone clique whose window
+          # populations sit BELOW SPAN_OCC_CAP (16 < 20), so the probe
+          # would time a manufactured all-replicas pairing, not the
+          # operator — it gets its own SYNTHETIC corpus probe below
+          # (r11, VERDICT r10 item 4) where real pair-shared quoted
+          # blocks grow linearly and a corpus-wide boilerplate block
+          # exercises the cap)
           "doc_lm_score", "quality_ensemble", "temperature_resample",
           "source_mix_weights", "pq_encode", "image_phash",
           # round 8 (VERDICT r7 item 6): the CAPPED pairwise variants
@@ -79,6 +83,63 @@ PROBES = ("mr_wc", "simhash_docs", "minhash_signatures",
           "q2_min_cost_supplier", "q12_shipping_speed_priority",
           "q20_dominant_suppliers")
 FACTORS = (1, 4, 16)
+
+# Span-family probe corpus (r11, VERDICT r10 item 4). Like the CC
+# chains, the span probe needs a PURPOSE-BUILT corpus: real shared
+# spans must exist at every factor without replication-manufactured
+# cliques. Construction — per factor, SPAN_PAIRS_1X * factor document
+# PAIRS; each doc is unique filler tokens around (a) a 15-token quoted
+# block shared with exactly its pair partner (window population 2 at
+# EVERY factor -> survives the cap, emits one maximal span per pair)
+# and (b) a corpus-wide 15-token boilerplate block (population = all
+# docs, over SPAN_OCC_CAP at every factor -> dropped BEFORE the
+# self-join). The probe therefore measures exactly the 100 TB claim:
+# pair output and wall grow ~linearly with the corpus, while the one
+# hash that would alone contribute O(n^2) aligned hits (2e9 pairs at
+# 16x if uncapped) never reaches the join.
+SPAN_PAIRS_1X = 1_000
+_SPAN_FILLER = (20, 10, 5)      # unique-token runs around the two blocks
+_SPAN_BLOCK = 15                # tokens per quoted/boilerplate block
+
+
+def _letters(i: int) -> str:
+    """Deterministic all-letter token for integer i (tokenize() keeps
+    only letter runs, so tokens must be pure letters)."""
+    s = ""
+    i += 1
+    while i:
+        s += chr(ord("a") + i % 26)
+        i //= 26
+    return s
+
+
+def _span_corpus(out_dir: str, factor: int) -> None:
+    """Write the synthetic span corpus for ``factor`` as a documents
+    parquet (pyarrow; driver-side generation — 32k docs at 16x)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    boiler = " ".join("b" + _letters(j) for j in range(_SPAN_BLOCK))
+    texts = []
+    n_docs = 2 * SPAN_PAIRS_1X * factor
+    for doc in range(n_docs):
+        pair = doc // 2
+        quote = " ".join("q" + _letters(pair * _SPAN_BLOCK + j)
+                         for j in range(_SPAN_BLOCK))
+        f1, f2, f3 = (
+            " ".join("f" + _letters(doc * 64 + p)
+                     for p in range(off, off + ln))
+            for off, ln in ((0, _SPAN_FILLER[0]),
+                            (24, _SPAN_FILLER[1]),
+                            (40, _SPAN_FILLER[2])))
+        texts.append(" ".join((f1, boiler, f2, quote, f3)))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n_docs, pa.string()),
+        "source": pa.array(["synthetic"] * n_docs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(out_dir, "documents.parquet"))
+
 
 # The CC loop probe (VERDICT r5 item 5) can't ride the replicated
 # corpus — replicating documents manufactures quadratic near-dup pairs.
@@ -253,6 +314,37 @@ def main() -> int:
         print(f"{name}[state]  1x: {w1:.2f}s / {r1} rows   "
               f"16x: {w16:.2f}s / {r16} rows   "
               f"wall {w16 / max(w1, 1e-9):.1f}x, rows {r16 / max(r1, 1):.1f}x")
+
+    # Span-family probe (r11, VERDICT r10 item 4): the synthetic
+    # pair-shared-quote corpus (see _span_corpus). Expected shape:
+    # result rows EXACTLY linear in the factor (one maximal span per
+    # pair; scrub = one row per doc), wall ~linear — the boilerplate
+    # hash (population = all docs) is dropped by SPAN_OCC_CAP before
+    # the self-join at every factor, so no quadratic term exists.
+    SPAN_PROBES = ("dedup_span_pairs", "dedup_span_scrub")
+    span_res: dict[str, dict[int, tuple[float, int]]] = {
+        q: {} for q in SPAN_PROBES}
+    for factor in FACTORS:
+        pwork = os.path.join(tempfile.gettempdir(),
+                             f"span_scale_{factor}x")
+        os.makedirs(pwork, exist_ok=True)
+        _span_corpus(pwork, factor)
+        for name in SPAN_PROBES:
+            best, rows = float("inf"), -1
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                result = queries[name](spark, pwork)
+                rows = result.count()
+                best = min(best, time.perf_counter() - t0)
+            span_res[name][factor] = (round(best, 2), rows)
+    for name, res in span_res.items():
+        line = f"{name}[spans]  " + "   ".join(
+            f"{f}x: {res[f][0]:.2f}s / {res[f][1]} rows" for f in FACTORS)
+        w1, wN = res[FACTORS[0]][0], res[FACTORS[-1]][0]
+        r1, rN = res[FACTORS[0]][1], res[FACTORS[-1]][1]
+        print(line + f"   wall {wN / max(w1, 1e-9):.1f}x, "
+              f"rows {rN / max(r1, 1):.1f}x")
 
     print(f"{'operator':24s}" + "".join(f"{f}x".rjust(9) for f in FACTORS)
           + "   16x/1x")
