@@ -131,3 +131,27 @@ def test_planted_tiers_label_and_separate(spark, two_tier_dir):
     # linearly separable tiers: the trained model classifies every
     # document correctly (deterministic, so equality is safe)
     assert all(r.pred_quality == r.label_quality for r in out)
+
+
+def test_replay_oracle_matches_engine_on_planted_corpus(spark,
+                                                        two_tier_dir):
+    """Run the REAL registered oracle SQL (the unrolled GD replay) in
+    DuckDB against the planted corpus and diff the full training trace
+    against the engine — the driver gate only exercises the oracle on
+    the driver corpus, so a planted-corpus diff pins the replay on a
+    second distribution (the dedup_fuzzy_verify non-ASCII discipline)."""
+    import duckdb
+
+    from mit_6_5840_mapreduce_spark.operators.quality import ORACLES
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(two_tier_dir, 'documents.parquet')}'")
+    want = [tuple(r) for r in con.execute(
+        ORACLES["quality_train"]
+        + " ORDER BY round").fetchall()]
+    got = [(r.round, r.w_bias, r.w_len, r.w_punct, r.w_tok,
+            r.n_correct, r.sse_micro)
+           for r in quality_train(spark, two_tier_dir)
+           .orderBy("round").collect()]
+    assert got == want     # bit-exact, both engines, planted corpus
