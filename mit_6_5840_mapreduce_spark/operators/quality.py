@@ -115,15 +115,20 @@ def _gd_pass(feats: DataFrame, w: tuple[float, float, float, float]):
     def q(c: Column) -> Column:
         return F.floor(c * F.lit(GRAD_SCALE)).cast("long")
 
+    zero = F.lit(0).cast("long")
+    # coalesce: sum() over ZERO rows is NULL — the empty-corpus
+    # contract is the zero-model trace (gradients 0, metrics 0), same
+    # coalesce in the oracle
     return feats.agg(
-        F.sum(q(r)).alias("g0"),
-        F.sum(q(r * F.col("x1"))).alias("g1"),
-        F.sum(q(r * F.col("x2"))).alias("g2"),
-        F.sum(q(r * F.col("x3"))).alias("g3"),
-        F.sum(F.when((p >= F.lit(0.5)) == (F.col("y") == F.lit(1.0)),
-                     F.lit(1)).otherwise(F.lit(0))).cast("long")
-        .alias("n_correct"),
-        F.sum(q(r * r)).alias("sse_micro"),
+        F.coalesce(F.sum(q(r)), zero).alias("g0"),
+        F.coalesce(F.sum(q(r * F.col("x1"))), zero).alias("g1"),
+        F.coalesce(F.sum(q(r * F.col("x2"))), zero).alias("g2"),
+        F.coalesce(F.sum(q(r * F.col("x3"))), zero).alias("g3"),
+        F.coalesce(
+            F.sum(F.when((p >= F.lit(0.5)) == (F.col("y") == F.lit(1.0)),
+                         F.lit(1)).otherwise(F.lit(0))).cast("long"),
+            zero).alias("n_correct"),
+        F.coalesce(F.sum(q(r * r)), zero).alias("sse_micro"),
         F.count("*").alias("n"),
     ).collect()[0]
 
@@ -131,7 +136,11 @@ def _gd_pass(feats: DataFrame, w: tuple[float, float, float, float]):
 def _update(w: tuple[float, float, float, float], g: tuple[int, ...],
             n: int) -> tuple[float, float, float, float]:
     """w <- floor_grid(w - lr * mean_gradient): the fixed-order scalar
-    update the oracle's per-round CTE mirrors token for token."""
+    update the oracle's per-round CTE mirrors token for token. The
+    max(n, 1) guard (SQL: greatest) is the empty-corpus contract: with
+    zero rows the coalesced gradients are 0, so the update is the
+    identity instead of 0/0."""
+    n = max(n, 1)
     return tuple(
         math.floor((wj - QUALITY_LR * ((gj / GRAD_SCALE) / n)) * W_SCALE)
         / W_SCALE
@@ -223,18 +232,19 @@ def _replay_ctes(n_rounds: int) -> str:
         parts.append(f"""
         e{k} AS MATERIALIZED (
             SELECT
-                CAST(sum(CAST(floor(r * {GRAD_SCALE}) AS BIGINT))
-                     AS BIGINT) AS g0,
-                CAST(sum(CAST(floor((r * x1) * {GRAD_SCALE}) AS BIGINT))
-                     AS BIGINT) AS g1,
-                CAST(sum(CAST(floor((r * x2) * {GRAD_SCALE}) AS BIGINT))
-                     AS BIGINT) AS g2,
-                CAST(sum(CAST(floor((r * x3) * {GRAD_SCALE}) AS BIGINT))
-                     AS BIGINT) AS g3,
-                CAST(sum(CASE WHEN (p >= 0.5) = (y = 1.0)
-                              THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-                CAST(sum(CAST(floor((r * r) * {GRAD_SCALE}) AS BIGINT))
-                     AS BIGINT) AS sse_micro
+                CAST(coalesce(sum(CAST(floor(r * {GRAD_SCALE}) AS BIGINT)),
+                     0) AS BIGINT) AS g0,
+                CAST(coalesce(sum(CAST(floor((r * x1) * {GRAD_SCALE})
+                     AS BIGINT)), 0) AS BIGINT) AS g1,
+                CAST(coalesce(sum(CAST(floor((r * x2) * {GRAD_SCALE})
+                     AS BIGINT)), 0) AS BIGINT) AS g2,
+                CAST(coalesce(sum(CAST(floor((r * x3) * {GRAD_SCALE})
+                     AS BIGINT)), 0) AS BIGINT) AS g3,
+                CAST(coalesce(sum(CASE WHEN (p >= 0.5) = (y = 1.0)
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS n_correct,
+                CAST(coalesce(sum(CAST(floor((r * r) * {GRAD_SCALE})
+                     AS BIGINT)), 0) AS BIGINT) AS sse_micro
             FROM (SELECT x1, x2, x3, y, p, (p - y) AS r
                   FROM (SELECT x1, x2, x3, y,
                                (((w0 + w1 * x1) + w2 * x2) + w3 * x3) AS p
@@ -244,13 +254,17 @@ def _replay_ctes(n_rounds: int) -> str:
             parts.append(f"""
         w{k + 1} AS (
             SELECT
-                floor((w0 - {QUALITY_LR} * ((g0 / {GRAD_SCALE}) / n))
+                floor((w0 - {QUALITY_LR} * ((g0 / {GRAD_SCALE})
+                      / greatest(n, 1)))
                       * {W_SCALE}) / {W_SCALE} AS w0,
-                floor((w1 - {QUALITY_LR} * ((g1 / {GRAD_SCALE}) / n))
+                floor((w1 - {QUALITY_LR} * ((g1 / {GRAD_SCALE})
+                      / greatest(n, 1)))
                       * {W_SCALE}) / {W_SCALE} AS w1,
-                floor((w2 - {QUALITY_LR} * ((g2 / {GRAD_SCALE}) / n))
+                floor((w2 - {QUALITY_LR} * ((g2 / {GRAD_SCALE})
+                      / greatest(n, 1)))
                       * {W_SCALE}) / {W_SCALE} AS w2,
-                floor((w3 - {QUALITY_LR} * ((g3 / {GRAD_SCALE}) / n))
+                floor((w3 - {QUALITY_LR} * ((g3 / {GRAD_SCALE})
+                      / greatest(n, 1)))
                       * {W_SCALE}) / {W_SCALE} AS w3
             FROM w{k}, e{k}, nn
         )""")

@@ -133,6 +133,44 @@ def test_planted_tiers_label_and_separate(spark, two_tier_dir):
     assert all(r.pred_quality == r.label_quality for r in out)
 
 
+@pytest.fixture(scope="module")
+def empty_docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_docs_sf")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+    }), os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_empty_corpus_yields_zero_model_trace(spark, empty_docs_dir):
+    """Empty-corpus contract (the partition-pruned-scan situation): the
+    trainer must return the zero-model trace — coalesced 0 gradients,
+    identity updates via the greatest(n,1) guard — and the classifier
+    zero rows; the DuckDB replay (same coalesce/greatest) agrees."""
+    import duckdb
+
+    from mit_6_5840_mapreduce_spark.operators.quality import ORACLES
+    rows = quality_train(spark, empty_docs_dir).orderBy("round").collect()
+    assert len(rows) == QUALITY_GD_ROUNDS + 1
+    assert all((r.w_bias, r.w_len, r.w_punct, r.w_tok,
+                r.n_correct, r.sse_micro) == (0.0,) * 4 + (0, 0)
+               for r in rows)
+    assert quality_classify(spark, empty_docs_dir).count() == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(empty_docs_dir, 'documents.parquet')}'")
+    want = [tuple(r) for r in con.execute(
+        ORACLES["quality_train"] + " ORDER BY round").fetchall()]
+    got = [(r.round, r.w_bias, r.w_len, r.w_punct, r.w_tok,
+            r.n_correct, r.sse_micro) for r in rows]
+    assert got == want
+
+
 def test_replay_oracle_matches_engine_on_planted_corpus(spark,
                                                         two_tier_dir):
     """Run the REAL registered oracle SQL (the unrolled GD replay) in
