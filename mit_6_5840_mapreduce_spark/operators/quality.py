@@ -83,7 +83,13 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     certified ``doc_quality`` query so the per-row float surface this
     module adds is just three least/floor4 expressions."""
     from mit_6_5840_mapreduce_spark.operators.textstats import doc_quality
-    dq = doc_quality(spark, sf_dir)
+    from mit_6_5840_mapreduce_spark.sources.tables import fan_out
+    # fan_out: the per-row work (tokenize + fold) dominates the feature
+    # build, and the driver testdata is one unsplittable row group —
+    # spread it before the checkpoint materializes. Partitioning CANNOT
+    # move a bit of the result: gradients sum order-free integers
+    # (module docstring), which test_quality's exact numpy pin proves.
+    dq = fan_out(spark, doc_quality(spark, sf_dir))
     return dq.select(
         "doc_id",
         floor4(F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)))
