@@ -796,28 +796,52 @@ SPAN_TOKENS = 10                # exact-substring window width (tokens)
 SPAN_OCC_CAP = 20
 
 
-# Memoized persisted window frames, keyed by (applicationId, sf_dir):
-# a persisted DataFrame is owned by the SparkContext, and applicationId
-# is stable for the context's lifetime, so the key dies with the cache
-# it names. Without this, every span-family call re-persisted a fresh
-# corpus-token-sized frame and never released it — dedup_span_scrub /
-# decontaminate_span_scrub stack 2-3 such frames PER INVOCATION, and a
-# long-lived session (the driver gate runs dozens of queries on one
-# session) accumulates them until the storage memory pool churns
-# (ADVICE r10). One frame per (app, sf_dir) is the steady state every
-# consumer shares; re-calling is now free.
-_SPAN_WINDOWS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Memoized persisted window frames, keyed by (applicationId, sf_dir,
+# corpus stamp): a persisted DataFrame is owned by the SparkContext,
+# and applicationId is stable for the context's lifetime, so the key
+# dies with the cache it names. Without this, every span-family call
+# re-persisted a fresh corpus-token-sized frame and never released it
+# — dedup_span_scrub / decontaminate_span_scrub stack 2-3 such frames
+# PER INVOCATION, and a long-lived session (the driver gate runs
+# dozens of queries on one session) accumulates them until the storage
+# memory pool churns (ADVICE r10). One frame per (app, corpus) is the
+# steady state every consumer shares; re-calling is now free. The
+# STAMP (mtime_ns + size of documents.parquet, r11 review) keeps a
+# corpus REWRITTEN at the same path from being served stale windows —
+# the fixed-scratch-dir pattern probes and notebooks use; entries from
+# other applications (stopped contexts) are evicted on insert.
+_SPAN_WINDOWS_CACHE: dict[tuple[str, str, tuple], DataFrame] = {}
+
+
+def _corpus_stamp(sf_dir: str) -> tuple:
+    """Content-identity stamp for documents.parquet at sf_dir (file or
+    directory of part files): (mtime_ns, size) aggregates — cheap
+    driver-side stats, no data read."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+    except OSError:
+        return ("missing",)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    entries = []
+    for name in sorted(os.listdir(path)):
+        s = os.stat(os.path.join(path, name))
+        entries.append((name, s.st_mtime_ns, s.st_size))
+    return tuple(entries)
 
 
 def _span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, hw): every SPAN_TOKENS-token sliding window of the
     corpus, 60-bit-hashed BEFORE any shuffle (fixed-width uniform keys;
     window text never leaves the scan stage). Persisted AND memoized
-    per (application, sf_dir) — every consumer (duplicate_spans'
-    count/flag passes, dedup_span_pairs' cap + self-join) reads it more
-    than once, and repeat invocations in one session reuse one cache
-    instead of stacking new persisted frames (ADVICE r10)."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    per (application, sf_dir, corpus stamp) — every consumer
+    (duplicate_spans' count/flag passes, dedup_span_pairs' cap +
+    self-join) reads it more than once, and repeat invocations in one
+    session reuse one cache instead of stacking new persisted frames
+    (ADVICE r10)."""
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.abspath(sf_dir), _corpus_stamp(sf_dir))
     cached = _SPAN_WINDOWS_CACHE.get(key)
     if cached is not None:
         # an external spark.catalog.clearCache() (bench does this
@@ -828,6 +852,16 @@ def _span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not (lvl.useMemory or lvl.useDisk):
             cached.persist()
         return cached
+    # evict entries owned by other (stopped) applications and stale
+    # stamps of THIS path — their frames are unreachable or outdated
+    for k in [k for k in _SPAN_WINDOWS_CACHE
+              if k[0] != app or k[:2] == key[:2]]:
+        if k[0] == app:
+            try:
+                _SPAN_WINDOWS_CACHE[k].unpersist()
+            except Exception:
+                pass            # context mid-shutdown: nothing to free
+        del _SPAN_WINDOWS_CACHE[k]
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
     wins = (

@@ -154,11 +154,15 @@ def _update(w: tuple[float, float, float, float], g: tuple[int, ...],
 
 
 def _train_rows(spark: SparkSession, sf_dir: str
-                ) -> list[tuple[int, float, float, float, float, int, int]]:
+                ) -> tuple[list[tuple[int, float, float, float, float,
+                                      int, int]], DataFrame]:
     """Run the GD loop; row k = (round k, weights AFTER k updates,
     n_correct and quantized SSE measured AT those weights). Pass k
     serves double duty: it evaluates round k's metrics and produces
-    round k+1's gradient, so the loop is QUALITY_GD_ROUNDS + 1 jobs."""
+    round k+1's gradient, so the loop is QUALITY_GD_ROUNDS + 1 jobs.
+    Also returns the CHECKPOINTED feature frame so a caller that goes
+    on to score (quality_classify's default path) reuses it instead of
+    paying a second corpus scan (r11 review)."""
     feats = _features(spark, sf_dir).localCheckpoint(eager=True)
     w = (0.0, 0.0, 0.0, 0.0)
     rows = []
@@ -169,7 +173,7 @@ def _train_rows(spark: SparkSession, sf_dir: str
         if k < QUALITY_GD_ROUNDS:
             w = _update(w, (res["g0"], res["g1"], res["g2"], res["g3"]),
                         int(res["n"]))
-    return rows
+    return rows, feats
 
 
 def quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,7 +184,7 @@ def quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence evidence: the last row's weights are what
     ``quality_classify`` serves."""
     return spark.createDataFrame(
-        _train_rows(spark, sf_dir),
+        _train_rows(spark, sf_dir)[0],
         "round INT, w_bias DOUBLE, w_len DOUBLE, w_punct DOUBLE, "
         "w_tok DOUBLE, n_correct BIGINT, sse_micro BIGINT")
 
@@ -196,8 +200,12 @@ def quality_classify(spark: SparkSession, sf_dir: str,
     query stays self-contained, and the oracle replays the identical
     loop before scoring."""
     if weights is None:
-        weights = tuple(_train_rows(spark, sf_dir)[-1][1:5])
-    feats = _features(spark, sf_dir)
+        rows, feats = _train_rows(spark, sf_dir)
+        weights = tuple(rows[-1][1:5])   # score off the checkpointed
+        # feature frame the trainer already materialized — no second
+        # corpus scan (r11 review)
+    else:
+        feats = _features(spark, sf_dir)
     p = _predict(weights)
     return feats.select(
         "doc_id",

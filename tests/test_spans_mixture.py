@@ -414,3 +414,32 @@ def test_scd2_intervals_are_well_formed(spark, sf_dir):
             assert a.valid_to == b.valid_from, uid
             assert a.event_type != b.event_type, uid
             assert a.valid_from < b.valid_from, uid
+
+
+def test_span_windows_cache_sees_corpus_rewrite(spark, tmp_path):
+    """The memoized _span_windows frame (ADVICE r10) must not serve
+    STALE windows when the corpus is rewritten at the same path within
+    one application (the fixed-scratch-dir pattern; r11 review) — the
+    cache key carries a content stamp of documents.parquet."""
+    import time as _time
+
+    span_text = " ".join(WORDS)
+    d = str(tmp_path)
+
+    def write(texts):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s0"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }), os.path.join(d, "documents.parquet"))
+
+    q = entrymod.queries()["duplicate_spans"]
+    write([span_text, span_text])           # one duplicated window pair
+    assert {r.n_dup_windows for r in q(spark, d).collect()} == {1}
+    _time.sleep(0.01)                        # distinct mtime_ns stamp
+    write([span_text,
+           "one two three four five six seven eight nine ten eleven"])
+    got = {r.doc_id: r.n_dup_windows for r in q(spark, d).collect()}
+    assert got == {0: 0, 1: 0}               # rewrite visible, not stale

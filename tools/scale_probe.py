@@ -335,8 +335,14 @@ def main() -> int:
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 result = queries[name](spark, pwork)
-                rows = result.count()
+                # TIME the noop write like every other probe — a timed
+                # count() lets Catalyst column-prune the operator's
+                # dominant output work (for the scrub, the whole
+                # collect_list/array_sort/concat_ws text recomposition
+                # never runs under count(); r11 review)
+                result.write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
+            rows = queries[name](spark, pwork).count()   # untimed
             span_res[name][factor] = (round(best, 2), rows)
     for name, res in span_res.items():
         line = f"{name}[spans]  " + "   ".join(
