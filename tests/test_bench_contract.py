@@ -167,6 +167,11 @@ def test_bench_extra_set_is_registered_with_oracles_or_rows_only():
     assert names, "EXTRA parsed empty"
     unknown = [n for n in names if n not in q]
     assert not unknown, f"EXTRA names not registered: {unknown}"
+    # a query promoted into a baselined headline generation must LEAVE
+    # the single-run sidecar — double-timing wastes sweep wall and the
+    # sidecar number would shadow the gated one (r11 promotion)
+    dup = set(names) & (set(bench.HEADLINE) | set(bench.HEADLINE_V2))
+    assert not dup, f"EXTRA still times headline queries: {sorted(dup)}"
 
 
 def test_contaminated_stamp_thresholds(monkeypatch):

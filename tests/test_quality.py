@@ -171,6 +171,67 @@ def test_empty_corpus_yields_zero_model_trace(spark, empty_docs_dir):
     assert got == want
 
 
+@pytest.fixture(scope="module")
+def punct_corpus_dir(tmp_path_factory):
+    """Deterministic pseudo-random corpus WITH punctuation: the gate
+    corpus contains none (x_punct = 0 for every doc, w_punct pinned at
+    0), so this is the only distribution where the punctuation feature
+    actually participates in training."""
+    import random
+    rng = random.Random(20260816)
+    texts = []
+    for _ in range(120):
+        n = rng.randint(3, 140)
+        words = []
+        for _ in range(n):
+            w = "".join(rng.choice("abcdefghijklmnop")
+                        for _ in range(rng.randint(1, 12)))
+            if rng.random() < 0.4:
+                w += rng.choice("!?.,;:#%&*")
+            words.append(w)
+        texts.append(" ".join(words))
+    d = tmp_path_factory.mktemp("punct_sf")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["synthetic"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_three_voices_agree_with_active_punctuation(spark,
+                                                    punct_corpus_dir):
+    """Engine, numpy reference, and the REAL oracle SQL must agree
+    EXACTLY on a corpus where x_punct is non-degenerate — the
+    punctuation gradient path (r*x2 quantization, w2 updates) is
+    exercised nowhere else."""
+    import duckdb
+
+    from mit_6_5840_mapreduce_spark.operators.quality import ORACLES
+    feats = _features(spark, punct_corpus_dir).toPandas()
+    assert (feats["x2"] > 0).any(), "fixture lost its punctuation"
+    X = feats[["x1", "x2", "x3"]].to_numpy(dtype=np.float64)
+    y = feats["y"].to_numpy(dtype=np.float64)
+    numpy_trace = _numpy_trace(X, y)
+    got = [(r.round, r.w_bias, r.w_len, r.w_punct, r.w_tok,
+            r.n_correct, r.sse_micro)
+           for r in quality_train(spark, punct_corpus_dir)
+           .orderBy("round").collect()]
+    # the trained punctuation weight must actually move on this corpus
+    assert any(r[3] != 0.0 for r in got)
+    for row, (w, n_correct, sse) in zip(got, numpy_trace):
+        assert row[1:5] == w and row[5] == n_correct and row[6] == sse
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(punct_corpus_dir, 'documents.parquet')}'")
+    want = [tuple(r) for r in con.execute(
+        ORACLES["quality_train"] + " ORDER BY round").fetchall()]
+    assert got == want
+
+
 def test_replay_oracle_matches_engine_on_planted_corpus(spark,
                                                         two_tier_dir):
     """Run the REAL registered oracle SQL (the unrolled GD replay) in
