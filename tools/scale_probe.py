@@ -81,7 +81,13 @@ PROBES = ("mr_wc", "simhash_docs", "minhash_signatures",
           # constant-size (part, supplier) grid — the shape their 100TB
           # claim rests on (output identical at every factor)
           "q2_min_cost_supplier", "q12_shipping_speed_priority",
-          "q20_dominant_suppliers")
+          "q20_dominant_suppliers",
+          # round 11: the trained quality classifier — replication-safe
+          # (per-doc features, no pairwise term anywhere); the trainer
+          # is one scan into a checkpointed feature frame + 9 constant-
+          # width aggregations, so wall should grow ~linearly with the
+          # corpus and the aggregation rounds stay constant-count
+          "quality_train", "quality_classify")
 FACTORS = (1, 4, 16)
 
 # Span-family probe corpus (r11, VERDICT r10 item 4). Like the CC
