@@ -423,9 +423,11 @@ def main() -> None:
              # pipeline (decimal medoid sums) gets per-round visibility
              "semantic_dedup",
              # round 8: the hot-key-bounded sequences twin (the heavy
-             # round-8 trainers — ivf_train, bpe_train, hnsw_* — stay
-             # out of bench: their wall is corpus-training time, timed
-             # by tools/scale_probe.py instead of the per-round sweep)
+             # round-8 trainers ivf_train and hnsw_* stay out of
+             # bench: their wall is corpus-training time, timed by
+             # tools/scale_probe.py instead of the per-round sweep —
+             # bpe_train GRADUATED into the baselined HEADLINE_V2 set
+             # in r11 and is swept every round now)
              "user_event_sequences_capped",
              # round 10: the capped composed dedup pipelines (gate
              # entries a 100 TB pass runs) get per-round visibility;

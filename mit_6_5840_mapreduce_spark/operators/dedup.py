@@ -811,6 +811,10 @@ SPAN_OCC_CAP = 20
 # the fixed-scratch-dir pattern probes and notebooks use; entries from
 # other applications (stopped contexts) are evicted on insert.
 _SPAN_WINDOWS_CACHE: dict[tuple[str, str, tuple], DataFrame] = {}
+# max memoized frames per application: covers the realistic working
+# set (the gate corpus + a planted corpus or two) while bounding a
+# many-corpus session to a constant number of resident frames
+_SPAN_WINDOWS_CACHE_PER_APP = 3
 
 
 def _corpus_stamp(sf_dir: str) -> tuple:
@@ -826,7 +830,15 @@ def _corpus_stamp(sf_dir: str) -> tuple:
         return (st.st_mtime_ns, st.st_size)
     entries = []
     for name in sorted(os.listdir(path)):
-        s = os.stat(os.path.join(path, name))
+        try:
+            s = os.stat(os.path.join(path, name))
+        except OSError:
+            # a part file deleted between listdir and stat (concurrent
+            # overwrite of the directory layout — the very scenario the
+            # stamp defends against): record the name as gone; the next
+            # call sees a different stamp and recomputes
+            entries.append((name, "gone"))
+            continue
         entries.append((name, s.st_mtime_ns, s.st_size))
     return tuple(entries)
 
@@ -862,6 +874,20 @@ def _span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             except Exception:
                 pass            # context mid-shutdown: nothing to free
         del _SPAN_WINDOWS_CACHE[k]
+    # bound the per-app population (r11 review): a long session
+    # touching many corpora (the battery's planted tmp dirs, the scale
+    # probe's per-factor dirs) would otherwise hold one persisted
+    # corpus-token-sized frame PER DIRECTORY — the ADVICE-r10 symptom
+    # keyed by path instead of by call. Keep the newest few (dict
+    # preserves insertion order); unpersist-and-drop the oldest.
+    same_app = [k for k in _SPAN_WINDOWS_CACHE if k[0] == app]
+    while len(same_app) >= _SPAN_WINDOWS_CACHE_PER_APP:
+        oldest = same_app.pop(0)
+        try:
+            _SPAN_WINDOWS_CACHE[oldest].unpersist()
+        except Exception:
+            pass
+        del _SPAN_WINDOWS_CACHE[oldest]
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
     wins = (

@@ -65,7 +65,10 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mit_6_5840_mapreduce_spark.functions.numeric import floor4
+from mit_6_5840_mapreduce_spark.functions.numeric import (
+    duckdb_floor4,
+    floor4,
+)
 
 QUALITY_GD_ROUNDS = 8       # full-batch GD update rounds
 QUALITY_LR = 0.5            # exact binary fraction: lr * x is one IEEE op
@@ -230,11 +233,9 @@ def _replay_ctes(n_rounds: int) -> str:
         dq AS MATERIALIZED ({_TEXT_ORACLES["doc_quality"]}),
         feats AS MATERIALIZED (
             SELECT doc_id,
-                   floor(least(n_tokens / 100.0, 1.0) * 10000) / 10000
-                       AS x1,
-                   floor(least(punct_ratio * 5.0, 1.0) * 10000) / 10000
-                       AS x2,
-                   floor(least(avg_token_len / 8.0, 1.0) * 10000) / 10000
+                   {duckdb_floor4("least(n_tokens / 100.0, 1.0)")} AS x1,
+                   {duckdb_floor4("least(punct_ratio * 5.0, 1.0)")} AS x2,
+                   {duckdb_floor4("least(avg_token_len / 8.0, 1.0)")}
                        AS x3,
                    CASE WHEN quality_score >= {QUALITY_LABEL_MIN}
                         THEN 1.0 ELSE 0.0 END AS y
@@ -307,7 +308,7 @@ ORACLES: dict[str, str] = {
     """,
     "quality_classify": _replay_ctes(QUALITY_GD_ROUNDS) + f"""
         SELECT doc_id,
-               floor(p * 10000) / 10000 AS p_quality,
+               {duckdb_floor4("p")} AS p_quality,
                CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS INTEGER)
                    AS pred_quality,
                CAST(y AS INTEGER) AS label_quality
