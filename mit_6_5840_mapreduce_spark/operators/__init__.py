@@ -39,72 +39,63 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # each round, so window composition is an explicit, reviewed list rather
-# than an accident of module ordering. Round-11 window, composed under
+# than an accident of module ordering. Round-12 window, composed under
 # the steady-state policy (sentinels + round-changed + new + stalest
 # certs, tools/window_plan.py's draft): the sentinel set kept in-window
-# EVERY round; the TWO new trained-quality-classifier entries
-# (quality_train / quality_classify — VERDICT r10 item 2, the GD loop
-# oracled by a full unrolled SQL replay); the FIVE span-family queries
-# round-changed by the _span_windows persist-memoization fix (ADVICE
-# r10 — dedup_span_pairs, dedup_span_scrub, duplicate_spans,
-# contamination_spans, decontaminate_span_scrub all consume the shared
-# frame; docstring/comment-ONLY edits such as the q12 lateness-rule
-# reword do NOT re-certify — no plan or value surface moves); then the
-# ENTIRE staleness backlog the slots can hold, oldest cert first with
-# name tiebreak (VERDICT r10 item 1): all ELEVEN r6-certified spill
-# names (q3_shipping_priority, simhash_docs, source_quota_cap,
-# stratified_sample, stream_dedup_events, stream_sliding_counts,
-# tfidf_cosine_pairs, tfidf_top_terms, token_stats, user_stats,
-# user_value_mad_sql — after this round NO query's latest cert is
-# <= r6) and the first 28 of the 45-name r7 cohort in name order
-# (bigram_pmi .. q21_suppliers_kept_waiting). The remaining 17 r7
-# names (q22_idle_customers .. xml_roundtrip_stats) spill to r12 —
-# scheduled, not lost: r12 has ~44 free slots. POLICY CHANGE this
-# round (VERDICT r10 item 1): the staleness ceiling moves from 4 to 5
-# rounds (tools/window_plan.py STALE_ROUNDS, COVERAGE.md "window
-# policy") — with 193 registered queries and ~44 free slots per round
-# a full rotation takes ceil(193/44) = 5 rounds, so a 4-round ceiling
-# is structurally unmeetable; 5 is the smallest ceiling the window
-# can actually sustain.
-# 4 + 2 + 5 + 11 + 28 = 50, no free slots.
+# EVERY round; the TWO new entries (quality_eval_holdout — the
+# split-gated GD trainer judged on held-out accuracy, VERDICT r11
+# item 2; epoch_assembly — the composed resample → decontaminate →
+# pack → shuffle capstone, VERDICT r11 item 3); the FIVE span-family
+# queries round-changed by the _span_windows hardening (ADVICE r11
+# lock around the memo's lookup/evict/insert + the storage level made
+# explicit with the accept-recompute knob, VERDICT r11 item 4 — values
+# unchanged by design, which is exactly what re-certification shows);
+# then the staleness rotation, oldest cert first with name tiebreak:
+# the ENTIRE 17-name r7 tail lands on schedule (q22_idle_customers ..
+# xml_roundtrip_stats — the 5-round ceiling's first real test: these
+# certs are exactly 5 rounds old at this gate, and after this round no
+# query's latest cert is <= r7), plus the first 22 of the 43-name r8
+# cohort in name order (bpe_encode .. orders_monthly_growth; the
+# 21-name r8 tail spills, scheduled, to r13 — which also inherits the
+# 42-strong r9 cohort the round after, per the window_plan draft in
+# NOTES_r12).
+# 4 + 2 + 5 + 17 + 22 = 50, no free slots.
 # tests/test_registry_window.py pins this.
 WINDOW_SIZE = 50
 
 WINDOW_FIRST: tuple[str, ...] = (
     # sentinels (every round)
     "mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts",
-    # round-11 new: the trained quality classifier (VERDICT r10 #2)
-    "quality_train", "quality_classify",
-    # round-11 changed: the span family — all five consume the
-    # _span_windows frame whose persist is now memoized per
-    # (application, sf_dir) instead of stacked per call (ADVICE r10)
+    # round-12 new: held-out classifier evaluation (VERDICT r11 #2)
+    # and the epoch-assembly capstone (VERDICT r11 #3)
+    "quality_eval_holdout", "epoch_assembly",
+    # round-12 changed: the span family — all five consume the
+    # _span_windows frame, now lock-guarded against concurrent-miss
+    # frame orphaning (ADVICE r11) with an explicit storage level and
+    # accept-recompute knob (VERDICT r11 item 4)
     "dedup_span_pairs", "dedup_span_scrub", "duplicate_spans",
     "contamination_spans", "decontaminate_span_scrub",
-    # staleness rotation, oldest first: the eleven-name r6 spill —
-    # clearing it empties the <= r6 cohort entirely
-    "q3_shipping_priority", "simhash_docs", "source_quota_cap",
-    "stratified_sample", "stream_dedup_events", "stream_sliding_counts",
-    "tfidf_cosine_pairs", "tfidf_top_terms", "token_stats",
-    "user_stats", "user_value_mad_sql",
-    # staleness rotation: the r7 cohort, first 28 in name order (the
-    # 17-name tail q22_idle_customers, q5_local_supplier_volume,
-    # q6_forecast_revenue, q7_nation_volume, q8_market_share,
-    # sql_priority_status_sets, sql_revenue_by_segment,
-    # stream_attribution, stream_enriched_events, stream_sessionize,
-    # token_length_histogram, token_rarity, top3_orders_per_customer,
-    # url_domain_stats, user_gap_stats, video_frame_stats,
-    # xml_roundtrip_stats spills to r12)
-    "bigram_pmi", "brand_price_stats", "cohort_retention",
-    "column_histogram", "contamination_check", "csv_roundtrip_stats",
-    "curation_funnel", "doc_chunks_udtf", "doc_pagerank",
-    "doc_repetition", "frame_sample", "gif_decode_stats",
-    "jsonl_roundtrip_stats", "lang_confusion", "lsh_recall_eval",
-    "multimodal_meta", "orc_roundtrip_stats", "pii_scrub",
-    "pyds_roundtrip_stats", "q10_returned_items",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_discounted_revenue", "q1_pricing_summary",
-    "q21_suppliers_kept_waiting",
+    # staleness rotation, oldest first: the full 17-name r7 tail —
+    # after this round no query's latest cert is <= r7
+    "q22_idle_customers", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "sql_priority_status_sets", "sql_revenue_by_segment",
+    "stream_attribution", "stream_enriched_events", "stream_sessionize",
+    "token_length_histogram", "token_rarity", "top3_orders_per_customer",
+    "url_domain_stats", "user_gap_stats", "video_frame_stats",
+    "xml_roundtrip_stats",
+    # staleness rotation: the r8 cohort, first 22 in name order (the
+    # 21-name tail pack_sequences .. x-names spills, scheduled, to r13)
+    "bpe_encode", "bpe_train", "customers_no_orders",
+    "daily_revenue_trailing", "decontaminate_split",
+    "embedding_quantize", "embedding_topk_pandas",
+    "events_hourly_gapfilled", "events_user_sketch",
+    "events_value_bands", "funnel_view_click_purchase", "hnsw_search",
+    "hnsw_search_persisted", "hourly_burst_detection", "ivf_train",
+    "latest_event_per_user", "media_decode_stats",
+    "nation_customer_supplier_balance", "order_value_percentiles",
+    "order_value_percentiles_approx", "orders_dow_stats",
+    "orders_monthly_growth",
 )
 
 
@@ -114,6 +105,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
         bpe,
         corpus,
         dedup,
+        epoch,
         events,
         formats,
         mixture,
@@ -133,7 +125,7 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
                                       ORACLES=multimodal.LATE_ORACLES)
     modules = (mrqueries, dedup, similarity, textstats, scrub, formats,
                multimodal, streaming_jobs, events, corpus, streaming_late,
-               multimodal_late, relational, mixture, bpe, quality)
+               multimodal_late, relational, mixture, bpe, quality, epoch)
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for m in modules:

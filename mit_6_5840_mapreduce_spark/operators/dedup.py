@@ -28,7 +28,9 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import os
+import threading
 
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -815,6 +817,36 @@ _SPAN_WINDOWS_CACHE: dict[tuple[str, str, tuple], DataFrame] = {}
 # set (the gate corpus + a planted corpus or two) while bounding a
 # many-corpus session to a constant number of resident frames
 _SPAN_WINDOWS_CACHE_PER_APP = 3
+# Storage level for the memoized window frames — the 100 TB story
+# (VERDICT r11 item 4, docs/SCALE.md "span-window persistence"):
+# MEMORY_AND_DISK_DESER (the DataFrame default, now explicit) with
+# ACCEPT-RECOMPUTE degradation. The frame is corpus-token-sized, so at
+# 100 TB it exceeds the aggregate storage pool; under this level the
+# block manager spills evicted partitions to local disk and, past
+# disk, DROPS blocks — a consumer touching a dropped partition
+# recomputes it from the column-pruned parquet scan (one tokenize +
+# hash pass, the cheap stage; the expensive stages — the population
+# cap and the self-join — always run downstream of whatever is
+# resident). Correctness is unaffected at every degradation step;
+# worst case is one extra scan per consumer, which beats both
+# DISK_ONLY (pays the write+read even at gate scale where memory
+# fits) and pinning (OOM-prone memory pressure on every co-tenant
+# stage). tests/test_spans_mixture.py pins the no-persist worst case
+# to value-identical results.
+_SPAN_WINDOWS_STORAGE = StorageLevel.MEMORY_AND_DISK_DESER
+# Test/probe knob: False simulates the TOTAL-degradation endpoint of
+# accept-recompute (every block dropped — no persist, no memo), so the
+# worst case is pinned value-identical, not assumed
+SPAN_WINDOWS_PERSIST = True
+# serializes the lookup/evict/insert sequence: Spark drivers are
+# routinely multi-threaded (concurrent action threads are the
+# documented way to overlap jobs), and an unguarded miss from two
+# threads computes two persisted frames, the second insert orphaning
+# the first forever — the ADVICE-r10 leak reintroduced under
+# concurrency (ADVICE r11). Plan CONSTRUCTION under the lock is
+# driver-side metadata work only (no job runs until an action), so
+# the critical section is cheap.
+_SPAN_WINDOWS_LOCK = threading.Lock()
 
 
 def _corpus_stamp(sf_dir: str) -> tuple:
@@ -854,56 +886,63 @@ def _span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ADVICE r10)."""
     app = spark.sparkContext.applicationId
     key = (app, os.path.abspath(sf_dir), _corpus_stamp(sf_dir))
-    cached = _SPAN_WINDOWS_CACHE.get(key)
-    if cached is not None:
-        # an external spark.catalog.clearCache() (bench does this
-        # between timed runs) unpersists the memoized frame behind our
-        # back; restore the persist contract so multi-consumer reads
-        # stay one-compute (correctness is unaffected either way)
-        lvl = cached.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
-            cached.persist()
-        return cached
-    # evict entries owned by other (stopped) applications and stale
-    # stamps of THIS path — their frames are unreachable or outdated
-    for k in [k for k in _SPAN_WINDOWS_CACHE
-              if k[0] != app or k[:2] == key[:2]]:
-        if k[0] == app:
+    def build() -> DataFrame:
+        docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+        toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        return (
+            toks.where(F.size("toks") >= SPAN_TOKENS)
+            .select("doc_id", F.explode(F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (SPAN_TOKENS - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice(F.col("toks"), i, SPAN_TOKENS))
+                    .alias("w")))).alias("s"))
+            .select("doc_id", F.col("s.pos").cast("bigint").alias("pos"),
+                    F.conv(F.substring(F.md5("s.w"), 1, 15), 16, 10)
+                    .cast("bigint").alias("hw"))
+        )
+
+    if not SPAN_WINDOWS_PERSIST:       # accept-recompute endpoint (knob)
+        return build()
+    with _SPAN_WINDOWS_LOCK:
+        cached = _SPAN_WINDOWS_CACHE.get(key)
+        if cached is not None:
+            # an external spark.catalog.clearCache() (bench does this
+            # between timed runs) unpersists the memoized frame behind
+            # our back; restore the persist contract so multi-consumer
+            # reads stay one-compute (correctness unaffected either way)
+            lvl = cached.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                cached.persist(_SPAN_WINDOWS_STORAGE)
+            return cached
+        # evict entries owned by other (stopped) applications and stale
+        # stamps of THIS path — their frames are unreachable or outdated
+        for k in [k for k in _SPAN_WINDOWS_CACHE
+                  if k[0] != app or k[:2] == key[:2]]:
+            if k[0] == app:
+                try:
+                    _SPAN_WINDOWS_CACHE[k].unpersist()
+                except Exception:
+                    pass        # context mid-shutdown: nothing to free
+            del _SPAN_WINDOWS_CACHE[k]
+        # bound the per-app population (r11 review): a long session
+        # touching many corpora (the battery's planted tmp dirs, the
+        # scale probe's per-factor dirs) would otherwise hold one
+        # persisted corpus-token-sized frame PER DIRECTORY — the
+        # ADVICE-r10 symptom keyed by path instead of by call. Keep the
+        # newest few (dict preserves insertion order); unpersist-and-
+        # drop the oldest.
+        same_app = [k for k in _SPAN_WINDOWS_CACHE if k[0] == app]
+        while len(same_app) >= _SPAN_WINDOWS_CACHE_PER_APP:
+            oldest = same_app.pop(0)
             try:
-                _SPAN_WINDOWS_CACHE[k].unpersist()
+                _SPAN_WINDOWS_CACHE[oldest].unpersist()
             except Exception:
-                pass            # context mid-shutdown: nothing to free
-        del _SPAN_WINDOWS_CACHE[k]
-    # bound the per-app population (r11 review): a long session
-    # touching many corpora (the battery's planted tmp dirs, the scale
-    # probe's per-factor dirs) would otherwise hold one persisted
-    # corpus-token-sized frame PER DIRECTORY — the ADVICE-r10 symptom
-    # keyed by path instead of by call. Keep the newest few (dict
-    # preserves insertion order); unpersist-and-drop the oldest.
-    same_app = [k for k in _SPAN_WINDOWS_CACHE if k[0] == app]
-    while len(same_app) >= _SPAN_WINDOWS_CACHE_PER_APP:
-        oldest = same_app.pop(0)
-        try:
-            _SPAN_WINDOWS_CACHE[oldest].unpersist()
-        except Exception:
-            pass
-        del _SPAN_WINDOWS_CACHE[oldest]
-    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
-    wins = (
-        toks.where(F.size("toks") >= SPAN_TOKENS)
-        .select("doc_id", F.explode(F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (SPAN_TOKENS - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.concat_ws(" ", F.slice(F.col("toks"), i, SPAN_TOKENS))
-                .alias("w")))).alias("s"))
-        .select("doc_id", F.col("s.pos").cast("bigint").alias("pos"),
-                F.conv(F.substring(F.md5("s.w"), 1, 15), 16, 10)
-                .cast("bigint").alias("hw"))
-    ).persist()
-    _SPAN_WINDOWS_CACHE[key] = wins
-    return wins
+                pass
+            del _SPAN_WINDOWS_CACHE[oldest]
+        wins = build().persist(_SPAN_WINDOWS_STORAGE)
+        _SPAN_WINDOWS_CACHE[key] = wins
+        return wins
 
 
 def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

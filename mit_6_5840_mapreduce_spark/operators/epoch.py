@@ -1,0 +1,173 @@
+"""Epoch assembly — the capstone pipeline a training run actually
+executes (VERDICT r11 item 3), composing the certified curation pieces
+into the output the north star names: ordered, packed, decontaminated
+token sequences. Nothing in the reference implements this; it is
+LLM-pipeline extension surface like ``operators/mixture.py``.
+
+One registered query, ONE declarative plan, no driver-side
+materialization between stages:
+
+1. **mixture → resample** (``temperature_resample``): per-source
+   sqrt-temperature keep rates realized as a deterministic md5-bucket
+   keep/drop — the corpus never shuffles, rates ride a broadcast dim.
+2. **decontaminate** (``decontaminate_span_scrub``): the quoted
+   test-set passages are cut from TRAIN-split documents (span-level
+   scrub — a train doc quoting one benchmark paragraph keeps
+   everything else). Joining the scrub output (train docs only, by
+   construction) to the resample survivors restricts the epoch to the
+   training split: val/test never enter training data.
+3. **pack** (``pack_sequences``' rule over the SCRUBBED token
+   counts): documents concatenate per source in doc_id order;
+   sequence boundaries fall every PACK_BUDGET tokens; a doc belongs
+   to the sequence its first surviving token lands in. Documents
+   scrubbed to zero tokens pack nothing and are dropped.
+4. **shuffle** (``training_shuffle``'s rule lifted to SEQUENCES):
+   the dataloader consumes sequences, not documents, so the epoch
+   order randomizes (source, seq_id) units — shard = md5 bucket of
+   the salted sequence key, pos = rank of an independently salted
+   md5 key within the shard. No RNG, reproducible on any engine,
+   cluster size, or partition layout.
+
+Output: one row per packed training sequence — (source, seq_id,
+n_docs, seq_tokens, doc_ids in packing order, shard, pos).
+
+Scale design (100 TB): the span scrub dominates and carries its own
+design (occurrence-capped self-join, docs/SCALE.md); the resample
+join is broadcast; packing is one prefix-sum window per source (a hot
+source sub-shards into per-partition partials + a broadcast of
+cumulative offsets — pack_sequences' note; the assignment arithmetic
+is identical either way); the per-sequence collect_list is bounded by
+PACK_BUDGET members (every packed doc holds ≥ 1 token, so at most
+PACK_BUDGET docs start inside one sequence — the bounded-group
+class); the shuffle stage windows over the SEQUENCE table
+(corpus_tokens / PACK_BUDGET rows, ~1/256 of token positions) sharded
+SHUFFLE_SHARDS ways. All arithmetic is exact BIGINT / md5, so the
+DuckDB oracle (the same five stages as an unrolled CTE chain) checks
+values, not just shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mit_6_5840_mapreduce_spark.operators.textstats import (
+    PACK_BUDGET,
+    SHUFFLE_SHARDS,
+)
+
+
+def epoch_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mixture → resample → decontaminate (span scrub) → pack →
+    shuffle, as one Catalyst plan (module docstring)."""
+    from mit_6_5840_mapreduce_spark.operators.corpus import (
+        decontaminate_span_scrub,
+    )
+    from mit_6_5840_mapreduce_spark.operators.mixture import (
+        temperature_resample,
+    )
+    surv = temperature_resample(spark, sf_dir).select("doc_id", "source")
+    # scrub output is the TRAIN split only (decontaminate_span_scrub's
+    # contract) — the inner join both attaches the post-scrub token
+    # count and drops val/test survivors from the epoch
+    scrub = decontaminate_span_scrub(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_tokens") - F.col("n_cut")).alias("kept_tokens"))
+    kept = (surv.join(scrub, "doc_id")
+            .where(F.col("kept_tokens") > 0))
+    w_pack = (Window.partitionBy("source").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = (
+        kept.withColumn("cum", F.sum("kept_tokens").over(w_pack))
+        .select("doc_id", "source", "kept_tokens",
+                F.expr(f"(cum - kept_tokens) div {PACK_BUDGET}")
+                .alias("seq_id"))
+    )
+    seqs = (
+        packed.groupBy("source", "seq_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("kept_tokens").alias("seq_tokens"),
+             # packing order inside the sequence = doc_id order; the
+             # array_sort makes the concat merge-order-proof (the
+             # scrub_positions recompose rule)
+             F.concat_ws(",", F.transform(
+                 F.array_sort(F.collect_list("doc_id")),
+                 lambda d: d.cast("string"))).alias("doc_ids"))
+    )
+    skey = F.concat(F.col("source"), F.lit(":"),
+                    F.col("seq_id").cast("string"))
+    shard = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("shard:"), skey)), 1, 8), 16, 10)
+        .cast("bigint") % SHUFFLE_SHARDS)
+    w_shuf = Window.partitionBy("shard").orderBy("key", "source", "seq_id")
+    return (
+        seqs.withColumn("shard", shard)
+        .withColumn("key", F.md5(F.concat(F.lit("shuffle:"), skey)))
+        .withColumn("pos", F.row_number().over(w_shuf).cast("bigint"))
+        .select("source", "seq_id", "n_docs", "seq_tokens", "doc_ids",
+                "shard", "pos")
+    )
+
+
+QUERIES = {
+    # the composed CTE oracle replays all five stages independently —
+    # the curation_summary discipline extended to the epoch output
+    "epoch_assembly": epoch_assembly,
+}
+
+
+def _epoch_oracle() -> str:
+    from mit_6_5840_mapreduce_spark.operators.corpus import (
+        ORACLES as CORPUS_ORACLES,
+    )
+    from mit_6_5840_mapreduce_spark.operators.mixture import (
+        ORACLES as MIX_ORACLES,
+    )
+    return f"""
+        WITH scrub AS MATERIALIZED (
+            {CORPUS_ORACLES["decontaminate_span_scrub"]}
+        ),
+        surv AS ({MIX_ORACLES["temperature_resample"]}),
+        kept AS (
+            SELECT s.doc_id, v.source,
+                   CAST(s.n_tokens - s.n_cut AS BIGINT) AS kept_tokens
+            FROM scrub s JOIN surv v USING (doc_id)
+            WHERE s.n_tokens - s.n_cut > 0
+        ),
+        packed AS (
+            SELECT doc_id, source, kept_tokens,
+                   CAST((cum - kept_tokens) // {PACK_BUDGET} AS BIGINT)
+                       AS seq_id
+            FROM (SELECT *, sum(kept_tokens) OVER (
+                      PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM kept)
+        ),
+        seqs AS (
+            SELECT source, seq_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(kept_tokens) AS BIGINT) AS seq_tokens,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS doc_ids
+            FROM packed GROUP BY source, seq_id
+        )
+        SELECT source, seq_id, n_docs, seq_tokens, doc_ids, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                    ORDER BY key, source, seq_id) AS BIGINT) AS pos
+        FROM (
+            SELECT *,
+                   CAST(concat('0x', substring(md5(
+                        'shard:' || source || ':'
+                        || CAST(seq_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % {SHUFFLE_SHARDS} AS shard,
+                   md5('shuffle:' || source || ':'
+                       || CAST(seq_id AS VARCHAR)) AS key
+            FROM seqs
+        )
+    """
+
+
+ORACLES: dict[str, str] = {
+    "epoch_assembly": _epoch_oracle(),
+}

@@ -49,7 +49,13 @@ single map-side-combined aggregation over it (6 integer sums), so the
 per-round cost is one reduce of 32-partition partials and the model
 (4 doubles) is the only driver traffic per round — the ``ivf_train``
 rule. No shuffle of row data ever happens: training is embarrassingly
-map-reducible.
+map-reducible. Gradient-sum range (ADVICE r11): per-row micro-unit
+terms are ≤ ~2e6 (features/labels in [0,1]), so the BIGINT sums hold
+to ~4.6e12 documents — three orders past a 100 TB corpus — and the
+cliff is LOUD on both engines, not divergent (Spark sums longs under
+the registry-pinned ANSI mode and raises; DuckDB sums into HUGEINT
+and raises at the final BIGINT cast). See docs/SCALE.md "Integer
+exactness".
 
 On this synthetic corpus the punctuation feature is degenerate (the
 generated text contains no punctuation, so x_punct = 0 for every doc)
@@ -218,6 +224,117 @@ def quality_classify(spark: SparkSession, sf_dir: str,
     )
 
 
+def _is_train() -> Column:
+    """``doc_split``'s train-bucket membership as an inline expression
+    (md5 bucket of doc_id < TRAIN_PCT) — the identical deterministic
+    formula, applied as one extra projection instead of a join back to
+    a second documents scan (at 100 TB the join would shuffle the
+    corpus to attach one boolean a hash of the key already encodes).
+    ``tests/test_quality.py`` pins agreement with ``doc_split`` itself
+    so the two renderings of the formula cannot drift."""
+    from mit_6_5840_mapreduce_spark.operators.textstats import (
+        SPLIT_BUCKETS,
+        TRAIN_PCT,
+    )
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 8), 16, 10)
+              .cast("bigint") % SPLIT_BUCKETS)
+    return bucket < TRAIN_PCT
+
+
+def _gd_pass_split(feats: DataFrame, w: tuple[float, float, float, float]):
+    """One full-batch pass at weights ``w`` over a feature frame
+    carrying an ``is_train`` flag: gradient sums gated to TRAIN rows
+    (holdout rows contribute exactly 0 — the model never sees them),
+    correct-prediction counts measured on BOTH subsets, and the two
+    subset sizes — still a single map-side-combined aggregation."""
+    p = _predict(w)
+    r = p - F.col("y")
+    t = F.col("is_train")
+
+    def qt(c: Column) -> Column:
+        # gate BEFORE the quantization so a holdout row contributes the
+        # exact integer 0, not floor(0.0-ish) of an evaluated term
+        return F.coalesce(
+            F.sum(F.when(t, F.floor(c * F.lit(GRAD_SCALE)).cast("long"))
+                  .otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"))
+
+    correct = (p >= F.lit(0.5)) == (F.col("y") == F.lit(1.0))
+
+    def n_correct(subset: Column) -> Column:
+        return F.coalesce(
+            F.sum(F.when(subset & correct, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long"), F.lit(0).cast("long"))
+
+    def n(subset: Column) -> Column:
+        return F.coalesce(
+            F.sum(F.when(subset, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long"), F.lit(0).cast("long"))
+
+    return feats.agg(
+        qt(r).alias("g0"),
+        qt(r * F.col("x1")).alias("g1"),
+        qt(r * F.col("x2")).alias("g2"),
+        qt(r * F.col("x3")).alias("g3"),
+        n(t).alias("n_train"),
+        n_correct(t).alias("n_correct_train"),
+        n(~t).alias("n_holdout"),
+        n_correct(~t).alias("n_correct_holdout"),
+    ).collect()[0]
+
+
+def quality_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT evaluation of the trained quality classifier (VERDICT
+    r11 item 2): train the GD loop on ``doc_split``'s TRAIN bucket
+    only, measure every round's accuracy on BOTH the training rows and
+    the held-out rows (val + test buckets — the 20% the model never
+    sees). A real curation gate is judged on the holdout number:
+    training accuracy alone cannot distinguish a general model from
+    one that memorized its training region
+    (``test_quality.py::test_holdout_separates_overfit_from_general``
+    plants both and the holdout column separates them).
+
+    Same determinism contract as ``quality_train`` (order-free integer
+    gradient sums, grid-floored updates, fixed-association IEEE
+    expression trees); the accuracy columns are floor4 of one exact
+    BIGINT/BIGINT division. Oracle: the same unrolled per-round replay
+    extended with the split gate — DuckDB independently re-derives the
+    split, the gated gradients, and both accuracy series.
+
+    Scale: identical to ``quality_train`` — ONE corpus scan builds the
+    (doc_id + 4 doubles + 1 boolean) feature matrix, checkpointed;
+    each round is one map-side-combined aggregation (8 sums); the
+    split flag is an inline hash of doc_id, not a join."""
+    feats = (_features(spark, sf_dir)
+             .withColumn("is_train", _is_train())
+             .localCheckpoint(eager=True))
+    w = (0.0, 0.0, 0.0, 0.0)
+    rows = []
+    for k in range(QUALITY_GD_ROUNDS + 1):
+        res = _gd_pass_split(feats, w)
+        rows.append((k, w[0], w[1], w[2], w[3],
+                     int(res["n_train"]), int(res["n_correct_train"]),
+                     int(res["n_holdout"]), int(res["n_correct_holdout"])))
+        if k < QUALITY_GD_ROUNDS:
+            w = _update(w, (res["g0"], res["g1"], res["g2"], res["g3"]),
+                        int(res["n_train"]))
+    acc = [(F.when(F.col(n) > 0,
+                   floor4(F.col(c) / F.col(n)))
+            .otherwise(F.lit(0.0)).alias(a))
+           for n, c, a in (("n_train", "n_correct_train", "acc_train"),
+                           ("n_holdout", "n_correct_holdout",
+                            "acc_holdout"))]
+    return spark.createDataFrame(
+        rows,
+        "round INT, w_bias DOUBLE, w_len DOUBLE, w_punct DOUBLE, "
+        "w_tok DOUBLE, n_train BIGINT, n_correct_train BIGINT, "
+        "n_holdout BIGINT, n_correct_holdout BIGINT",
+    ).select("round", "w_bias", "w_len", "w_punct", "w_tok",
+             "n_train", "n_correct_train", acc[0],
+             "n_holdout", "n_correct_holdout", acc[1])
+
+
 def _replay_ctes(n_rounds: int) -> str:
     """DuckDB CTE chain replaying the GD loop UNROLLED per round — a
     fully independent oracle, not an artifact echo: DuckDB re-derives
@@ -286,6 +403,99 @@ def _replay_ctes(n_rounds: int) -> str:
     return "WITH" + ",".join(parts)
 
 
+def _replay_ctes_split(n_rounds: int) -> str:
+    """The split-gated twin of ``_replay_ctes``: DuckDB re-derives the
+    features AND the md5-bucket train flag from the documents table,
+    gates every gradient term to train rows, re-applies every
+    grid-floored update with the TRAIN count, and measures each
+    round's correct-prediction counts on both subsets."""
+    from mit_6_5840_mapreduce_spark.operators.textstats import (
+        ORACLES as _TEXT_ORACLES,
+        SPLIT_BUCKETS,
+        TRAIN_PCT,
+    )
+    parts = [f"""
+        dq AS MATERIALIZED ({_TEXT_ORACLES["doc_quality"]}),
+        feats AS MATERIALIZED (
+            SELECT doc_id,
+                   {duckdb_floor4("least(n_tokens / 100.0, 1.0)")} AS x1,
+                   {duckdb_floor4("least(punct_ratio * 5.0, 1.0)")} AS x2,
+                   {duckdb_floor4("least(avg_token_len / 8.0, 1.0)")}
+                       AS x3,
+                   CASE WHEN quality_score >= {QUALITY_LABEL_MIN}
+                        THEN 1.0 ELSE 0.0 END AS y,
+                   (CAST(concat('0x', substring(
+                        md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % {SPLIT_BUCKETS}) < {TRAIN_PCT} AS is_train
+            FROM dq
+        ),
+        nn AS (SELECT CAST(coalesce(sum(CASE WHEN is_train THEN 1
+                                        ELSE 0 END), 0) AS BIGINT) AS n
+               FROM feats),
+        w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""]
+    for k in range(n_rounds + 1):
+        gated = [f"""
+                CAST(coalesce(sum(CASE WHEN is_train
+                     THEN CAST(floor(({term}) * {GRAD_SCALE}) AS BIGINT)
+                     ELSE 0 END), 0) AS BIGINT) AS g{j}"""
+                 for j, term in enumerate(("r", "(r * x1)", "(r * x2)",
+                                           "(r * x3)"))]
+        parts.append(f"""
+        e{k} AS MATERIALIZED (
+            SELECT
+                {",".join(gated)},
+                CAST(coalesce(sum(CASE WHEN is_train THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_train,
+                CAST(coalesce(sum(CASE WHEN is_train
+                              AND (p >= 0.5) = (y = 1.0)
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS n_correct_train,
+                CAST(coalesce(sum(CASE WHEN NOT is_train THEN 1 ELSE 0
+                              END), 0) AS BIGINT) AS n_holdout,
+                CAST(coalesce(sum(CASE WHEN NOT is_train
+                              AND (p >= 0.5) = (y = 1.0)
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS n_correct_holdout
+            FROM (SELECT x1, x2, x3, y, is_train, p, (p - y) AS r
+                  FROM (SELECT x1, x2, x3, y, is_train,
+                               (((w0 + w1 * x1) + w2 * x2) + w3 * x3) AS p
+                        FROM feats, w{k}))
+        )""")
+        if k < n_rounds:
+            parts.append(f"""
+        w{k + 1} AS (
+            SELECT
+                floor((w0 - {QUALITY_LR} * ((g0 / {GRAD_SCALE})
+                      / greatest(n, 1)))
+                      * {W_SCALE}) / {W_SCALE} AS w0,
+                floor((w1 - {QUALITY_LR} * ((g1 / {GRAD_SCALE})
+                      / greatest(n, 1)))
+                      * {W_SCALE}) / {W_SCALE} AS w1,
+                floor((w2 - {QUALITY_LR} * ((g2 / {GRAD_SCALE})
+                      / greatest(n, 1)))
+                      * {W_SCALE}) / {W_SCALE} AS w2,
+                floor((w3 - {QUALITY_LR} * ((g3 / {GRAD_SCALE})
+                      / greatest(n, 1)))
+                      * {W_SCALE}) / {W_SCALE} AS w3
+            FROM w{k}, e{k}, nn
+        )""")
+    return "WITH" + ",".join(parts)
+
+
+_HOLDOUT_TRACE_UNION = " UNION ALL ".join(
+    f"""SELECT CAST({k} AS INTEGER) AS round, w0 AS w_bias, w1 AS w_len,
+        w2 AS w_punct, w3 AS w_tok, n_train, n_correct_train,
+        CASE WHEN n_train > 0
+             THEN {duckdb_floor4("n_correct_train / n_train")}
+             ELSE 0.0 END AS acc_train,
+        n_holdout, n_correct_holdout,
+        CASE WHEN n_holdout > 0
+             THEN {duckdb_floor4("n_correct_holdout / n_holdout")}
+             ELSE 0.0 END AS acc_holdout
+        FROM w{k}, e{k}"""
+    for k in range(QUALITY_GD_ROUNDS + 1))
+
+
 _TRACE_UNION = " UNION ALL ".join(
     f"SELECT CAST({k} AS INTEGER) AS round, w0 AS w_bias, w1 AS w_len, "
     f"w2 AS w_punct, w3 AS w_tok, n_correct, sse_micro FROM w{k}, e{k}"
@@ -300,6 +510,9 @@ QUERIES = {
     # corpus by tests/test_quality.py
     "quality_train": quality_train,
     "quality_classify": quality_classify,
+    # r12: the held-out evaluation — trained on doc_split's train
+    # bucket, judged per round on the 20% the model never sees
+    "quality_eval_holdout": quality_eval_holdout,
 }
 
 ORACLES: dict[str, str] = {
@@ -315,5 +528,8 @@ ORACLES: dict[str, str] = {
         FROM (SELECT doc_id, y,
                      (((w0 + w1 * x1) + w2 * x2) + w3 * x3) AS p
               FROM feats, w{QUALITY_GD_ROUNDS})
+    """,
+    "quality_eval_holdout": _replay_ctes_split(QUALITY_GD_ROUNDS) + f"""
+        SELECT * FROM ({_HOLDOUT_TRACE_UNION})
     """,
 }

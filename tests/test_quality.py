@@ -254,3 +254,175 @@ def test_replay_oracle_matches_engine_on_planted_corpus(spark,
            for r in quality_train(spark, two_tier_dir)
            .orderBy("round").collect()]
     assert got == want     # bit-exact, both engines, planted corpus
+
+
+# ---------------- quality_eval_holdout (r12) ----------------------------
+
+
+def _numpy_holdout_trace(X: np.ndarray, y: np.ndarray,
+                         is_train: np.ndarray):
+    """Sequential reference of the SPLIT-GATED GD loop: gradients sum
+    train rows only (holdout contributes exact integer 0), the update
+    divides by the train count, metrics are per subset."""
+    n = int(is_train.sum())
+    w = [0.0, 0.0, 0.0, 0.0]
+    trace = []
+    for _ in range(QUALITY_GD_ROUNDS + 1):
+        p = ((w[0] + w[1] * X[:, 0]) + w[2] * X[:, 1]) + w[3] * X[:, 2]
+        r = p - y
+        g = [
+            int(np.floor(np.where(is_train, t * GRAD_SCALE, 0.0))
+                .astype(np.int64).sum())
+            for t in (r, r * X[:, 0], r * X[:, 1], r * X[:, 2])
+        ]
+        correct = (p >= 0.5) == (y == 1.0)
+        trace.append((tuple(w),
+                      int(is_train.sum()), int((is_train & correct).sum()),
+                      int((~is_train).sum()),
+                      int((~is_train & correct).sum())))
+        w = [
+            math.floor((w[j] - QUALITY_LR * ((g[j] / GRAD_SCALE)
+                                             / max(n, 1)))
+                       * W_SCALE) / W_SCALE
+            for j in range(4)
+        ]
+    return trace
+
+
+def _bucket(doc_id: int) -> int:
+    import hashlib
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8],
+               16) % 100
+
+
+def test_holdout_split_agrees_with_doc_split(spark, sf_dir):
+    """quality's inline is_train expression and textstats.doc_split
+    render the SAME md5-bucket formula — pin per-doc agreement so the
+    two renderings cannot drift."""
+    from mit_6_5840_mapreduce_spark.operators.quality import (
+        _features,
+        _is_train,
+    )
+    from mit_6_5840_mapreduce_spark.operators.textstats import doc_split
+    import pyspark.sql.functions as F
+    mine = (_features(spark, sf_dir)
+            .select("doc_id", _is_train().alias("t")))
+    theirs = doc_split(spark, sf_dir).select(
+        "doc_id", (F.col("split") == "train").alias("t2"))
+    assert mine.join(theirs, "doc_id") \
+        .where(F.col("t") != F.col("t2")).count() == 0
+    # and both subsets are non-empty on the gate corpus
+    n_train = mine.where("t").count()
+    assert 0 < n_train < mine.count()
+
+
+def test_holdout_trace_matches_numpy_exactly(spark, sf_dir):
+    from mit_6_5840_mapreduce_spark.operators.quality import (
+        _features,
+        _is_train,
+        quality_eval_holdout,
+    )
+    feats = (_features(spark, sf_dir)
+             .withColumn("is_train", _is_train())).toPandas()
+    X = feats[["x1", "x2", "x3"]].to_numpy(dtype=np.float64)
+    y = feats["y"].to_numpy(dtype=np.float64)
+    m = feats["is_train"].to_numpy(dtype=bool)
+    expected = _numpy_holdout_trace(X, y, m)
+    got = quality_eval_holdout(spark, sf_dir).orderBy("round").collect()
+    assert len(got) == QUALITY_GD_ROUNDS + 1
+    for row, (w, nt, ct, nh, ch) in zip(got, expected):
+        assert (row.w_bias, row.w_len, row.w_punct, row.w_tok) == w
+        assert (row.n_train, row.n_correct_train,
+                row.n_holdout, row.n_correct_holdout) == (nt, ct, nh, ch)
+        # the accuracy columns are floor4 of the exact count ratio
+        assert row.acc_train == math.floor(ct / nt * 10000) / 10000
+        assert row.acc_holdout == math.floor(ch / nh * 10000) / 10000
+
+
+def _split_corpus_dir(tmp_path_factory, name, holdout_kind):
+    """Planted corpus with CONTROLLED split membership: doc_ids are
+    chosen by their real md5 bucket, so train/holdout assignment is
+    known by construction. Train rows are two linearly separable
+    clusters (A: 60 eight-letter tokens, score 0.8 -> label 1;
+    B: 60 two-letter tokens, score 0.65 -> label 0). holdout_kind
+    selects the held-out distribution: "same" draws from A/B (a
+    general model scores it perfectly), "shifted" plants cluster C
+    (10 eight-letter tokens: score 0.55 -> label 0, but its x3 = 1.0
+    sits on cluster A's side of any boundary trained on A vs B — the
+    model misclassifies every C doc, and only the holdout column can
+    tell)."""
+    text_a = " ".join(["abcdefgh"] * 60)
+    text_b = " ".join(["ab"] * 60)
+    text_c = " ".join(["abcdefgh"] * 10)
+    train_ids = [i for i in range(4000) if _bucket(i) < 80][:40]
+    hold_ids = [i for i in range(4000) if _bucket(i) >= 80][:10]
+    rows = []
+    for j, i in enumerate(train_ids):
+        rows.append((i, text_a if j % 2 == 0 else text_b))
+    for j, i in enumerate(hold_ids):
+        if holdout_kind == "same":
+            rows.append((i, text_a if j % 2 == 0 else text_b))
+        else:
+            rows.append((i, text_c))
+    d = tmp_path_factory.mktemp(name)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array(["synthetic"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    }), os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_holdout_separates_overfit_from_general(spark, tmp_path_factory):
+    """The reason the holdout column exists: two corpora with IDENTICAL
+    training distributions (train accuracy converges to 1.0 on both)
+    but different held-out distributions — the general one is scored
+    perfectly, the shifted one is misclassified wholesale, and ONLY
+    acc_holdout separates the two models."""
+    from mit_6_5840_mapreduce_spark.operators.quality import (
+        quality_eval_holdout,
+    )
+    general = _split_corpus_dir(tmp_path_factory, "gen_sf", "same")
+    shifted = _split_corpus_dir(tmp_path_factory, "shift_sf", "shifted")
+    last_g = quality_eval_holdout(spark, general) \
+        .orderBy("round").collect()[-1]
+    last_s = quality_eval_holdout(spark, shifted) \
+        .orderBy("round").collect()[-1]
+    # both models look equally good on their training data...
+    assert last_g.acc_train >= 0.9 and last_s.acc_train >= 0.9
+    # ...and only the holdout metric tells them apart
+    assert last_g.acc_holdout >= 0.9
+    assert last_s.acc_holdout <= 0.5
+    # the shifted holdout is misclassified wholesale by construction
+    assert last_s.n_correct_holdout == 0 and last_s.n_holdout == 10
+
+
+def test_holdout_replay_oracle_matches_engine_on_planted_corpus(
+        spark, tmp_path_factory):
+    """The REAL registered oracle SQL (split-gated unrolled replay)
+    diffed bit-exact against the engine on the shifted planted corpus
+    — the second-distribution pin, where train and holdout metrics
+    genuinely diverge."""
+    import duckdb
+
+    from mit_6_5840_mapreduce_spark.operators.quality import (
+        ORACLES,
+        quality_eval_holdout,
+    )
+    d = _split_corpus_dir(tmp_path_factory, "replay_shift_sf", "shifted")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(d, 'documents.parquet')}'")
+    want = [tuple(r) for r in con.execute(
+        ORACLES["quality_eval_holdout"] + " ORDER BY round").fetchall()]
+    got = [(r.round, r.w_bias, r.w_len, r.w_punct, r.w_tok,
+            r.n_train, r.n_correct_train, r.acc_train,
+            r.n_holdout, r.n_correct_holdout, r.acc_holdout)
+           for r in quality_eval_holdout(spark, d)
+           .orderBy("round").collect()]
+    assert got == want
+    # and the trace is non-degenerate: the two series diverge
+    assert got[-1][7] != got[-1][10]

@@ -5,19 +5,18 @@ entries per round, rotated under the steady-state policy (VERDICT r5
 item 4): sentinels every round, every round-changed and newly
 registered query, and all remaining slots filled from
 tools/window_plan.py's staleness report, oldest cert round first with
-name tiebreak. Round 11: the trained quality classifier pair is new
-(VERDICT r10 item 2); the five span-family queries rotate as
-round-changed (the shared _span_windows persist is now memoized per
-(application, sf_dir) — ADVICE r10); the eleven-name r6 spill clears
-(after this round no query's latest cert is <= r6) and the first 28 of
-the 45-name r7 cohort fill the rest, with the 17-name tail scheduled
-for r12. POLICY CHANGE (VERDICT r10 item 1): the staleness ceiling is
-now 5 rounds — 193 registered queries across ~44 free slots per round
-need ceil(193/44) = 5 rounds per full rotation, so the old 4-round
-ceiling was structurally unmeetable. Docstring/comment-only edits
-(e.g. this round's q12 lateness-rule reword) do NOT re-certify: no
-plan or value surface moves. This test fails loudly if a future
-registration reorders the window.
+name tiebreak. Round 12: quality_eval_holdout and epoch_assembly are
+new (VERDICT r11 items 2-3); the five span-family queries rotate as
+round-changed (the shared _span_windows memo is now lock-guarded
+against concurrent-miss frame orphaning — ADVICE r11 — and its
+storage level is explicit with the accept-recompute knob — VERDICT
+r11 item 4); the 17-name r7 tail lands on schedule — the 5-round
+staleness ceiling's first real test: those certs are exactly 5 rounds
+old at this gate, and after this round no query's latest cert is
+<= r7 — and the first 22 of the 43-name r8 cohort fill the rest, with
+the 21-name tail scheduled for r13. Docstring/comment-only edits do
+NOT re-certify: no plan or value surface moves. This test fails
+loudly if a future registration reorders the window.
 """
 
 from __future__ import annotations
@@ -29,54 +28,57 @@ from mit_6_5840_mapreduce_spark.operators import (
 # regression sentinels: in-window EVERY round
 SENTINELS = {"mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts"}
 
-# new in round 11: the trained quality classifier — full-batch GD over
-# the doc-quality features with order-free quantized gradients, plus
-# its serving half (VERDICT r10 item 2)
+# new in round 12: the held-out evaluation of the trained quality
+# classifier (train on doc_split's train bucket, judge every round on
+# the 20% the model never sees) and the epoch-assembly capstone
+# (resample -> decontaminate -> pack -> shuffle as one plan)
 NEW_THIS_ROUND = {
-    "quality_train", "quality_classify",
+    "quality_eval_holdout", "epoch_assembly",
 }
 
-# changed in round 11: every consumer of the shared _span_windows
-# frame (its persist is now memoized per (application, sf_dir) instead
-# of stacked per call — ADVICE r10; values unchanged by design, which
-# is exactly what the re-certification shows)
+# changed in round 12: every consumer of the shared _span_windows
+# frame (memo lookup/evict/insert now serialized by a lock — ADVICE
+# r11 — and the persist level explicit, with the accept-recompute
+# degradation knob; values unchanged by design, which is exactly what
+# the re-certification shows)
 CHANGED_THIS_ROUND = {
     "dedup_span_pairs", "dedup_span_scrub", "duplicate_spans",
     "contamination_spans", "decontaminate_span_scrub",
 }
 
-# staleness rotation part 1 (window_plan.py, ceiling now 5 rounds):
-# the full eleven-name spill whose latest cert is r6 — the oldest
-# cohort in the registry, cleared in one stroke (VERDICT r10 item 1)
-STALE_R6_SPILL = {
-    "q3_shipping_priority", "simhash_docs", "source_quota_cap",
-    "stratified_sample", "stream_dedup_events", "stream_sliding_counts",
-    "tfidf_cosine_pairs", "tfidf_top_terms", "token_stats",
-    "user_stats", "user_value_mad_sql",
+# staleness rotation part 1 (window_plan.py, ceiling 5 rounds): the
+# ENTIRE 17-name r7 tail — exactly 5 rounds old at this gate, the
+# ceiling's first real test (VERDICT r11 item 1)
+STALE_R7_TAIL = {
+    "q22_idle_customers", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "sql_priority_status_sets", "sql_revenue_by_segment",
+    "stream_attribution", "stream_enriched_events", "stream_sessionize",
+    "token_length_histogram", "token_rarity", "top3_orders_per_customer",
+    "url_domain_stats", "user_gap_stats", "video_frame_stats",
+    "xml_roundtrip_stats",
 }
 
-# staleness rotation part 2: the r7 cohort's first 28 names in name
-# order; the 17-name tail (q22_idle_customers .. xml_roundtrip_stats)
-# is the planner-scheduled spill to r12 (~44 free slots there)
-STALE_R7_HEAD = {
-    "bigram_pmi", "brand_price_stats", "cohort_retention",
-    "column_histogram", "contamination_check", "csv_roundtrip_stats",
-    "curation_funnel", "doc_chunks_udtf", "doc_pagerank",
-    "doc_repetition", "frame_sample", "gif_decode_stats",
-    "jsonl_roundtrip_stats", "lang_confusion", "lsh_recall_eval",
-    "multimodal_meta", "orc_roundtrip_stats", "pii_scrub",
-    "pyds_roundtrip_stats", "q10_returned_items",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_discounted_revenue", "q1_pricing_summary",
-    "q21_suppliers_kept_waiting",
+# staleness rotation part 2: the r8 cohort's first 22 names in name
+# order; the 21-name tail is the planner-scheduled spill to r13
+STALE_R8_HEAD = {
+    "bpe_encode", "bpe_train", "customers_no_orders",
+    "daily_revenue_trailing", "decontaminate_split",
+    "embedding_quantize", "embedding_topk_pandas",
+    "events_hourly_gapfilled", "events_user_sketch",
+    "events_value_bands", "funnel_view_click_purchase", "hnsw_search",
+    "hnsw_search_persisted", "hourly_burst_detection", "ivf_train",
+    "latest_event_per_user", "media_decode_stats",
+    "nation_customer_supplier_balance", "order_value_percentiles",
+    "order_value_percentiles_approx", "orders_dow_stats",
+    "orders_monthly_growth",
 }
 
 MUST_BE_IN_WINDOW = (SENTINELS | NEW_THIS_ROUND | CHANGED_THIS_ROUND
-                     | STALE_R6_SPILL | STALE_R7_HEAD)
+                     | STALE_R7_TAIL | STALE_R8_HEAD)
 
 
-def test_first_window_contains_round11_surface():
+def test_first_window_contains_round12_surface():
     queries, _ = registry()
     window = list(queries)[:WINDOW_SIZE]
     missing = MUST_BE_IN_WINDOW - set(window)
@@ -84,7 +86,7 @@ def test_first_window_contains_round11_surface():
 
 
 def test_window_is_exactly_the_must_list():
-    # 4 + 2 + 5 + 11 + 28 = 50: the round-11 window has no free slots
+    # 4 + 2 + 5 + 17 + 22 = 50: the round-12 window has no free slots
     assert len(MUST_BE_IN_WINDOW) == WINDOW_SIZE
 
 

@@ -443,3 +443,63 @@ def test_span_windows_cache_sees_corpus_rewrite(spark, tmp_path):
            "one two three four five six seven eight nine ten eleven"])
     got = {r.doc_id: r.n_dup_windows for r in q(spark, d).collect()}
     assert got == {0: 0, 1: 0}               # rewrite visible, not stale
+
+
+def test_span_windows_accept_recompute_is_value_identical(
+        spark, tmp_path_factory, monkeypatch):
+    """The 100 TB storage story for _span_windows is accept-recompute
+    (docs/SCALE.md): past the storage pool the block manager drops
+    blocks and consumers recompute. Pin the TOTAL-degradation endpoint
+    — persist and memo disabled outright — to value-identical results
+    for the heaviest consumer (dedup_span_scrub reads the frame in the
+    cap stage, the self-join, AND the scrub recompose)."""
+    from mit_6_5840_mapreduce_spark.operators import dedup
+
+    span = " ".join(WORDS)
+    filler_a = "uniqua borela camina derata elopha"
+    filler_b = "funara gomera hylora inopra jakera"
+    d = _docs_dir(tmp_path_factory, "recompute_sf",
+                  [f"{filler_a} {span}", f"{span} {filler_b}",
+                   "plain text with no shared ten token window at all"])
+    q = entrymod.queries()["dedup_span_scrub"]
+    persisted = sorted(map(tuple, q(spark, d).collect()))
+    monkeypatch.setattr(dedup, "SPAN_WINDOWS_PERSIST", False)
+    recomputed = sorted(map(tuple, q(spark, d).collect()))
+    assert persisted == recomputed and len(persisted) == 3
+
+
+def test_span_windows_concurrent_miss_caches_one_frame(
+        spark, tmp_path_factory):
+    """ADVICE r11: two driver threads racing an uncached corpus must
+    agree on ONE memoized persisted frame (the loser of an unguarded
+    race would orphan a persisted frame forever — the ADVICE-r10 leak
+    under concurrency). The lock serializes lookup/evict/insert, so
+    all threads get the identical DataFrame object."""
+    import threading as _th
+
+    from mit_6_5840_mapreduce_spark.operators.dedup import (
+        _SPAN_WINDOWS_CACHE, _span_windows)
+
+    span = " ".join(WORDS)
+    d = _docs_dir(tmp_path_factory, "race_sf", [span, span])
+    before = {k: v for k, v in _SPAN_WINDOWS_CACHE.items() if k[1] == d}
+    assert not before
+    got, errs = [], []
+
+    def call():
+        try:
+            got.append(_span_windows(spark, d))
+        except Exception as e:             # pragma: no cover - diagnostic
+            errs.append(e)
+
+    threads = [_th.Thread(target=call) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs and len(got) == 8
+    assert all(frame is got[0] for frame in got)   # one shared frame
+    keys = [k for k in _SPAN_WINDOWS_CACHE if k[1] == d]
+    assert len(keys) == 1
+    lvl = _SPAN_WINDOWS_CACHE[keys[0]].storageLevel
+    assert lvl.useMemory and lvl.useDisk           # the declared level
