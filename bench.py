@@ -445,7 +445,9 @@ def main() -> None:
              "contamination_spans",
              "decontaminate_span_scrub",
              # round 11: the trained quality classifier pair
-             "quality_train", "quality_classify")
+             "quality_train", "quality_classify",
+             # round 12: held-out evaluation + the epoch capstone
+             "quality_eval_holdout", "epoch_assembly")
     extra: dict[str, float] = {}
     for name in EXTRA:
         spark.catalog.clearCache()

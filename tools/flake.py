@@ -32,6 +32,12 @@ PYTEST_SUBSET = [
     # placement or task timing could flake
     "tests/test_quality.py",
     "tests/test_stream_crash_cluster.py",
+    # r12: the span-window memo's 8-thread concurrent-miss race (the
+    # newest genuinely nondeterministic surface) rides in
+    # test_spans_mixture.py; test_epoch.py pins the composed capstone
+    # whose shuffle/window tiebreaks span five stages
+    "tests/test_spans_mixture.py",
+    "tests/test_epoch.py",
 ]
 
 

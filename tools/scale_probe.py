@@ -87,7 +87,12 @@ PROBES = ("mr_wc", "simhash_docs", "minhash_signatures",
           # is one scan into a checkpointed feature frame + 9 constant-
           # width aggregations, so wall should grow ~linearly with the
           # corpus and the aggregation rounds stay constant-count
-          "quality_train", "quality_classify")
+          "quality_train", "quality_classify",
+          # round 12: the held-out evaluation — same shape as
+          # quality_train (the split flag is one extra hash projection
+          # in the same single scan; each round is still one
+          # constant-width aggregation, now 8 sums instead of 6)
+          "quality_eval_holdout")
 FACTORS = (1, 4, 16)
 
 # Span-family probe corpus (r11, VERDICT r10 item 4). Like the CC
@@ -327,7 +332,15 @@ def main() -> int:
     # pair; scrub = one row per doc), wall ~linear — the boilerplate
     # hash (population = all docs) is dropped by SPAN_OCC_CAP before
     # the self-join at every factor, so no quadratic term exists.
-    SPAN_PROBES = ("dedup_span_pairs", "dedup_span_scrub")
+    # epoch_assembly (r12) rides the SAME span corpus: its pairwise
+    # stage IS the span scrub (replication would manufacture clone
+    # cliques), and the corpus exercises every stage for real — the
+    # md5 doc_split scatters pair partners across splits, so a stable
+    # ~16% of quote pairs cross test->train and produce linear cut
+    # work; the single source makes resample a keep-all (rate 1000)
+    # broadcast join; packing/shuffle are linear in surviving tokens
+    SPAN_PROBES = ("dedup_span_pairs", "dedup_span_scrub",
+                   "epoch_assembly")
     span_res: dict[str, dict[int, tuple[float, int]]] = {
         q: {} for q in SPAN_PROBES}
     for factor in FACTORS:
