@@ -129,3 +129,48 @@ def test_epoch_oracle_matches_engine_on_second_distribution(
     assert got == want
     assert len(got) > 10                       # multiple sequences
     assert len({g[0] for g in got}) == 2       # both sources packed
+
+
+def test_epoch_pack_boundary_uses_first_token_rule(spark,
+                                                   tmp_path_factory):
+    """pack_sequences' rule carried into the epoch: a document belongs
+    to the sequence its FIRST surviving token lands in, so a doc that
+    straddles the PACK_BUDGET boundary stays in the earlier sequence
+    and the NEXT doc opens the new one. Planted: 250 + 20 + 10 tokens
+    in doc_id order -> seq 0 holds docs 1-2 (270 tokens: doc 2 starts
+    at offset 250 < 256), seq 1 holds doc 3 (starts at 270)."""
+    from mit_6_5840_mapreduce_spark.operators.textstats import PACK_BUDGET
+    assert PACK_BUDGET == 256   # the arithmetic below is written to it
+    t1, t2, t3 = _ids(lambda b: b < 80, 3)
+    rows = [
+        (t1, " ".join(f"prima{i}" for i in range(250))),
+        (t2, " ".join(f"secunda{i}" for i in range(20))),
+        (t3, " ".join(f"tertia{i}" for i in range(10))),
+    ]
+    # ids must ascend with the intended packing order
+    rows = [(i, txt) for i, (_, txt) in zip(sorted((t1, t2, t3)), rows)]
+    d = _write(tmp_path_factory, "epoch_boundary_sf", rows, ["s0"] * 3)
+    got = {r.seq_id: r for r in
+           entrymod.queries()["epoch_assembly"](spark, d).collect()}
+    a, b, c = sorted((t1, t2, t3))
+    assert set(got) == {0, 1}
+    assert got[0].n_docs == 2 and got[0].seq_tokens == 270
+    assert got[0].doc_ids == f"{a},{b}"
+    assert got[1].n_docs == 1 and got[1].seq_tokens == 10
+    assert got[1].doc_ids == str(c)
+
+
+def test_epoch_empty_corpus_yields_zero_rows(spark, tmp_path_factory):
+    """Empty-corpus contract: no documents -> no sequences, and the
+    oracle agrees (the resample stage's zero-total guard and the
+    scrub's empty train split compose to an empty epoch, not an
+    error)."""
+    import duckdb
+    d = _write(tmp_path_factory, "epoch_empty_sf", [], [])
+    assert entrymod.queries()["epoch_assembly"](spark, d).count() == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(d, 'documents.parquet')}'")
+    assert con.execute(
+        entrymod.oracle_sql()["epoch_assembly"]).fetchall() == []

@@ -426,3 +426,35 @@ def test_holdout_replay_oracle_matches_engine_on_planted_corpus(
     assert got == want
     # and the trace is non-degenerate: the two series diverge
     assert got[-1][7] != got[-1][10]
+
+
+def test_holdout_empty_corpus_yields_zero_model_trace(spark,
+                                                      empty_docs_dir):
+    """Empty-corpus contract for the split trainer: zero-model weights,
+    all four counts 0, both accuracies 0.0 (the n > 0 guard), and the
+    split-gated DuckDB replay agrees row for row."""
+    import duckdb
+
+    from mit_6_5840_mapreduce_spark.operators.quality import (
+        ORACLES,
+        quality_eval_holdout,
+    )
+    rows = quality_eval_holdout(spark, empty_docs_dir) \
+        .orderBy("round").collect()
+    assert len(rows) == QUALITY_GD_ROUNDS + 1
+    assert all(
+        (r.w_bias, r.w_len, r.w_punct, r.w_tok, r.n_train,
+         r.n_correct_train, r.acc_train, r.n_holdout,
+         r.n_correct_holdout, r.acc_holdout)
+        == (0.0,) * 4 + (0, 0, 0.0, 0, 0, 0.0) for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(empty_docs_dir, 'documents.parquet')}'")
+    want = [tuple(r) for r in con.execute(
+        ORACLES["quality_eval_holdout"] + " ORDER BY round").fetchall()]
+    got = [(r.round, r.w_bias, r.w_len, r.w_punct, r.w_tok,
+            r.n_train, r.n_correct_train, r.acc_train,
+            r.n_holdout, r.n_correct_holdout, r.acc_holdout)
+           for r in rows]
+    assert got == want
