@@ -875,6 +875,88 @@ def _corpus_stamp(sf_dir: str) -> tuple:
     return tuple(entries)
 
 
+def _restore_persist(cached: DataFrame) -> DataFrame:
+    """An external spark.catalog.clearCache() (bench does this between
+    timed runs) unpersists a memoized frame behind our back; restore
+    the persist contract so multi-consumer reads stay one-compute
+    (correctness is unaffected either way)."""
+    lvl = cached.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        cached.persist(_SPAN_WINDOWS_STORAGE)
+    return cached
+
+
+def _memo_frame(spark: SparkSession, kind: str, sf_dir: str,
+                build) -> DataFrame:
+    """Persist-and-memoize ``build()`` per (application, kind, sf_dir,
+    corpus stamp) — the shared machinery behind ``_token_arrays`` and
+    ``_span_windows``. Double-checked locking (r12 review): plan
+    CONSTRUCTION runs OUTSIDE the lock — load_table's schema read
+    lists parquet footers, which at 100 TB is real driver work, and a
+    cache HIT for one corpus must not block behind a MISS build for
+    another — so a racing loser's frame is simply discarded before it
+    was ever persisted (no leak; ADVICE r11)."""
+    app = spark.sparkContext.applicationId
+    key = (app, kind, os.path.abspath(sf_dir), _corpus_stamp(sf_dir))
+    with _SPAN_WINDOWS_LOCK:
+        cached = _SPAN_WINDOWS_CACHE.get(key)
+        if cached is not None:
+            return _restore_persist(cached)
+    frame = build()                     # outside the lock: metadata work
+    with _SPAN_WINDOWS_LOCK:
+        cached = _SPAN_WINDOWS_CACHE.get(key)
+        if cached is not None:          # a racer inserted first: use its
+            return _restore_persist(cached)   # frame, drop ours unpersisted
+        # evict entries owned by other (stopped) applications and stale
+        # stamps of THIS (kind, path) — unreachable or outdated frames
+        for k in [k for k in _SPAN_WINDOWS_CACHE
+                  if k[0] != app or k[:3] == key[:3]]:
+            if k[0] == app:
+                try:
+                    _SPAN_WINDOWS_CACHE[k].unpersist()
+                except Exception:
+                    pass        # context mid-shutdown: nothing to free
+            del _SPAN_WINDOWS_CACHE[k]
+        # bound the per-(app, kind) population (r11 review): a long
+        # session touching many corpora (the battery's planted tmp
+        # dirs, the scale probe's per-factor dirs) would otherwise hold
+        # one persisted corpus-token-sized frame PER DIRECTORY — the
+        # ADVICE-r10 symptom keyed by path instead of by call. Keep the
+        # newest few (dict preserves insertion order); unpersist-and-
+        # drop the oldest.
+        same = [k for k in _SPAN_WINDOWS_CACHE if k[:2] == key[:2]]
+        while len(same) >= _SPAN_WINDOWS_CACHE_PER_APP:
+            oldest = same.pop(0)
+            try:
+                _SPAN_WINDOWS_CACHE[oldest].unpersist()
+            except Exception:
+                pass
+            del _SPAN_WINDOWS_CACHE[oldest]
+        frame = frame.persist(_SPAN_WINDOWS_STORAGE)
+        _SPAN_WINDOWS_CACHE[key] = frame
+        return frame
+
+
+def _token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks): the tokenized corpus, persisted and memoized —
+    THE shared materialization of the whole span/scrub family (r12
+    review): ``_span_windows`` derives its hashed windows from it and
+    ``scrub_positions`` recomposes text from it, so a query composing
+    both (``dedup_span_scrub``, ``decontaminate_span_scrub``,
+    ``epoch_assembly``) tokenizes the corpus ONCE per session instead
+    of once per stage — and the scrub stage no longer persists a
+    private per-call frame that nothing ever released (the ADVICE-r10
+    defect class, previously fixed for windows only)."""
+    def build() -> DataFrame:
+        docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+        return docs.select("doc_id",
+                           tokenize(F.col("text")).alias("toks"))
+
+    if not SPAN_WINDOWS_PERSIST:       # accept-recompute endpoint (knob)
+        return build()
+    return _memo_frame(spark, "tokens", sf_dir, build)
+
+
 def _span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, hw): every SPAN_TOKENS-token sliding window of the
     corpus, 60-bit-hashed BEFORE any shuffle (fixed-width uniform keys;
@@ -883,12 +965,11 @@ def _span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (duplicate_spans' count/flag passes, dedup_span_pairs' cap +
     self-join) reads it more than once, and repeat invocations in one
     session reuse one cache instead of stacking new persisted frames
-    (ADVICE r10)."""
-    app = spark.sparkContext.applicationId
-    key = (app, os.path.abspath(sf_dir), _corpus_stamp(sf_dir))
+    (ADVICE r10). Derives from the shared ``_token_arrays`` frame, so
+    the tokenize pass is shared with the scrub stage (r12)."""
+    toks = _token_arrays(spark, sf_dir)
+
     def build() -> DataFrame:
-        docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-        toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
         return (
             toks.where(F.size("toks") >= SPAN_TOKENS)
             .select("doc_id", F.explode(F.transform(
@@ -904,45 +985,7 @@ def _span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if not SPAN_WINDOWS_PERSIST:       # accept-recompute endpoint (knob)
         return build()
-    with _SPAN_WINDOWS_LOCK:
-        cached = _SPAN_WINDOWS_CACHE.get(key)
-        if cached is not None:
-            # an external spark.catalog.clearCache() (bench does this
-            # between timed runs) unpersists the memoized frame behind
-            # our back; restore the persist contract so multi-consumer
-            # reads stay one-compute (correctness unaffected either way)
-            lvl = cached.storageLevel
-            if not (lvl.useMemory or lvl.useDisk):
-                cached.persist(_SPAN_WINDOWS_STORAGE)
-            return cached
-        # evict entries owned by other (stopped) applications and stale
-        # stamps of THIS path — their frames are unreachable or outdated
-        for k in [k for k in _SPAN_WINDOWS_CACHE
-                  if k[0] != app or k[:2] == key[:2]]:
-            if k[0] == app:
-                try:
-                    _SPAN_WINDOWS_CACHE[k].unpersist()
-                except Exception:
-                    pass        # context mid-shutdown: nothing to free
-            del _SPAN_WINDOWS_CACHE[k]
-        # bound the per-app population (r11 review): a long session
-        # touching many corpora (the battery's planted tmp dirs, the
-        # scale probe's per-factor dirs) would otherwise hold one
-        # persisted corpus-token-sized frame PER DIRECTORY — the
-        # ADVICE-r10 symptom keyed by path instead of by call. Keep the
-        # newest few (dict preserves insertion order); unpersist-and-
-        # drop the oldest.
-        same_app = [k for k in _SPAN_WINDOWS_CACHE if k[0] == app]
-        while len(same_app) >= _SPAN_WINDOWS_CACHE_PER_APP:
-            oldest = same_app.pop(0)
-            try:
-                _SPAN_WINDOWS_CACHE[oldest].unpersist()
-            except Exception:
-                pass
-            del _SPAN_WINDOWS_CACHE[oldest]
-        wins = build().persist(_SPAN_WINDOWS_STORAGE)
-        _SPAN_WINDOWS_CACHE[key] = wins
-        return wins
+    return _memo_frame(spark, "windows", sf_dir, build)
 
 
 def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,16 +1083,20 @@ def scrub_positions(spark: SparkSession, sf_dir: str, cuts: DataFrame,
     Per surviving document: token count, tokens cut, cut fraction,
     and the scrubbed text recomposed deterministically
     (array_sort(collect_list(struct(pos, word))) — merge-order-proof;
-    the per-doc collect_list is the bounded-group class)."""
-    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    # persisted: the tokenize scan feeds two branches (the posexplode
-    # and the totals size()) — without the cache each branch re-runs
-    # the per-row-heavy tokenize pass over the full corpus
-    base = docs.select("doc_id",
-                       tokenize(F.col("text")).alias("toks"))
+    the per-doc collect_list is the bounded-group class).
+
+    The token arrays come from the SHARED memoized ``_token_arrays``
+    frame (r12): the tokenize scan feeds two branches here (the
+    posexplode and the totals size()) AND the window machinery the
+    same queries compose — one materialization serves all of them,
+    replacing a per-call private persist that nothing ever released
+    (the ADVICE-r10 defect class). The ``only`` semi-join runs above
+    the cached frame; re-running that filter per branch is a pruned
+    doc_id-side scan, orders cheaper than the tokenize it used to
+    force."""
+    base = _token_arrays(spark, sf_dir)
     if only is not None:
         base = base.join(only, "doc_id", "leftsemi")
-    base = base.persist()
     toks = (base.select("doc_id", F.posexplode("toks"))
             .select("doc_id", (F.col("pos") + 1).cast("bigint").alias("pos"),
                     F.col("col").alias("word")))

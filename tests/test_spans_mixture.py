@@ -482,7 +482,7 @@ def test_span_windows_concurrent_miss_caches_one_frame(
 
     span = " ".join(WORDS)
     d = _docs_dir(tmp_path_factory, "race_sf", [span, span])
-    before = {k: v for k, v in _SPAN_WINDOWS_CACHE.items() if k[1] == d}
+    before = {k: v for k, v in _SPAN_WINDOWS_CACHE.items() if k[2] == d}
     assert not before
     got, errs = [], []
 
@@ -498,8 +498,15 @@ def test_span_windows_concurrent_miss_caches_one_frame(
     for t in threads:
         t.join()
     assert not errs and len(got) == 8
-    assert all(frame is got[0] for frame in got)   # one shared frame
-    keys = [k for k in _SPAN_WINDOWS_CACHE if k[1] == d]
-    assert len(keys) == 1
-    lvl = _SPAN_WINDOWS_CACHE[keys[0]].storageLevel
+    # under double-checked locking exactly one racer's frame is
+    # persisted and inserted per kind; every other thread receives
+    # that SAME object (losers' plans are discarded before any
+    # persist), so one "tokens" entry (the shared tokenize frame) and
+    # one "windows" entry survive for this corpus
+    kinds = sorted(k[1] for k in _SPAN_WINDOWS_CACHE if k[2] == d)
+    assert kinds == ["tokens", "windows"]
+    wkey = next(k for k in _SPAN_WINDOWS_CACHE
+                if k[2] == d and k[1] == "windows")
+    assert all(frame is _SPAN_WINDOWS_CACHE[wkey] for frame in got)
+    lvl = _SPAN_WINDOWS_CACHE[wkey].storageLevel
     assert lvl.useMemory and lvl.useDisk           # the declared level
