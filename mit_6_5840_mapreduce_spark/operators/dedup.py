@@ -886,6 +886,16 @@ def _restore_persist(cached: DataFrame) -> DataFrame:
     return cached
 
 
+def _lru_touch(key: tuple) -> None:
+    """Recency refresh on a cache hit (ADVICE r12): the per-(app, kind)
+    bound below evicts by dict insertion order, so a hit must re-insert
+    its key or a session cycling through more corpora than the bound
+    can evict the hottest frame while colder entries survive (perf
+    only — values are stamp-keyed either way). Caller holds
+    ``_SPAN_WINDOWS_LOCK``."""
+    _SPAN_WINDOWS_CACHE[key] = _SPAN_WINDOWS_CACHE.pop(key)
+
+
 def _memo_frame(spark: SparkSession, kind: str, sf_dir: str,
                 build) -> DataFrame:
     """Persist-and-memoize ``build()`` per (application, kind, sf_dir,
@@ -897,15 +907,28 @@ def _memo_frame(spark: SparkSession, kind: str, sf_dir: str,
     another — so a racing loser's frame is simply discarded before it
     was ever persisted (no leak; ADVICE r11)."""
     app = spark.sparkContext.applicationId
-    key = (app, kind, os.path.abspath(sf_dir), _corpus_stamp(sf_dir))
+    path = os.path.abspath(sf_dir)
+    key = (app, kind, path, _corpus_stamp(sf_dir))
     with _SPAN_WINDOWS_LOCK:
         cached = _SPAN_WINDOWS_CACHE.get(key)
         if cached is not None:
+            _lru_touch(key)
             return _restore_persist(cached)
     frame = build()                     # outside the lock: metadata work
     with _SPAN_WINDOWS_LOCK:
+        # re-read the stamp under the insert lock (ADVICE r12): the
+        # frame's parquet reads are LAZY — actions see whatever is on
+        # disk when they run — so a corpus rewritten between the first
+        # stamp read and here must not get its new data cached under
+        # the pre-rewrite stamp, where a caller from BEFORE the rewrite
+        # would wrongly hit it. The residual window (a rewrite landing
+        # after this re-read but before the consumer's first action) is
+        # the irreducible lazy-read race every stamp scheme has; the
+        # next call re-stamps and recomputes.
+        key = (app, kind, path, _corpus_stamp(sf_dir))
         cached = _SPAN_WINDOWS_CACHE.get(key)
         if cached is not None:          # a racer inserted first: use its
+            _lru_touch(key)
             return _restore_persist(cached)   # frame, drop ours unpersisted
         # evict entries owned by other (stopped) applications and stale
         # stamps of THIS (kind, path) — unreachable or outdated frames
@@ -922,8 +945,9 @@ def _memo_frame(spark: SparkSession, kind: str, sf_dir: str,
         # dirs, the scale probe's per-factor dirs) would otherwise hold
         # one persisted corpus-token-sized frame PER DIRECTORY — the
         # ADVICE-r10 symptom keyed by path instead of by call. Keep the
-        # newest few (dict preserves insertion order); unpersist-and-
-        # drop the oldest.
+        # most recently USED few (hits re-insert via _lru_touch, so
+        # dict insertion order is recency order); unpersist-and-drop
+        # the least recently used.
         same = [k for k in _SPAN_WINDOWS_CACHE if k[:2] == key[:2]]
         while len(same) >= _SPAN_WINDOWS_CACHE_PER_APP:
             oldest = same.pop(0)

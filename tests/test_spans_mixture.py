@@ -468,6 +468,70 @@ def test_span_windows_accept_recompute_is_value_identical(
     assert persisted == recomputed and len(persisted) == 3
 
 
+def test_span_memo_eviction_is_lru_not_fifo(spark, tmp_path_factory):
+    """ADVICE r12: a cache HIT must refresh recency, so a session
+    cycling through more corpora than the per-(app, kind) bound evicts
+    the COLDEST frame, not the oldest-inserted one. Plant bound+1
+    corpora: insert A, B, C, re-hit A, insert D — FIFO would evict the
+    hottest frame A; LRU evicts B."""
+    from mit_6_5840_mapreduce_spark.operators import dedup
+
+    dirs = {name: _docs_dir(tmp_path_factory, f"lru_{name}_sf",
+                            [f"{name} corpus text with a few tokens"])
+            for name in ("a", "b", "c", "d")}
+    frames = {}
+    for name in ("a", "b", "c"):
+        frames[name] = dedup._token_arrays(spark, dirs[name])
+    # HIT on a — under LRU this moves it to most-recent
+    assert dedup._token_arrays(spark, dirs["a"]) is frames["a"]
+    dedup._token_arrays(spark, dirs["d"])
+    resident = {k[2] for k in dedup._SPAN_WINDOWS_CACHE
+                if k[1] == "tokens" and k[2] in set(dirs.values())}
+    assert dirs["a"] in resident, "hit did not refresh recency (FIFO)"
+    assert dirs["b"] not in resident
+    assert resident == {dirs["a"], dirs["c"], dirs["d"]}
+
+
+def test_span_memo_insert_restamps_after_mid_build_rewrite(
+        spark, tmp_path_factory):
+    """ADVICE r12 (TOCTOU): a corpus rewritten between the first stamp
+    read and build() must land in the cache under the POST-rewrite
+    stamp — the lazily-read frame sees the rewritten bytes at action
+    time, so caching it under the pre-rewrite stamp would serve the
+    new data to a pre-rewrite-stamped caller and miss for the caller
+    who actually wrote it."""
+    import time as _time
+
+    from mit_6_5840_mapreduce_spark.operators import dedup
+
+    d = _docs_dir(tmp_path_factory, "toctou_sf", ["first corpus body"])
+    stamp_before = dedup._corpus_stamp(d)
+
+    def rewriting_build():
+        _time.sleep(0.01)                  # distinct mtime_ns stamp
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["rewritten corpus body"]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["s0"]),
+            "n_chars": pa.array([21], pa.int64()),
+        }), os.path.join(d, "documents.parquet"))
+        return spark.range(1)
+
+    try:
+        dedup._memo_frame(spark, "toctou-test", d, rewriting_build)
+        stamp_after = dedup._corpus_stamp(d)
+        assert stamp_after != stamp_before
+        keys = [k for k in dedup._SPAN_WINDOWS_CACHE
+                if k[1] == "toctou-test"]
+        assert [k[3] for k in keys] == [stamp_after]
+    finally:
+        with dedup._SPAN_WINDOWS_LOCK:
+            for k in [k for k in dedup._SPAN_WINDOWS_CACHE
+                      if k[1] == "toctou-test"]:
+                dedup._SPAN_WINDOWS_CACHE.pop(k).unpersist()
+
+
 def test_span_windows_concurrent_miss_caches_one_frame(
         spark, tmp_path_factory):
     """ADVICE r11: two driver threads racing an uncached corpus must
