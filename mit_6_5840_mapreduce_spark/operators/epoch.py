@@ -50,11 +50,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from mit_6_5840_mapreduce_spark.operators.textstats import (
-    PACK_BUDGET,
-    SHUFFLE_SHARDS,
+    pack_assignment,
+    pack_sql,
+    shuffle_assignment,
+    shuffle_sql,
 )
 
 
@@ -76,14 +77,11 @@ def epoch_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") - F.col("n_cut")).alias("kept_tokens"))
     kept = (surv.join(scrub, "doc_id")
             .where(F.col("kept_tokens") > 0))
-    w_pack = (Window.partitionBy("source").orderBy("doc_id")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    packed = (
-        kept.withColumn("cum", F.sum("kept_tokens").over(w_pack))
-        .select("doc_id", "source", "kept_tokens",
-                F.expr(f"(cum - kept_tokens) div {PACK_BUDGET}")
-                .alias("seq_id"))
-    )
+    # pack_sequences' rule over the SCRUBBED counts — the single-sourced
+    # pack_assignment (r13, VERDICT r12 item 3), so the capstone cannot
+    # drift from the operator it composes
+    packed = pack_assignment(kept, "kept_tokens").select(
+        "doc_id", "source", "kept_tokens", "seq_id")
     seqs = (
         packed.groupBy("source", "seq_id")
         .agg(F.count("*").alias("n_docs"),
@@ -95,19 +93,13 @@ def epoch_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.array_sort(F.collect_list("doc_id")),
                  lambda d: d.cast("string"))).alias("doc_ids"))
     )
+    # training_shuffle's rule lifted to SEQUENCES — the single-sourced
+    # shuffle_assignment with unit key source:seq_id
     skey = F.concat(F.col("source"), F.lit(":"),
                     F.col("seq_id").cast("string"))
-    shard = (F.conv(F.substring(
-        F.md5(F.concat(F.lit("shard:"), skey)), 1, 8), 16, 10)
-        .cast("bigint") % SHUFFLE_SHARDS)
-    w_shuf = Window.partitionBy("shard").orderBy("key", "source", "seq_id")
-    return (
-        seqs.withColumn("shard", shard)
-        .withColumn("key", F.md5(F.concat(F.lit("shuffle:"), skey)))
-        .withColumn("pos", F.row_number().over(w_shuf).cast("bigint"))
-        .select("source", "seq_id", "n_docs", "seq_tokens", "doc_ids",
-                "shard", "pos")
-    )
+    return shuffle_assignment(seqs, skey, "source", "seq_id").select(
+        "source", "seq_id", "n_docs", "seq_tokens", "doc_ids",
+        "shard", "pos")
 
 
 QUERIES = {
@@ -124,6 +116,14 @@ def _epoch_oracle() -> str:
     from mit_6_5840_mapreduce_spark.operators.mixture import (
         ORACLES as MIX_ORACLES,
     )
+    # the pack and shuffle stages render through the SAME single-sourced
+    # SQL fragments as pack_sequences'/training_shuffle's own oracles
+    packed = pack_sql("SELECT doc_id, source, kept_tokens FROM kept",
+                      "kept_tokens")
+    shuffled = shuffle_sql(
+        "SELECT * FROM seqs",
+        "source || ':' || CAST(seq_id AS VARCHAR)",
+        "source, seq_id")
     return f"""
         WITH scrub AS MATERIALIZED (
             {CORPUS_ORACLES["decontaminate_span_scrub"]}
@@ -136,13 +136,7 @@ def _epoch_oracle() -> str:
             WHERE s.n_tokens - s.n_cut > 0
         ),
         packed AS (
-            SELECT doc_id, source, kept_tokens,
-                   CAST((cum - kept_tokens) // {PACK_BUDGET} AS BIGINT)
-                       AS seq_id
-            FROM (SELECT *, sum(kept_tokens) OVER (
-                      PARTITION BY source ORDER BY doc_id
-                      ROWS UNBOUNDED PRECEDING) AS cum
-                  FROM kept)
+            SELECT doc_id, source, kept_tokens, seq_id FROM ({packed})
         ),
         seqs AS (
             SELECT source, seq_id,
@@ -152,19 +146,8 @@ def _epoch_oracle() -> str:
                               ORDER BY doc_id) AS doc_ids
             FROM packed GROUP BY source, seq_id
         )
-        SELECT source, seq_id, n_docs, seq_tokens, doc_ids, shard,
-               CAST(row_number() OVER (PARTITION BY shard
-                    ORDER BY key, source, seq_id) AS BIGINT) AS pos
-        FROM (
-            SELECT *,
-                   CAST(concat('0x', substring(md5(
-                        'shard:' || source || ':'
-                        || CAST(seq_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                       % {SHUFFLE_SHARDS} AS shard,
-                   md5('shuffle:' || source || ':'
-                       || CAST(seq_id AS VARCHAR)) AS key
-            FROM seqs
-        )
+        SELECT source, seq_id, n_docs, seq_tokens, doc_ids, shard, pos
+        FROM ({shuffled})
     """
 
 

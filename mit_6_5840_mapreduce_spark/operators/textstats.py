@@ -7,6 +7,8 @@ each query is one codegen'd scan + at most one shuffle at any scale.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -571,62 +573,156 @@ def token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PACK_BUDGET = 256                 # tokens per packed training sequence
 
+# Two-pass packing form: contiguous doc_ids per sub-shard. The default
+# single-window form is optimal while sources are numerous; the knob
+# (read at call time so probes/tests flip it per run) switches to the
+# classic two-pass distributed scan for a HOT source — see
+# pack_assignment's docstring and the hot-source probe in
+# tools/scale_probe.py.
+PACK_SUBSHARD_DOCS = 4096
+
+
+def _pack_two_pass() -> bool:
+    return os.environ.get("SPARK_GRAFT_PACK_TWO_PASS", "0") == "1"
+
+
+def pack_assignment(staged: DataFrame, n_col: str) -> DataFrame:
+    """THE packing rule, single-sourced (VERDICT r12 item 3): documents
+    concatenate per source in doc_id order; ``start_offset`` is the
+    exclusive per-source prefix sum of ``n_col``; ``seq_id =
+    start_offset div PACK_BUDGET`` (a doc belongs to the sequence its
+    FIRST token lands in). Shared by ``pack_sequences`` (raw token
+    counts) and ``epoch_assembly`` (post-scrub counts) so the rule
+    cannot drift between the operator and the capstone. Adds ``cum``,
+    ``start_offset``, ``seq_id``; callers project.
+
+    Two physical forms, value-identical by construction — the offset
+    arithmetic does not depend on how the prefix sum was computed
+    (pinned across forms by tests/test_training_layout.py):
+
+    - default: ONE prefix-sum window per source — fewest shuffles, but
+      a hot source puts all its rows through one task's sort;
+    - ``SPARK_GRAFT_PACK_TWO_PASS=1``: the two-pass distributed scan —
+      contiguous doc_id sub-shards take local prefix sums in parallel
+      under a (source, sub-shard) window; per-sub-shard totals (one
+      tiny row each) prefix-sum into cumulative offsets; an equi-join
+      on the same keys (no extra corpus exchange — the window already
+      hashed on them) adds the offset back. A source holding 90% of
+      the corpus spreads over ~|docs|/PACK_SUBSHARD_DOCS tasks instead
+      of one (measured: tools/scale_probe.py hot-source probe)."""
+    from pyspark.sql.window import Window
+    if not _pack_two_pass():
+        w = Window.partitionBy("source").orderBy("doc_id") \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cum = staged.withColumn("cum", F.sum(n_col).over(w))
+    else:
+        # exact integer floor-div for the sub-shard id: DIV truncates
+        # toward zero, which would interleave negative ids with bucket
+        # 0 — subtracting pmod first makes the dividend exactly
+        # divisible, so sub-shard order == doc_id order for ALL ids
+        sub = F.expr(f"(doc_id - pmod(doc_id, {PACK_SUBSHARD_DOCS})) "
+                     f"div {PACK_SUBSHARD_DOCS}")
+        with_sub = staged.withColumn("sub", sub)
+        w_local = Window.partitionBy("source", "sub").orderBy("doc_id") \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        w_off = Window.partitionBy("source").orderBy("sub") \
+            .rowsBetween(Window.unboundedPreceding, -1)
+        offsets = (with_sub.groupBy("source", "sub")
+                   .agg(F.sum(n_col).alias("sub_total"))
+                   .withColumn("off", F.coalesce(
+                       F.sum("sub_total").over(w_off),
+                       F.lit(0).cast("bigint")))
+                   .select("source", "sub", "off"))
+        cum = (with_sub.join(offsets, ["source", "sub"])
+               .withColumn("cum", F.sum(n_col).over(w_local) + F.col("off"))
+               .drop("sub", "off"))
+    return (cum.withColumn("start_offset",
+                           (F.col("cum") - F.col(n_col)).cast("bigint"))
+            .withColumn("seq_id",
+                        F.expr(f"(cum - {n_col}) div {PACK_BUDGET}")))
+
+
+def pack_sql(inner: str, n_col: str) -> str:
+    """DuckDB rendering of ``pack_assignment`` — the oracles compose the
+    SAME single-sourced rule (pack_sequences over raw counts,
+    epoch_assembly over scrubbed counts). Emits inner's columns plus
+    cum/start_offset/seq_id; callers project."""
+    return f"""
+        SELECT *, CAST(cum - {n_col} AS BIGINT) AS start_offset,
+               CAST((cum - {n_col}) // {PACK_BUDGET} AS BIGINT) AS seq_id
+        FROM (SELECT *, sum({n_col}) OVER (PARTITION BY source
+                  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+              FROM ({inner}))
+    """
+
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-and-chunk sequence packing — the GPT-style training
-    data layout: documents are concatenated per source in doc_id order,
-    sequence boundaries fall every PACK_BUDGET tokens, and each doc is
-    assigned the sequence its FIRST token lands in (``seq_id =
-    start_offset div PACK_BUDGET``). Output is the per-doc packing
-    assignment a dataloader consumes: (doc_id, source, n_tokens,
-    start_offset, seq_id).
+    data layout (rule: ``pack_assignment``). Output is the per-doc
+    packing assignment a dataloader consumes: (doc_id, source,
+    n_tokens, start_offset, seq_id).
 
-    Scale shape: the prefix sum is one window per source — at 100 TB a
-    hot source would sub-shard it into per-partition partial sums plus
-    a broadcast of cumulative partition offsets (the classic two-pass
-    distributed scan); the assignment arithmetic is identical because
-    start offsets don't depend on how the prefix sum was computed. All
-    arithmetic is exact BIGINT, so any engine agrees."""
+    Scale shape: one prefix-sum window per source by default; a hot
+    source switches to the two-pass sub-sharded scan (same values —
+    pack_assignment's docstring). All arithmetic is exact BIGINT, so
+    any engine agrees."""
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(tokenize(F.col("text"))).cast("bigint")
     staged = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
-    from pyspark.sql.window import Window
-    w = Window.partitionBy("source").orderBy("doc_id") \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        staged.withColumn("cum", F.sum("n_tokens").over(w))
-        .select("doc_id", "source", "n_tokens",
-                (F.col("cum") - F.col("n_tokens")).alias("start_offset"),
-                F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
-                .alias("seq_id"))
-    )
+    return pack_assignment(staged, "n_tokens").select(
+        "doc_id", "source", "n_tokens", "start_offset", "seq_id")
 
 
 SHUFFLE_SHARDS = 16
 
 
+def shuffle_assignment(df: DataFrame, unit_key, *tiebreak: str) -> DataFrame:
+    """THE training-shuffle rule, single-sourced (VERDICT r12 item 3):
+    shard = first-8-hex md5 bucket of the salted unit key, pos = rank
+    of an independently salted md5 key within the shard (``tiebreak``
+    columns break exact md5 ties deterministically). No RNG, no state —
+    reproducible on any engine, cluster size, or partition layout.
+    Shared by ``training_shuffle`` (units = documents) and
+    ``epoch_assembly`` (units = packed sequences). Adds
+    ``shard``/``key``/``pos``; callers project."""
+    from pyspark.sql.window import Window
+    shard = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("shard:"), unit_key)), 1, 8), 16, 10)
+        .cast("bigint") % SHUFFLE_SHARDS)
+    w = Window.partitionBy("shard").orderBy("key", *tiebreak)
+    return (df.withColumn("shard", shard)
+            .withColumn("key", F.md5(F.concat(F.lit("shuffle:"), unit_key)))
+            .withColumn("pos", F.row_number().over(w).cast("bigint")))
+
+
+def shuffle_sql(inner: str, key_expr: str, tiebreak: str) -> str:
+    """DuckDB rendering of ``shuffle_assignment`` — same single-sourced
+    rule for the oracles. Emits inner's columns plus shard/key/pos;
+    callers project."""
+    return f"""
+        SELECT *, CAST(row_number() OVER (PARTITION BY shard
+                   ORDER BY key, {tiebreak}) AS BIGINT) AS pos
+        FROM (SELECT *,
+                   CAST(concat('0x', substring(md5(
+                        'shard:' || {key_expr}), 1, 8))
+                        AS BIGINT) % {SHUFFLE_SHARDS} AS shard,
+                   md5('shuffle:' || {key_expr}) AS key
+              FROM ({inner}))
+    """
+
+
 def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training-order randomization, in
-    the sharded form a distributed dataloader consumes: shard =
-    md5-bucket of the salted doc_id, position = rank of an
-    independently-salted md5 key within the shard. No RNG and no state,
-    so the order is reproducible on any engine, cluster size, or
-    partition layout (a seeded ``orderBy(rand())`` is not). The
+    the sharded form a distributed dataloader consumes (rule:
+    ``shuffle_assignment``). A seeded ``orderBy(rand())`` is NOT
+    reproducible across engines/partitionings; salted md5 is. The
     per-shard window parallelizes across shards — no global sort — and
     md5 spreads shard sizes to ~n/SHUFFLE_SHARDS whp, so no task hot
     spot; at 100 TB, raise SHUFFLE_SHARDS to the target file count."""
     docs = load_table(spark, sf_dir, "documents")
-    shard = (F.conv(F.substring(
-        F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
-        1, 8), 16, 10).cast("bigint") % SHUFFLE_SHARDS)
-    key = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
-    from pyspark.sql.window import Window
-    w = Window.partitionBy("shard").orderBy("key", "doc_id")
-    return (
-        docs.select("doc_id", shard.alias("shard"), key.alias("key"))
-        .withColumn("pos", F.row_number().over(w).cast("bigint"))
-        .select("doc_id", "shard", "pos")
-    )
+    return shuffle_assignment(
+        docs.select("doc_id"), F.col("doc_id").cast("string"), "doc_id"
+    ).select("doc_id", "shard", "pos")
 
 
 QUALITY_CUT = 0.5
@@ -713,39 +809,29 @@ QUERIES = {
 _LEX_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang, words in LEXICONS.items() for w in words)
 
+# pack_sequences' staging scan: raw token counts per doc (the rule
+# itself is rendered by pack_sql)
+_PACK_STAGED_SQL = r"""
+    SELECT doc_id, source,
+           len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+                           t -> t <> ''))::BIGINT AS n_tokens
+    FROM documents
+"""
+
 _RATE_VALUES = ", ".join(
     f"('{lang}', {rate})" for lang, rate in sorted(SAMPLE_RATES.items()))
 
 ORACLES = {
-    "pack_sequences": rf"""
-        WITH staged AS (
-            SELECT doc_id, source,
-                   len(list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
-                                   t -> t <> ''))::BIGINT AS n_tokens
-            FROM documents
-        )
-        SELECT doc_id, source, n_tokens,
-               CAST(cum - n_tokens AS BIGINT) AS start_offset,
-               CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id
-        FROM (
-            SELECT *, sum(n_tokens) OVER (PARTITION BY source
-                                          ORDER BY doc_id
-                                          ROWS UNBOUNDED PRECEDING) AS cum
-            FROM staged
-        )
+    # both rendered by the single-sourced rule fragments (pack_sql /
+    # shuffle_sql) that epoch_assembly's oracle composes too
+    "pack_sequences": f"""
+        SELECT doc_id, source, n_tokens, start_offset, seq_id
+        FROM ({pack_sql(_PACK_STAGED_SQL, "n_tokens")})
     """,
     "training_shuffle": f"""
-        SELECT doc_id, shard,
-               row_number() OVER (PARTITION BY shard
-                                  ORDER BY key, doc_id) AS pos
-        FROM (
-            SELECT doc_id,
-                   CAST(concat('0x', substring(
-                        md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
-                        AS BIGINT) % {SHUFFLE_SHARDS} AS shard,
-                   md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS key
-            FROM documents
-        )
+        SELECT doc_id, shard, pos
+        FROM ({shuffle_sql("SELECT doc_id FROM documents",
+                           "CAST(doc_id AS VARCHAR)", "doc_id")})
     """,
     "stratified_sample": f"""
         WITH rates(lang, rate_per_mille) AS (VALUES {_RATE_VALUES}),

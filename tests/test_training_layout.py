@@ -11,6 +11,7 @@ import os
 
 import pytest
 
+from mit_6_5840_mapreduce_spark.operators import textstats
 from mit_6_5840_mapreduce_spark.operators.textstats import (
     PACK_BUDGET,
     SHUFFLE_SHARDS,
@@ -88,3 +89,57 @@ def test_training_shuffle_deterministic_and_id_independent(spark,
     a = sorted(map(tuple, training_shuffle(spark, hostile_dir).collect()))
     b = sorted(map(tuple, training_shuffle(spark, hostile_dir).collect()))
     assert a == b and len(a) == len(ROWS)
+
+
+@pytest.fixture(scope="module")
+def hot_source_dir(spark, tmp_path_factory):
+    """~90% of docs in ONE source (the shape VERDICT r12 item 4 probes),
+    sparse/negative doc_ids so sub-shard bucketing is non-trivial, and
+    token counts that straddle many PACK_BUDGET boundaries."""
+    rows = []
+    for i in range(400):
+        # sparse ids incl. negatives: floor-div bucketing must keep
+        # sub-shard order == doc_id order (DIV truncation would not)
+        doc_id = i * 7 - 100
+        source = "hot" if i % 10 else f"cold{i % 3}"
+        n = (i * 37) % 90 + 1
+        rows.append((doc_id, " ".join(f"w{j}" for j in range(n)), source))
+    out = str(tmp_path_factory.mktemp("hot_source_docs"))
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT")
+    df.coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet"))
+    return out
+
+
+def test_pack_two_pass_is_value_identical(spark, hot_source_dir,
+                                          monkeypatch):
+    """The two-pass sub-sharded prefix sum (SPARK_GRAFT_PACK_TWO_PASS=1,
+    VERDICT r12 item 4) must produce byte-identical packing to the
+    single-window form: the offset arithmetic is independent of how
+    the prefix sum was computed. Sub-shard width patched small so the
+    hot source genuinely spans many sub-shards."""
+    single = sorted(map(tuple,
+                        pack_sequences(spark, hot_source_dir).collect()))
+    assert len(single) == 400
+    monkeypatch.setenv("SPARK_GRAFT_PACK_TWO_PASS", "1")
+    monkeypatch.setattr(textstats, "PACK_SUBSHARD_DOCS", 16)
+    two_pass = sorted(map(tuple,
+                          pack_sequences(spark, hot_source_dir).collect()))
+    assert two_pass == single
+
+
+def test_epoch_assembly_identical_under_two_pass_packing(
+        spark, hot_source_dir, monkeypatch):
+    """epoch_assembly composes the SAME pack_assignment, so flipping
+    the packing form must not move a single sequence row."""
+    import __spark_entry__ as entrymod
+    q = entrymod.queries()["epoch_assembly"]
+    single = sorted(map(tuple, q(spark, hot_source_dir).collect()))
+    assert single, "planted corpus packed no sequences"
+    monkeypatch.setenv("SPARK_GRAFT_PACK_TWO_PASS", "1")
+    monkeypatch.setattr(textstats, "PACK_SUBSHARD_DOCS", 16)
+    two_pass = sorted(map(tuple, q(spark, hot_source_dir).collect()))
+    assert two_pass == single
