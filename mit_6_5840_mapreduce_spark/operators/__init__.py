@@ -39,63 +39,59 @@ def _with_package(fn: Callable[[SparkSession, str], DataFrame]
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # each round, so window composition is an explicit, reviewed list rather
-# than an accident of module ordering. Round-12 window, composed under
+# than an accident of module ordering. Round-13 window, composed under
 # the steady-state policy (sentinels + round-changed + new + stalest
-# certs, tools/window_plan.py's draft): the sentinel set kept in-window
-# EVERY round; the TWO new entries (quality_eval_holdout — the
-# split-gated GD trainer judged on held-out accuracy, VERDICT r11
-# item 2; epoch_assembly — the composed resample → decontaminate →
-# pack → shuffle capstone, VERDICT r11 item 3); the FIVE span-family
-# queries round-changed by the _span_windows hardening (ADVICE r11
-# lock around the memo's lookup/evict/insert + the storage level made
-# explicit with the accept-recompute knob, VERDICT r11 item 4 — values
-# unchanged by design, which is exactly what re-certification shows);
+# certs, tools/window_plan.py's draft; NO new registrations this
+# round): the sentinel set kept in-window EVERY round; SIX
+# round-changed queries — epoch_assembly (now composes the
+# single-sourced pack_assignment/shuffle_assignment rules, VERDICT
+# r12 item 3) and the five span-family queries (the shared memo's
+# eviction is LRU rather than FIFO and the corpus stamp is re-read
+# under the insert lock — ADVICE r12; values unchanged by design);
 # then the staleness rotation, oldest cert first with name tiebreak:
-# the ENTIRE 17-name r7 tail lands on schedule (q22_idle_customers ..
-# xml_roundtrip_stats — the 5-round ceiling's first real test: these
-# certs are exactly 5 rounds old at this gate, and after this round no
-# query's latest cert is <= r7), plus the first 22 of the 43-name r8
-# cohort in name order (bpe_encode .. orders_monthly_growth; the
-# 21-name r8 tail spills, scheduled, to r13 — which also inherits the
-# 42-strong r9 cohort the round after, per the window_plan draft in
-# NOTES_r12).
-# 4 + 2 + 5 + 17 + 22 = 50, no free slots.
+# the ENTIRE 21-name r8 tail lands on schedule (pack_sequences ..
+# user_value_trend — VERDICT r12 item 1; pack_sequences and
+# training_shuffle are also round-changed by the single-sourcing
+# refactor, so their rotation doubles as re-certification), plus the
+# first 19 of the 42-name r9 cohort in name order (ann_recall_eval ..
+# heavy_hitters_cms_direct; the 23-name r9 tail is scheduled for r14,
+# inside the cohort's 5-round ceiling).
+# 4 + 6 + 21 + 19 = 50, no free slots.
 # tests/test_registry_window.py pins this.
 WINDOW_SIZE = 50
 
 WINDOW_FIRST: tuple[str, ...] = (
     # sentinels (every round)
     "mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts",
-    # round-12 new: held-out classifier evaluation (VERDICT r11 #2)
-    # and the epoch-assembly capstone (VERDICT r11 #3)
-    "quality_eval_holdout", "epoch_assembly",
-    # round-12 changed: the span family — all five consume the
-    # _span_windows frame, now lock-guarded against concurrent-miss
-    # frame orphaning (ADVICE r11) with an explicit storage level and
-    # accept-recompute knob (VERDICT r11 item 4)
+    # round-13 changed: the epoch capstone now renders its pack and
+    # shuffle stages through the single-sourced rules (VERDICT r12
+    # item 3) ...
+    "epoch_assembly",
+    # ... and the span family consumes the memo hardened per ADVICE
+    # r12 (LRU eviction, stamp re-read under the insert lock)
     "dedup_span_pairs", "dedup_span_scrub", "duplicate_spans",
     "contamination_spans", "decontaminate_span_scrub",
-    # staleness rotation, oldest first: the full 17-name r7 tail —
-    # after this round no query's latest cert is <= r7
-    "q22_idle_customers", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "sql_priority_status_sets", "sql_revenue_by_segment",
-    "stream_attribution", "stream_enriched_events", "stream_sessionize",
-    "token_length_histogram", "token_rarity", "top3_orders_per_customer",
-    "url_domain_stats", "user_gap_stats", "video_frame_stats",
-    "xml_roundtrip_stats",
-    # staleness rotation: the r8 cohort, first 22 in name order (the
-    # 21-name tail pack_sequences .. x-names spills, scheduled, to r13)
-    "bpe_encode", "bpe_train", "customers_no_orders",
-    "daily_revenue_trailing", "decontaminate_split",
-    "embedding_quantize", "embedding_topk_pandas",
-    "events_hourly_gapfilled", "events_user_sketch",
-    "events_value_bands", "funnel_view_click_purchase", "hnsw_search",
-    "hnsw_search_persisted", "hourly_burst_detection", "ivf_train",
-    "latest_event_per_user", "media_decode_stats",
-    "nation_customer_supplier_balance", "order_value_percentiles",
-    "order_value_percentiles_approx", "orders_dow_stats",
-    "orders_monthly_growth",
+    # staleness rotation, oldest first: the full 21-name r8 tail —
+    # after this round no query's latest cert is <= r8
+    "pack_sequences", "part_name_analysis", "priority_status_cube",
+    "q16_parts_supplier_relationship", "q4_order_priority",
+    "repeat_customers", "sales_rollup", "sessionize",
+    "shingle_containment", "shingle_containment_capped",
+    "skewsafe_type_user_counts", "stream_foreachbatch_roundtrip",
+    "stream_topk_event_types", "table_profile", "training_shuffle",
+    "user_event_pivot", "user_event_sequences",
+    "user_event_sequences_capped", "user_type_count_map",
+    "user_value_mad", "user_value_trend",
+    # staleness rotation: the r9 cohort, first 19 in name order (the
+    # 23-name tail image_phash .. zorder_layout_stats is scheduled
+    # for r14)
+    "ann_recall_eval", "asof_join_orders", "audio_decode_stats",
+    "bloom_prune_join", "bucketed_join_stats", "cdc_apply",
+    "curation_summary", "customer_rfm", "customer_value_quartiles",
+    "data_quality_audit", "dedup_eval", "dedup_incremental",
+    "dedup_index_build", "doc_bfs", "doc_lm_score",
+    "embedding_neardup", "funnel_windowed", "heavy_hitters_cms",
+    "heavy_hitters_cms_direct",
 )
 
 

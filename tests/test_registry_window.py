@@ -5,18 +5,19 @@ entries per round, rotated under the steady-state policy (VERDICT r5
 item 4): sentinels every round, every round-changed and newly
 registered query, and all remaining slots filled from
 tools/window_plan.py's staleness report, oldest cert round first with
-name tiebreak. Round 12: quality_eval_holdout and epoch_assembly are
-new (VERDICT r11 items 2-3); the five span-family queries rotate as
-round-changed (the shared _span_windows memo is now lock-guarded
-against concurrent-miss frame orphaning — ADVICE r11 — and its
-storage level is explicit with the accept-recompute knob — VERDICT
-r11 item 4); the 17-name r7 tail lands on schedule — the 5-round
-staleness ceiling's first real test: those certs are exactly 5 rounds
-old at this gate, and after this round no query's latest cert is
-<= r7 — and the first 22 of the 43-name r8 cohort fill the rest, with
-the 21-name tail scheduled for r13. Docstring/comment-only edits do
-NOT re-certify: no plan or value surface moves. This test fails
-loudly if a future registration reorders the window.
+name tiebreak. Round 13 (NO new registrations): epoch_assembly and
+the five span-family queries rotate as round-changed (the epoch
+capstone composes the single-sourced pack_assignment /
+shuffle_assignment rules — VERDICT r12 item 3; the span memo's
+eviction is now LRU and the corpus stamp is re-read under the insert
+lock — ADVICE r12; values unchanged by design); the 21-name r8 tail
+lands on schedule (VERDICT r12 item 1 — pack_sequences and
+training_shuffle in it are also round-changed by the single-sourcing
+refactor), and the first 19 of the 42-name r9 cohort fill the rest,
+with the 23-name r9 tail scheduled for r14 inside the 5-round
+ceiling. Docstring/comment-only edits do NOT re-certify: no plan or
+value surface moves. This test fails loudly if a future registration
+reorders the window.
 """
 
 from __future__ import annotations
@@ -28,57 +29,49 @@ from mit_6_5840_mapreduce_spark.operators import (
 # regression sentinels: in-window EVERY round
 SENTINELS = {"mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts"}
 
-# new in round 12: the held-out evaluation of the trained quality
-# classifier (train on doc_split's train bucket, judge every round on
-# the 20% the model never sees) and the epoch-assembly capstone
-# (resample -> decontaminate -> pack -> shuffle as one plan)
-NEW_THIS_ROUND = {
-    "quality_eval_holdout", "epoch_assembly",
-}
-
-# changed in round 12: every consumer of the shared _span_windows
-# frame (memo lookup/evict/insert now serialized by a lock — ADVICE
-# r11 — and the persist level explicit, with the accept-recompute
-# degradation knob; values unchanged by design, which is exactly what
-# the re-certification shows)
+# changed in round 13: the epoch capstone's pack/shuffle stages now
+# render through the shared single-sourced rules (engine AND oracle),
+# and every span-family query consumes the ADVICE-r12-hardened memo
+# (LRU eviction; stamp re-read under the insert lock)
 CHANGED_THIS_ROUND = {
+    "epoch_assembly",
     "dedup_span_pairs", "dedup_span_scrub", "duplicate_spans",
     "contamination_spans", "decontaminate_span_scrub",
 }
 
 # staleness rotation part 1 (window_plan.py, ceiling 5 rounds): the
-# ENTIRE 17-name r7 tail — exactly 5 rounds old at this gate, the
-# ceiling's first real test (VERDICT r11 item 1)
-STALE_R7_TAIL = {
-    "q22_idle_customers", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "sql_priority_status_sets", "sql_revenue_by_segment",
-    "stream_attribution", "stream_enriched_events", "stream_sessionize",
-    "token_length_histogram", "token_rarity", "top3_orders_per_customer",
-    "url_domain_stats", "user_gap_stats", "video_frame_stats",
-    "xml_roundtrip_stats",
+# ENTIRE 21-name r8 tail — on schedule per the r12 window-plan draft
+# (VERDICT r12 item 1); pack_sequences/training_shuffle double as
+# round-changed (the single-sourcing refactor)
+STALE_R8_TAIL = {
+    "pack_sequences", "part_name_analysis", "priority_status_cube",
+    "q16_parts_supplier_relationship", "q4_order_priority",
+    "repeat_customers", "sales_rollup", "sessionize",
+    "shingle_containment", "shingle_containment_capped",
+    "skewsafe_type_user_counts", "stream_foreachbatch_roundtrip",
+    "stream_topk_event_types", "table_profile", "training_shuffle",
+    "user_event_pivot", "user_event_sequences",
+    "user_event_sequences_capped", "user_type_count_map",
+    "user_value_mad", "user_value_trend",
 }
 
-# staleness rotation part 2: the r8 cohort's first 22 names in name
-# order; the 21-name tail is the planner-scheduled spill to r13
-STALE_R8_HEAD = {
-    "bpe_encode", "bpe_train", "customers_no_orders",
-    "daily_revenue_trailing", "decontaminate_split",
-    "embedding_quantize", "embedding_topk_pandas",
-    "events_hourly_gapfilled", "events_user_sketch",
-    "events_value_bands", "funnel_view_click_purchase", "hnsw_search",
-    "hnsw_search_persisted", "hourly_burst_detection", "ivf_train",
-    "latest_event_per_user", "media_decode_stats",
-    "nation_customer_supplier_balance", "order_value_percentiles",
-    "order_value_percentiles_approx", "orders_dow_stats",
-    "orders_monthly_growth",
+# staleness rotation part 2: the r9 cohort's first 19 names in name
+# order; the 23-name tail is the planner-scheduled spill to r14
+STALE_R9_HEAD = {
+    "ann_recall_eval", "asof_join_orders", "audio_decode_stats",
+    "bloom_prune_join", "bucketed_join_stats", "cdc_apply",
+    "curation_summary", "customer_rfm", "customer_value_quartiles",
+    "data_quality_audit", "dedup_eval", "dedup_incremental",
+    "dedup_index_build", "doc_bfs", "doc_lm_score",
+    "embedding_neardup", "funnel_windowed", "heavy_hitters_cms",
+    "heavy_hitters_cms_direct",
 }
 
-MUST_BE_IN_WINDOW = (SENTINELS | NEW_THIS_ROUND | CHANGED_THIS_ROUND
-                     | STALE_R7_TAIL | STALE_R8_HEAD)
+MUST_BE_IN_WINDOW = (SENTINELS | CHANGED_THIS_ROUND
+                     | STALE_R8_TAIL | STALE_R9_HEAD)
 
 
-def test_first_window_contains_round12_surface():
+def test_first_window_contains_round13_surface():
     queries, _ = registry()
     window = list(queries)[:WINDOW_SIZE]
     missing = MUST_BE_IN_WINDOW - set(window)
@@ -86,7 +79,7 @@ def test_first_window_contains_round12_surface():
 
 
 def test_window_is_exactly_the_must_list():
-    # 4 + 2 + 5 + 17 + 22 = 50: the round-12 window has no free slots
+    # 4 + 6 + 21 + 19 = 50: the round-13 window has no free slots
     assert len(MUST_BE_IN_WINDOW) == WINDOW_SIZE
 
 
