@@ -36,6 +36,8 @@ from mit_6_5840_mapreduce_spark.operators.dedup import (
     SPAN_OCC_CAP,
     SPAN_TOKENS,
     cap_bucket_sql,
+    span_wins_sql,
+    token_rows_sql,
 )
 from mit_6_5840_mapreduce_spark.operators.textstats import (
     SPLIT_BUCKETS,
@@ -360,16 +362,7 @@ _CONTAM_SPANS_SQL = rf"""
             FROM documents
         ),
         bands AS MATERIALIZED (
-            SELECT doc_id, pos,
-                   CAST(concat('0x', substring(md5(array_to_string(
-                        list_slice(toks, pos, pos + {SPAN_TOKENS} - 1),
-                        ' ')), 1, 15)) AS BIGINT) AS hw
-            FROM (
-                SELECT doc_id, toks,
-                       unnest(range(1, len(toks) - {SPAN_TOKENS} + 2))
-                           AS pos
-                FROM toks WHERE len(toks) >= {SPAN_TOKENS}
-            )
+            {span_wins_sql("toks")}
         ){cap_bucket_sql("hw", "b.doc_id, b.pos, b.hw", SPAN_OCC_CAP)},
         split AS ({_SPLIT_SQL}),
         tw AS (SELECT k.doc_id, pos, hw FROM kb k
@@ -415,10 +408,7 @@ ORACLES = {
             WHERE split = 'train'
         ),
         ptoks AS (
-            SELECT doc_id, pos, toks[pos] AS word
-            FROM (SELECT doc_id, toks,
-                         unnest(range(1, len(toks) + 1)) AS pos
-                  FROM dtoks)
+            {token_rows_sql("dtoks")}
         ),
         kept AS (
             SELECT t.doc_id, t.pos, t.word

@@ -305,6 +305,52 @@ def cap_bucket_sql(keys: str, payload: str, bucket_cap: int) -> str:
                FROM bands b JOIN keep USING ({keys}))"""
 
 
+def span_wins_sql(cte: str) -> str:
+    """Linear DuckDB rendering of the sliding-window hash, shared by
+    every span-family oracle (r13). The old per-position
+    ``list_slice(toks, pos, ...)`` carried the WHOLE token array into
+    every unnested position row — O(positions × doc_length) work and
+    memory, a ~4×10^9-element blow-up on book-length documents (the
+    engine side was always linear; surfaced by the real-Gutenberg
+    differential, VERDICT r12 item 6). Here token ROWS come from one
+    parallel unnest and the window text is a string_agg over a
+    SPAN_TOKENS-row frame (frame rows aggregate in ORDER BY pos
+    order), so the hash input is the identical space-joined window
+    text and the 60-bit md5 prefix is unchanged. ``cte`` must expose
+    (doc_id, toks)."""
+    return f"""
+            SELECT doc_id, pos,
+                   CAST(concat('0x', substring(md5(wtext), 1, 15))
+                        AS BIGINT) AS hw
+            FROM (
+                SELECT doc_id, pos, n_toks,
+                       string_agg(tok, ' ') OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW
+                           AND {SPAN_TOKENS - 1} FOLLOWING) AS wtext
+                FROM (
+                    SELECT doc_id, unnest(toks) AS tok,
+                           unnest(range(1, len(toks) + 1)) AS pos,
+                           len(toks) AS n_toks
+                    FROM {cte}
+                )
+            )
+            WHERE pos <= n_toks - {SPAN_TOKENS} + 1
+    """
+
+
+def token_rows_sql(cte: str) -> str:
+    """(doc_id, pos, word) token rows from a (doc_id, toks) CTE by
+    parallel unnest — replaces per-row ``toks[pos]`` indexing, which
+    carries the whole array per row (the same quadratic the window
+    rendering had; r13)."""
+    return f"""
+            SELECT doc_id, unnest(toks) AS word,
+                   unnest(range(1, len(toks) + 1)) AS pos
+            FROM {cte}
+    """
+
+
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_ngram_jaccard`` with the hot-shingle cap engaged
     (max_df=CAP_MAX_DF) — the form a 100 TB pipeline runs. Oracle applies
@@ -1326,16 +1372,7 @@ _SPAN_PAIRS_SQL = rf"""
             FROM documents
         ),
         bands AS MATERIALIZED (
-            SELECT doc_id, pos,
-                   CAST(concat('0x', substring(md5(array_to_string(
-                        list_slice(toks, pos, pos + {SPAN_TOKENS} - 1),
-                        ' ')), 1, 15)) AS BIGINT) AS hw
-            FROM (
-                SELECT doc_id, toks,
-                       unnest(range(1, len(toks) - {SPAN_TOKENS} + 2))
-                           AS pos
-                FROM toks WHERE len(toks) >= {SPAN_TOKENS}
-            )
+            {span_wins_sql("toks")}
         ){cap_bucket_sql("hw", "b.doc_id, b.pos, b.hw", SPAN_OCC_CAP)},
         hits AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1373,16 +1410,7 @@ ORACLES = {
             FROM documents
         ),
         wins AS (
-            SELECT doc_id, pos,
-                   CAST(concat('0x', substring(md5(array_to_string(
-                        list_slice(toks, pos, pos + {SPAN_TOKENS} - 1),
-                        ' ')), 1, 15)) AS BIGINT) AS hw
-            FROM (
-                SELECT doc_id, toks,
-                       unnest(range(1, len(toks) - {SPAN_TOKENS} + 2))
-                           AS pos
-                FROM toks WHERE len(toks) >= {SPAN_TOKENS}
-            )
+            {span_wins_sql("toks")}
         ),
         dup AS (SELECT hw FROM wins GROUP BY hw HAVING count(*) >= 2),
         flagged AS (SELECT doc_id, pos FROM wins JOIN dup USING (hw)),
@@ -1429,10 +1457,7 @@ ORACLES = {
             FROM documents
         ),
         toks AS (
-            SELECT doc_id, pos, toks[pos] AS word
-            FROM (SELECT doc_id, toks,
-                         unnest(range(1, len(toks) + 1)) AS pos
-                  FROM dtoks)
+            {token_rows_sql("dtoks")}
         ),
         kept AS (
             SELECT t.doc_id, t.pos, t.word
