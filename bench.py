@@ -10,8 +10,11 @@ Contention hardening (wall-clock on this host swings ~2x with co-tenant
 load): bench WAITS for an idle host before starting (and stamps
 ``contaminated: true`` in the contract line if it never got one — see
 ``wait_for_idle``/``contaminated``), a contaminated sweep is RETRIED in
-full up to SWEEP_ATTEMPTS times keeping the cleanest attempt (r9), and
-per-query times are the MEDIAN of
+full up to SWEEP_ATTEMPTS times keeping the cleanest attempt (r9), a
+STILL-contaminated record re-times its spiked queries after one more
+(longer) idle wait and embeds the result (``idle_rerun``, r13 — the
+artifact self-adjudicates even when the host never idles during the
+sweeps), and per-query times are the MEDIAN of
 $SPARK_GRAFT_BENCH_REPEAT runs (default 3), the JSON carries
 os.getloadavg() markers taken before and after the run, and a per-query
 ratio table against the frozen round-1 baseline (BASELINE.md /
@@ -149,6 +152,56 @@ IDLE_POLL_SEC = 20
 # r1 baseline, which external load cannot produce — so 6.x after-reads
 # are the bench itself; today's genuine bursts read 8.3-9.6.
 AFTER_LOADAVG = 7.0
+
+# Embedded idle rerun (VERDICT r12 item 2): r12 shipped three
+# contaminated sweep attempts in a row (loadavg to 28), so the artifact
+# of record carried a 3.39x outlier that only a MANUAL idle run in the
+# round notes refuted. The record must adjudicate itself: when even the
+# chosen attempt is contaminated, bench waits once more — its own,
+# longer budget — for a genuinely idle window and re-times every spiked
+# query (ratio > RESAMPLE_RATIO in either generation) once. Per-query
+# numbers land in the detail sidecar; the contract line carries a
+# compact summary (whether the window was actually idle, the rerun
+# loadavg, and the worst rerun ratio), so a reader adjudicates the
+# spikes from the artifact alone.
+IDLE_RERUN_WAIT_SEC = 900
+
+
+def idle_rerun(spark, queries, sf_dir: str, chosen: dict) -> dict | None:
+    """Re-time the chosen attempt's spiked queries after an extra idle
+    wait; None when the attempt is clean or nothing spiked (the medians
+    then speak for themselves)."""
+    if not chosen["contaminated"]:
+        return None
+    ratio_thresh = float(os.environ.get(
+        "SPARK_GRAFT_RESAMPLE_RATIO", RESAMPLE_RATIO))
+    ratios = {**chosen["ratios"], **chosen.get("ratios_v2", {})}
+    spiked = sorted(n for n, r in ratios.items() if r > ratio_thresh)
+    if not spiked:
+        return None
+    load = wait_for_idle(max_wait=float(os.environ.get(
+        "SPARK_GRAFT_BENCH_IDLE_RERUN_WAIT_SEC", IDLE_RERUN_WAIT_SEC)))
+    idle_thresh = float(os.environ.get(
+        "SPARK_GRAFT_BENCH_IDLE_LOADAVG", IDLE_LOADAVG))
+    timings: dict[str, float] = {}
+    for name in spiked:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite") \
+            .format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    rerun_ratios = {n: round(timings[n] / BASELINE_ALL[n], 2)
+                    for n in spiked if n in BASELINE_ALL}
+    return {
+        # True = the rerun actually started on an idle host; False =
+        # the host never idled inside the budget, numbers still suspect
+        "idle": load[0] < idle_thresh,
+        "load_before": [round(x, 2) for x in load],
+        "load_after": round(os.getloadavg()[0], 2),
+        "timings": timings,
+        "ratios": rerun_ratios,
+    }
+
 
 # Full-sweep retry (VERDICT r8 item 2): three consecutive rounds shipped
 # a contaminated artifact of record whose spikes the resample sidecar
@@ -520,6 +573,10 @@ def main() -> None:
             "ratio_primary": {**ratios, **ratios_v2}[name],
             "ratio_resample": round(t / BASELINE_ALL[name], 2),
         }
+    # embedded idle rerun (VERDICT r12 item 2): when the artifact of
+    # record is contaminated despite the retries, wait for a real idle
+    # window and re-time the spikes so the record self-adjudicates
+    rerun = idle_rerun(spark, queries, sf_dir, chosen)
     # Round-4 lesson (VERDICT r4 "What's wrong" #2): the driver captures
     # a BOUNDED TAIL of stdout, so the machine-readable contract line
     # must be the LAST line and must stay COMPACT. Diagnostic detail
@@ -542,6 +599,7 @@ def main() -> None:
         "cc_chain_probe_wall_sec": cc_probe,
         "cc_chain_probe_nodes_1x": CC_NODES_1X,
         "resampled_after_sweep": resampled,
+        **({"idle_rerun": rerun} if rerun else {}),
         "media_magic_share": round(media_magic_share(spark, sf_dir), 6),
     }
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL",
@@ -573,6 +631,15 @@ def main() -> None:
             "ratio_max_v2": round(max(ratios_v2.values()), 2),
             **({"resampled": sorted(resampled)} if resampled else {}),
             **({"contaminated": True} if chosen["contaminated"] else {}),
+            # compact idle-rerun summary (full numbers in the sidecar):
+            # the contaminated record's spikes, re-timed on a waited-for
+            # idle window — self-adjudication without out-of-band runs
+            **({"idle_rerun": {
+                   "idle": rerun["idle"],
+                   "load": rerun["load_before"][0],
+                   "n": len(rerun["timings"]),
+                   "ratio_max": max(rerun["ratios"].values(), default=0.0),
+               }} if rerun else {}),
             # full-sweep retry trail (r9): one summary per attempt, the
             # reported attempt flagged — a never-idle host is auditable
             "loadavg_peak": chosen["load_peak"],

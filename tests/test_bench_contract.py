@@ -241,3 +241,49 @@ def test_pick_cleanest_prefers_first_uncontaminated():
     # ratio tie: lower total wins
     assert bench.pick_cleanest(
         [att(True, 1.2, 40.0), att(True, 1.2, 35.0)]) == 1
+
+
+def test_idle_rerun_skips_clean_or_spikeless_attempts(monkeypatch):
+    """The embedded idle rerun (VERDICT r12 item 2) only runs when the
+    chosen attempt is BOTH contaminated and carrying spikes — a clean
+    record, or a dirty one whose ratios all sit under the resample
+    threshold, adjudicates itself through the medians."""
+    clean = {"contaminated": False, "ratios": {"mr_wc": 3.0},
+             "ratios_v2": {}}
+    assert bench.idle_rerun(None, {}, "", clean) is None
+    dirty_no_spike = {"contaminated": True,
+                      "ratios": {"mr_wc": 1.1},
+                      "ratios_v2": {"bpe_train": 1.2}}
+    assert bench.idle_rerun(None, {}, "", dirty_no_spike) is None
+
+
+def test_idle_rerun_retimes_spikes_and_reports_idleness(spark, sf_dir,
+                                                        monkeypatch):
+    """A contaminated chosen attempt with spiked ratios in either
+    generation re-times exactly those queries after the extra idle
+    wait, ratios against the frozen baselines, and reports whether the
+    window was genuinely idle."""
+    waited = []
+
+    def fake_wait(max_wait=None, poll=None):
+        waited.append(max_wait)
+        return (0.5, 0.5, 0.5)
+
+    monkeypatch.setattr(bench, "wait_for_idle", fake_wait)
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.6, 0.5, 0.5))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_IDLE_RERUN_WAIT_SEC", "7")
+    chosen = {"contaminated": True,
+              "ratios": {"mr_wc": 3.4, "lang_id": 0.9},
+              "ratios_v2": {"bpe_train": 1.6}}
+    queries = {n: (lambda s, d: s.range(3))
+               for n in ("mr_wc", "bpe_train")}
+    out = bench.idle_rerun(spark, queries, sf_dir, chosen)
+    assert sorted(out["timings"]) == ["bpe_train", "mr_wc"]
+    assert out["idle"] is True and waited == [7.0]
+    assert set(out["ratios"]) == {"bpe_train", "mr_wc"}
+    assert all(r > 0 for r in out["ratios"].values())
+    # a never-idle window is reported as such, not hidden
+    monkeypatch.setattr(bench, "wait_for_idle",
+                        lambda max_wait=None, poll=None: (9.0, 9.0, 9.0))
+    out2 = bench.idle_rerun(spark, queries, sf_dir, chosen)
+    assert out2["idle"] is False
