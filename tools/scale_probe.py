@@ -160,12 +160,14 @@ def _span_corpus(out_dir: str, factor: int) -> None:
 # default single window and the two-pass sub-sharded scan
 # (SPARK_GRAFT_PACK_TWO_PASS=1; value-identity is pinned by
 # tests/test_training_layout.py, so this probe measures wall only).
-# Measured crossover on this host (r13): at 8x (720k docs in the hot
-# source) the single window still wins (1.05s vs 1.62s — a sub-second
-# one-task sort beats the two-pass overhead of an extra agg + join);
-# at 64x (5.76M hot docs) the two-pass form is ~2x faster (6.9s vs
-# 13.6s) and the gap widens with the factor since the window side's
-# hot task is strictly serial. Deployment rule in docs/SCALE.md.
+# Measured on an idle host, min of 3, warm JVM (r13): the single
+# window wins at 8x (720k hot docs: 1.18s vs 1.49s) and still —
+# narrowly — at 64x (5.76M: 5.62s vs 6.49s); the crossover lands
+# between 5.76M and 23M docs in the hot source, where the two-pass
+# form wins 1.28x (256x = 23M: 18.25s vs 23.29s) with the gap growing
+# — the window's hot task is strictly serial (its wall grows ~4.1x
+# per 4x data past 64x vs ~2.8x for two-pass). Deployment rule in
+# docs/SCALE.md.
 HOT_DOCS_1X = 100_000
 
 
@@ -409,7 +411,7 @@ def main() -> int:
 
     # Hot-source pack probe (r13) — see _hot_source_corpus
     hot_res: dict[tuple[str, int], float] = {}
-    HOT_FACTORS = (8, 64)        # brackets the measured crossover
+    HOT_FACTORS = (8, 256)       # brackets the measured crossover
     for factor in HOT_FACTORS:
         hwork = os.path.join(tempfile.gettempdir(), f"hot_pack_{factor}x")
         os.makedirs(hwork, exist_ok=True)
@@ -428,7 +430,8 @@ def main() -> int:
     for form in ("window", "two_pass"):
         w1, wn = hot_res[(form, HOT_FACTORS[0])], hot_res[(form,
                                                            HOT_FACTORS[-1])]
-        print(f"pack_sequences[hot_source/{form}]  1x: {w1:.2f}s   "
+        print(f"pack_sequences[hot_source/{form}]  "
+              f"{HOT_FACTORS[0]}x: {w1:.2f}s   "
               f"{HOT_FACTORS[-1]}x: {wn:.2f}s   "
               f"wall {wn / max(w1, 1e-9):.1f}x")
     print(f"pack_sequences[hot_source] two_pass/window at "
