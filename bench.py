@@ -167,6 +167,19 @@ AFTER_LOADAVG = 7.0
 IDLE_RERUN_WAIT_SEC = 900
 
 
+def time_query(spark, queries, name: str, sf_dir: str) -> float:
+    """THE single-query timing protocol, rendered once (r13 review —
+    the sweep, the resample, the idle rerun, the extra sidecar, and
+    the codec ceiling all share it): clear cached frames (ops may
+    persist internally), force full physical execution through the
+    noop sink, return seconds (unrounded; callers round)."""
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    queries[name](spark, sf_dir).write.mode("overwrite") \
+        .format("noop").save()
+    return time.perf_counter() - t0
+
+
 def idle_rerun(spark, queries, sf_dir: str, chosen: dict) -> dict | None:
     """Re-time the chosen attempt's spiked queries after an extra idle
     wait; None when the attempt is clean or nothing spiked (the medians
@@ -183,13 +196,8 @@ def idle_rerun(spark, queries, sf_dir: str, chosen: dict) -> dict | None:
         "SPARK_GRAFT_BENCH_IDLE_RERUN_WAIT_SEC", IDLE_RERUN_WAIT_SEC)))
     idle_thresh = float(os.environ.get(
         "SPARK_GRAFT_BENCH_IDLE_LOADAVG", IDLE_LOADAVG))
-    timings: dict[str, float] = {}
-    for name in spiked:
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.mode("overwrite") \
-            .format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    timings = {name: round(time_query(spark, queries, name, sf_dir), 3)
+               for name in spiked}
     rerun_ratios = {n: round(timings[n] / BASELINE_ALL[n], 2)
                     for n in spiked if n in BASELINE_ALL}
     return {
@@ -361,13 +369,8 @@ def run_headline_sweep(spark, queries, sf_dir: str, repeat: int) -> dict:
         nonlocal load_peak
         timings: dict[str, float] = {}
         for name in names:
-            runs = []
-            for _ in range(repeat):
-                spark.catalog.clearCache()  # ops may cache() internally
-                t0 = time.perf_counter()
-                queries[name](spark, sf_dir).write.mode("overwrite") \
-                    .format("noop").save()
-                runs.append(time.perf_counter() - t0)
+            runs = [time_query(spark, queries, name, sf_dir)
+                    for _ in range(repeat)]
             timings[name] = round(statistics.median(runs), 3)
             # per-query [min, median, max] so a reader can separate
             # noise from regression WITHIN one bench run: a wide
@@ -501,13 +504,8 @@ def main() -> None:
              "quality_train", "quality_classify",
              # round 12: held-out evaluation + the epoch capstone
              "quality_eval_holdout", "epoch_assembly")
-    extra: dict[str, float] = {}
-    for name in EXTRA:
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.mode("overwrite") \
-            .format("noop").save()
-        extra[name] = round(time.perf_counter() - t0, 3)
+    extra = {name: round(time_query(spark, queries, name, sf_dir), 3)
+             for name in EXTRA}
 
     # Codec throughput ceiling (VERDICT r5 item 6): the pure-Python
     # BMP/WAV/GIF/AVI codecs are the repo's one documented scale
@@ -520,15 +518,12 @@ def main() -> None:
     corpus_mb = (load_table(spark, sf_dir, "documents")
                  .agg(F.sum(F.octet_length("text"))).collect()[0][0]
                  or 0) / 1e6
-    codec_mb_s: dict[str, float] = {}
-    for name in ("image_decode_stats", "audio_decode_stats",
-                 "gif_decode_stats", "video_frame_stats",
-                 "media_decode_stats"):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.mode("overwrite") \
-            .format("noop").save()
-        codec_mb_s[name] = round(corpus_mb / (time.perf_counter() - t0), 2)
+    codec_mb_s = {
+        name: round(corpus_mb / time_query(spark, queries, name, sf_dir),
+                    2)
+        for name in ("image_decode_stats", "audio_decode_stats",
+                     "gif_decode_stats", "video_frame_stats",
+                     "media_decode_stats")}
 
     # CC-loop scale probe (VERDICT r5 item 5): cc_labels on synthetic
     # disjoint 8-node chains — |edges| grows 16x while component
@@ -563,11 +558,7 @@ def main() -> None:
     for name in resample_candidates({**ratios, **ratios_v2},
                                     load_before, load_after,
                                     load_peak=chosen["load_peak"]):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.mode("overwrite") \
-            .format("noop").save()
-        t = round(time.perf_counter() - t0, 3)
+        t = round(time_query(spark, queries, name, sf_dir), 3)
         resampled[name] = {
             "primary_sec": merged_timings[name], "resample_sec": t,
             "ratio_primary": {**ratios, **ratios_v2}[name],

@@ -962,16 +962,22 @@ def _memo_frame(spark: SparkSession, kind: str, sf_dir: str,
             return _restore_persist(cached)
     frame = build()                     # outside the lock: metadata work
     with _SPAN_WINDOWS_LOCK:
-        # re-read the stamp under the insert lock (ADVICE r12): the
-        # frame's parquet reads are LAZY — actions see whatever is on
-        # disk when they run — so a corpus rewritten between the first
-        # stamp read and here must not get its new data cached under
-        # the pre-rewrite stamp, where a caller from BEFORE the rewrite
-        # would wrongly hit it. The residual window (a rewrite landing
-        # after this re-read but before the consumer's first action) is
-        # the irreducible lazy-read race every stamp scheme has; the
-        # next call re-stamps and recomputes.
-        key = (app, kind, path, _corpus_stamp(sf_dir))
+        # The insert key deliberately keeps the stamp read BEFORE
+        # build() (ADVICE r12, resolved per its accept-and-document
+        # option after the r13 review): spark.read pins the parquet
+        # FILE LISTING at plan construction (InMemoryFileIndex), so a
+        # frame planned before a mid-build corpus rewrite references
+        # the pre-rewrite part files forever. Keying it under the
+        # pre-build stamp is the self-healing choice — no post-rewrite
+        # caller can ever hit it (their fresh stamp differs), and the
+        # first post-rewrite insert evicts it via the same-(kind, path)
+        # stale-stamp sweep below. Re-stamping at insert (the r13
+        # first attempt) would do the opposite: cache the old-listing
+        # frame under the POST-rewrite stamp, poisoning every future
+        # caller with deleted-file reads. The only loser under the
+        # pre-build key is a caller already racing the rewrite, whose
+        # read was doomed to one of the two corpus states anyway — the
+        # irreducible window every stamp scheme has.
         cached = _SPAN_WINDOWS_CACHE.get(key)
         if cached is not None:          # a racer inserted first: use its
             _lru_touch(key)

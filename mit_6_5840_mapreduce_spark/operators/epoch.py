@@ -36,8 +36,10 @@ design (occurrence-capped self-join, docs/SCALE.md); the resample
 join is broadcast; packing is ``pack_assignment`` — one prefix-sum
 window per source by default, the IMPLEMENTED two-pass sub-sharded
 scan under ``SPARK_GRAFT_PACK_TWO_PASS=1`` for a hot source
-(value-identical; measured ~2× past the crossover —
-docs/SCALE.md); the per-sequence collect_list is bounded by
+(value-identical; measured 1.28× faster at 23M hot docs with a
+growing gap, and task-bounded memory where the window form must sort
+the whole source in one task — docs/SCALE.md); the per-sequence
+collect_list is bounded by
 PACK_BUDGET members (every packed doc holds ≥ 1 token, so at most
 PACK_BUDGET docs start inside one sequence — the bounded-group
 class); the shuffle stage windows over the SEQUENCE table

@@ -492,14 +492,17 @@ def test_span_memo_eviction_is_lru_not_fifo(spark, tmp_path_factory):
     assert resident == {dirs["a"], dirs["c"], dirs["d"]}
 
 
-def test_span_memo_insert_restamps_after_mid_build_rewrite(
+def test_span_memo_mid_build_rewrite_cannot_poison_future_callers(
         spark, tmp_path_factory):
-    """ADVICE r12 (TOCTOU): a corpus rewritten between the first stamp
-    read and build() must land in the cache under the POST-rewrite
-    stamp — the lazily-read frame sees the rewritten bytes at action
-    time, so caching it under the pre-rewrite stamp would serve the
-    new data to a pre-rewrite-stamped caller and miss for the caller
-    who actually wrote it."""
+    """ADVICE r12 (TOCTOU), resolved per its accept-and-document option
+    after the r13 review: spark.read pins the parquet FILE LISTING at
+    plan construction, so a frame planned before a mid-build rewrite
+    references the pre-rewrite files forever. The memo must key that
+    frame under the PRE-build stamp — then no post-rewrite caller can
+    hit it (their fresh stamp differs; they miss and rebuild with a
+    fresh listing). Re-stamping at insert would cache the old-listing
+    frame under the post-rewrite stamp and poison every future
+    caller."""
     import time as _time
 
     from mit_6_5840_mapreduce_spark.operators import dedup
@@ -519,9 +522,19 @@ def test_span_memo_insert_restamps_after_mid_build_rewrite(
         return spark.range(1)
 
     try:
-        dedup._memo_frame(spark, "toctou-test", d, rewriting_build)
+        stale = dedup._memo_frame(spark, "toctou-test", d,
+                                  rewriting_build)
         stamp_after = dedup._corpus_stamp(d)
         assert stamp_after != stamp_before
+        # the mid-rewrite frame is keyed under the PRE-build stamp ...
+        keys = [k for k in dedup._SPAN_WINDOWS_CACHE
+                if k[1] == "toctou-test"]
+        assert [k[3] for k in keys] == [stamp_before]
+        # ... so a post-rewrite caller MISSES it, rebuilds against the
+        # rewritten corpus, and the insert sweep evicts the stale entry
+        fresh = dedup._memo_frame(spark, "toctou-test", d,
+                                  lambda: spark.range(2))
+        assert fresh is not stale
         keys = [k for k in dedup._SPAN_WINDOWS_CACHE
                 if k[1] == "toctou-test"]
         assert [k[3] for k in keys] == [stamp_after]

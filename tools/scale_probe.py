@@ -156,7 +156,8 @@ def _span_corpus(out_dir: str, factor: int) -> None:
 # prefix sum is one window per source, so a source holding ~90% of the
 # corpus serializes ~90% of rows through ONE task's sort. The probe
 # corpus plants exactly that shape (9 of 10 docs in "hot", the rest
-# spread over 8 cold sources) and times BOTH physical forms — the
+# spread over 4 cold sources — cold ids are multiples of 10, so
+# id % 8 only takes {0, 2, 4, 6}) and times BOTH physical forms — the
 # default single window and the two-pass sub-sharded scan
 # (SPARK_GRAFT_PACK_TWO_PASS=1; value-identity is pinned by
 # tests/test_training_layout.py, so this probe measures wall only).
@@ -419,7 +420,7 @@ def main() -> int:
         for form, env in (("window", "0"), ("two_pass", "1")):
             os.environ["SPARK_GRAFT_PACK_TWO_PASS"] = env
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):      # min of 3 — the crossover protocol
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 queries["pack_sequences"](spark, hwork).write.mode(
