@@ -145,13 +145,20 @@ IDLE_POLL_SEC = 20
 # a local[32] sweep on an otherwise-idle host drives the 1-min loadavg
 # to ~4-5 all by itself (measured on the first round-8 run, which
 # self-stamped as contaminated), while genuine co-tenant bursts in the
-# r6/r7 record read 7.5-13. Recalibrated 6.0 -> 7.0 in r9: the sweep
-# got ~20% faster (denser stage activity per wall-second), and two
-# independent idle-start sweeps measured the self-footprint at
-# 6.61/6.65 — both with ratio_median 0.83, i.e. BETTER than the idle
-# r1 baseline, which external load cannot produce — so 6.x after-reads
-# are the bench itself; today's genuine bursts read 8.3-9.6.
-AFTER_LOADAVG = 7.0
+# r6/r7 record read 7.5-13. Recalibrated 6.0 -> 7.0 in r9 (idle-start
+# self-footprint then: 6.61/6.65). Recalibrated 7.0 -> 14.0 in r13:
+# the suite is denser again (the v2 generation swept every round,
+# faster queries = more stage churn per wall-second) — a controlled
+# idle-host measurement of ONE un-repeated headline+v2 pass peaked at
+# 8.11 all by itself (start load 0.24), and two full idle-start
+# sweeps peaked at 11.08/13.08 with ratio medians 0.90/0.91 (BETTER
+# than the idle r1 baseline, which external load cannot produce) and
+# load collapsing to ~0.25 within minutes of bench exit — those peaks
+# ARE the bench. Genuine co-tenant episodes in the record read 20-28
+# (r12). Bursts in the now-ambiguous 8-14 band are covered by the
+# ratio machinery (resample + retry-stop + idle rerun), which is the
+# robust signal regardless of the stamp.
+AFTER_LOADAVG = 14.0
 
 # Embedded idle rerun (VERDICT r12 item 2): r12 shipped three
 # contaminated sweep attempts in a row (loadavg to 28), so the artifact

@@ -177,21 +177,27 @@ def test_bench_extra_set_is_registered_with_oracles_or_rows_only():
 def test_contaminated_stamp_thresholds(monkeypatch):
     """The round-8 artifact-of-record guard (VERDICT r7 item 3):
     asymmetric thresholds — the host must be idle BEFORE the sweep,
-    while the after reading tolerates the bench's own local[32]
-    footprint (~4-5 loadavg on an idle host) and only flags genuine
-    co-tenant bursts (7.5-13 in the r6/r7 record)."""
-    idle, self_load, burst = (0.4, 0.2, 0.1), (4.8, 3.0, 1.5), (9.0,) * 3
+    while the after reading tolerates the bench's OWN local[32]
+    footprint and only flags genuine co-tenant episodes (20-28 in the
+    r12 record). r13 recalibration: a controlled idle-host pass of the
+    headline+v2 sets peaked at 8.11 all by itself and two full
+    idle-start sweeps peaked at 11.08/13.08 with sub-baseline ratio
+    medians (impossible under external load) — so readings up to ~13
+    are the bench; the 8-14 band is adjudicated by the ratio
+    machinery, not the stamp."""
+    idle, self_load = (0.4, 0.2, 0.1), (4.8, 3.0, 1.5)
+    burst = (20.0,) * 3
     assert not bench.contaminated(idle, idle)
     assert not bench.contaminated(idle, self_load)   # bench's own load
-    # r9 recalibration: two idle-start sweeps with ratio_median 0.83
-    # (impossible under external load) read 6.61/6.65 after — the
-    # faster sweep's own footprint must not self-stamp
+    # r13 recalibration: measured self-footprint peaks (8.11 single
+    # pass; 11.08/13.08 full sweeps, both with ratio_median ~0.9)
+    # must not self-stamp
     assert not bench.contaminated(idle, (6.65, 6.3, 6.17))
-    # r9 mid-sweep peak: clean endpoints around a decayed burst must
-    # stamp (observed live: six adjacent spiked medians, endpoints
-    # 1.7 -> 6.62, mid-sweep load 10+); the self-footprint peak must not
-    assert bench.contaminated(idle, self_load, load_peak=10.2)
-    assert not bench.contaminated(idle, self_load, load_peak=6.7)
+    assert not bench.contaminated(idle, (11.4, 6.6, 5.5))
+    assert not bench.contaminated(idle, self_load, load_peak=13.1)
+    # a genuine co-tenant episode (the r12 record read 20-28) stamps,
+    # whether it survives to the endpoint or only the mid-sweep peak
+    assert bench.contaminated(idle, self_load, load_peak=20.4)
     assert bench.contaminated(self_load, idle)       # not idle at start
     assert bench.contaminated(idle, burst)           # external burst
     # boundary parity with wait_for_idle's busy predicate (>=): a host
@@ -199,8 +205,8 @@ def test_contaminated_stamp_thresholds(monkeypatch):
     # so the sweep must carry the stamp
     at_thresh = (bench.IDLE_LOADAVG, 0.0, 0.0)
     assert bench.contaminated(at_thresh, idle)
-    monkeypatch.setenv("SPARK_GRAFT_BENCH_IDLE_LOADAVG", "10")
-    monkeypatch.setenv("SPARK_GRAFT_BENCH_AFTER_LOADAVG", "10")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_IDLE_LOADAVG", "25")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_AFTER_LOADAVG", "25")
     assert not bench.contaminated(burst, burst)
 
 
