@@ -40,10 +40,10 @@ from mit_6_5840_mapreduce_spark.operators.dedup import (
     token_rows_sql,
 )
 from mit_6_5840_mapreduce_spark.operators.textstats import (
-    SPLIT_BUCKETS,
     TRAIN_PCT,
     VAL_PCT,
     doc_split,
+    split_bucket_sql,
 )
 from mit_6_5840_mapreduce_spark.sources.tables import fan_out, load_table
 
@@ -340,15 +340,15 @@ QUERIES = {
     "decontaminate_span_scrub": decontaminate_span_scrub,
 }
 
+# Named-split oracle fragment: composes textstats' single-sourced
+# bucket rule (VERDICT r13 item 1 — a third rendering of the md5
+# formula previously lived here)
 _SPLIT_SQL = f"""
         SELECT doc_id,
                CASE WHEN b < {TRAIN_PCT} THEN 'train'
                     WHEN b < {TRAIN_PCT + VAL_PCT} THEN 'val'
                     ELSE 'test' END AS split
-        FROM (SELECT doc_id,
-                     CAST(concat('0x',
-                          substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                          AS BIGINT) % {SPLIT_BUCKETS} AS b
+        FROM (SELECT doc_id, {split_bucket_sql()} AS b
               FROM documents)
 """
 

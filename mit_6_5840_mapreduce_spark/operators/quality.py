@@ -120,31 +120,54 @@ def _predict(w: tuple[float, float, float, float]) -> Column:
             + F.lit(w[2]) * F.col("x2")) + F.lit(w[3]) * F.col("x3")
 
 
-def _gd_pass(feats: DataFrame, w: tuple[float, float, float, float]):
-    """One full-batch pass at weights ``w``: integer gradient sums (the
-    order-free quantized form), correct-prediction count, quantized
-    SSE, and n — a single map-side-combined aggregation."""
+def _gd_pass(feats: DataFrame, w: tuple[float, float, float, float],
+             split: bool = False):
+    """THE full-batch GD pass at weights ``w``, single-sourced (VERDICT
+    r12 item 7's scheduled fold — previously an ungated ``_gd_pass``
+    and a gated ``_gd_pass_split`` rendered the quantized gradient
+    expressions twice). One map-side-combined aggregation emitting:
+    integer gradient sums (the order-free quantized form), quantized
+    SSE, and correct-prediction/row counts per subset.
+
+    ``split=False`` (quality_train/quality_classify): every row is a
+    TRAIN row — the gate constant-folds to true, so n_train is the
+    full row count and the holdout columns read 0. ``split=True``
+    (quality_eval_holdout): ``feats`` carries ``is_train``; gradient
+    sums are gated to TRAIN rows (holdout rows contribute exactly 0 —
+    the model never sees them) and accuracy is measured on BOTH
+    subsets."""
     p = _predict(w)
     r = p - F.col("y")
-
-    def q(c: Column) -> Column:
-        return F.floor(c * F.lit(GRAD_SCALE)).cast("long")
-
+    t = F.col("is_train") if split else F.lit(True)
     zero = F.lit(0).cast("long")
-    # coalesce: sum() over ZERO rows is NULL — the empty-corpus
-    # contract is the zero-model trace (gradients 0, metrics 0), same
-    # coalesce in the oracle
+
+    def qt(c: Column) -> Column:
+        # gate BEFORE the quantization so a holdout row contributes the
+        # exact integer 0, not floor(0.0-ish) of an evaluated term;
+        # coalesce: sum() over ZERO rows is NULL — the empty-corpus
+        # contract is the zero-model trace (gradients 0, metrics 0),
+        # same coalesce in the oracle
+        return F.coalesce(
+            F.sum(F.when(t, F.floor(c * F.lit(GRAD_SCALE)).cast("long"))
+                  .otherwise(zero)), zero)
+
+    correct = (p >= F.lit(0.5)) == (F.col("y") == F.lit(1.0))
+
+    def n(subset: Column) -> Column:
+        return F.coalesce(
+            F.sum(F.when(subset, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long"), zero)
+
     return feats.agg(
-        F.coalesce(F.sum(q(r)), zero).alias("g0"),
-        F.coalesce(F.sum(q(r * F.col("x1"))), zero).alias("g1"),
-        F.coalesce(F.sum(q(r * F.col("x2"))), zero).alias("g2"),
-        F.coalesce(F.sum(q(r * F.col("x3"))), zero).alias("g3"),
-        F.coalesce(
-            F.sum(F.when((p >= F.lit(0.5)) == (F.col("y") == F.lit(1.0)),
-                         F.lit(1)).otherwise(F.lit(0))).cast("long"),
-            zero).alias("n_correct"),
-        F.coalesce(F.sum(q(r * r)), zero).alias("sse_micro"),
-        F.count("*").alias("n"),
+        qt(r).alias("g0"),
+        qt(r * F.col("x1")).alias("g1"),
+        qt(r * F.col("x2")).alias("g2"),
+        qt(r * F.col("x3")).alias("g3"),
+        qt(r * r).alias("sse_micro"),
+        n(t).alias("n_train"),
+        n(t & correct).alias("n_correct_train"),
+        n(~t).alias("n_holdout"),
+        n(~t & correct).alias("n_correct_holdout"),
     ).collect()[0]
 
 
@@ -177,11 +200,13 @@ def _train_rows(spark: SparkSession, sf_dir: str
     rows = []
     for k in range(QUALITY_GD_ROUNDS + 1):
         res = _gd_pass(feats, w)
+        # ungated pass: every row is a TRAIN row, so the train-subset
+        # columns ARE the full-corpus count/accuracy
         rows.append((k, w[0], w[1], w[2], w[3],
-                     int(res["n_correct"]), int(res["sse_micro"])))
+                     int(res["n_correct_train"]), int(res["sse_micro"])))
         if k < QUALITY_GD_ROUNDS:
             w = _update(w, (res["g0"], res["g1"], res["g2"], res["g3"]),
-                        int(res["n"]))
+                        int(res["n_train"]))
     return rows, feats
 
 
@@ -225,63 +250,22 @@ def quality_classify(spark: SparkSession, sf_dir: str,
 
 
 def _is_train() -> Column:
-    """``doc_split``'s train-bucket membership as an inline expression
-    (md5 bucket of doc_id < TRAIN_PCT) — the identical deterministic
-    formula, applied as one extra projection instead of a join back to
-    a second documents scan (at 100 TB the join would shuffle the
-    corpus to attach one boolean a hash of the key already encodes).
-    ``tests/test_quality.py`` pins agreement with ``doc_split`` itself
-    so the two renderings of the formula cannot drift."""
+    """``doc_split``'s train-bucket membership as an inline expression:
+    THE single-sourced ``textstats.split_bucket`` rule compared against
+    TRAIN_PCT (VERDICT r13 item 1 — previously a second rendering of
+    the md5 formula lived here; now there is one source and
+    ``tests/test_quality.py`` pins that this gate and ``doc_split``'s
+    named split agree per document). Applied as one extra projection
+    instead of a join back to a second documents scan — at 100 TB the
+    join would shuffle the corpus to attach one boolean a hash of the
+    key already encodes."""
     from mit_6_5840_mapreduce_spark.operators.textstats import (
-        SPLIT_BUCKETS,
         TRAIN_PCT,
+        split_bucket,
     )
-    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
-                                 1, 8), 16, 10)
-              .cast("bigint") % SPLIT_BUCKETS)
-    return bucket < TRAIN_PCT
+    return split_bucket() < TRAIN_PCT
 
 
-def _gd_pass_split(feats: DataFrame, w: tuple[float, float, float, float]):
-    """One full-batch pass at weights ``w`` over a feature frame
-    carrying an ``is_train`` flag: gradient sums gated to TRAIN rows
-    (holdout rows contribute exactly 0 — the model never sees them),
-    correct-prediction counts measured on BOTH subsets, and the two
-    subset sizes — still a single map-side-combined aggregation."""
-    p = _predict(w)
-    r = p - F.col("y")
-    t = F.col("is_train")
-
-    def qt(c: Column) -> Column:
-        # gate BEFORE the quantization so a holdout row contributes the
-        # exact integer 0, not floor(0.0-ish) of an evaluated term
-        return F.coalesce(
-            F.sum(F.when(t, F.floor(c * F.lit(GRAD_SCALE)).cast("long"))
-                  .otherwise(F.lit(0).cast("long"))),
-            F.lit(0).cast("long"))
-
-    correct = (p >= F.lit(0.5)) == (F.col("y") == F.lit(1.0))
-
-    def n_correct(subset: Column) -> Column:
-        return F.coalesce(
-            F.sum(F.when(subset & correct, F.lit(1)).otherwise(F.lit(0)))
-            .cast("long"), F.lit(0).cast("long"))
-
-    def n(subset: Column) -> Column:
-        return F.coalesce(
-            F.sum(F.when(subset, F.lit(1)).otherwise(F.lit(0)))
-            .cast("long"), F.lit(0).cast("long"))
-
-    return feats.agg(
-        qt(r).alias("g0"),
-        qt(r * F.col("x1")).alias("g1"),
-        qt(r * F.col("x2")).alias("g2"),
-        qt(r * F.col("x3")).alias("g3"),
-        n(t).alias("n_train"),
-        n_correct(t).alias("n_correct_train"),
-        n(~t).alias("n_holdout"),
-        n_correct(~t).alias("n_correct_holdout"),
-    ).collect()[0]
 
 
 def quality_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,7 +296,7 @@ def quality_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (0.0, 0.0, 0.0, 0.0)
     rows = []
     for k in range(QUALITY_GD_ROUNDS + 1):
-        res = _gd_pass_split(feats, w)
+        res = _gd_pass(feats, w, split=True)
         rows.append((k, w[0], w[1], w[2], w[3],
                      int(res["n_train"]), int(res["n_correct_train"]),
                      int(res["n_holdout"]), int(res["n_correct_holdout"])))
@@ -411,8 +395,8 @@ def _replay_ctes_split(n_rounds: int) -> str:
     round's correct-prediction counts on both subsets."""
     from mit_6_5840_mapreduce_spark.operators.textstats import (
         ORACLES as _TEXT_ORACLES,
-        SPLIT_BUCKETS,
         TRAIN_PCT,
+        split_bucket_sql,
     )
     parts = [f"""
         dq AS MATERIALIZED ({_TEXT_ORACLES["doc_quality"]}),
@@ -424,9 +408,7 @@ def _replay_ctes_split(n_rounds: int) -> str:
                        AS x3,
                    CASE WHEN quality_score >= {QUALITY_LABEL_MIN}
                         THEN 1.0 ELSE 0.0 END AS y,
-                   (CAST(concat('0x', substring(
-                        md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                    % {SPLIT_BUCKETS}) < {TRAIN_PCT} AS is_train
+                   ({split_bucket_sql()}) < {TRAIN_PCT} AS is_train
             FROM dq
         ),
         nn AS (SELECT CAST(coalesce(sum(CASE WHEN is_train THEN 1

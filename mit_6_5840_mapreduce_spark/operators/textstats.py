@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -424,16 +424,36 @@ SPLIT_BUCKETS = 100
 TRAIN_PCT, VAL_PCT = 80, 10
 
 
+def split_bucket() -> Column:
+    """THE holdout-bucket rule, single-sourced (VERDICT r13 item 1):
+    first-8-hex md5 of doc_id read as a base-16 integer, mod
+    SPLIT_BUCKETS. Shared by ``doc_split`` (bucket -> named split) and
+    ``quality``'s inline train gate (bucket < TRAIN_PCT applied as one
+    extra projection — at 100 TB a join back to a second documents
+    scan would shuffle the corpus to attach one boolean a hash of the
+    key already encodes), so the two renderings cannot drift."""
+    return (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                               1, 8), 16, 10)
+            .cast("bigint") % SPLIT_BUCKETS)
+
+
+def split_bucket_sql() -> str:
+    """DuckDB rendering of ``split_bucket`` — every oracle that
+    re-derives the holdout split composes this fragment (doc_split's
+    oracle, quality's replay CTEs, corpus.py's ``_SPLIT_SQL``)."""
+    return ("CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), "
+            f"1, 8)) AS BIGINT) % {SPLIT_BUCKETS}")
+
+
 def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test holdout assignment: md5-bucket of
-    doc_id -> 80/10/10. No RNG and no state, so the split is
-    reproducible on any engine, cluster size, or partitioning — the
-    property a training pipeline actually needs from a holdout (a seeded
-    `sample()` changes with partition layout)."""
+    doc_id -> 80/10/10 (rule: ``split_bucket``). No RNG and no state,
+    so the split is reproducible on any engine, cluster size, or
+    partitioning — the property a training pipeline actually needs
+    from a holdout (a seeded `sample()` changes with partition
+    layout)."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
-                                 1, 8), 16, 10)
-              .cast("bigint") % SPLIT_BUCKETS)
+    bucket = split_bucket()
     return docs.select(
         "doc_id", bucket.alias("bucket"),
         F.when(bucket < TRAIN_PCT, "train")
@@ -866,10 +886,7 @@ ORACLES = {
                     WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
                     ELSE 'test' END AS split
         FROM (
-            SELECT doc_id,
-                   CAST(concat('0x',
-                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                        AS BIGINT) % {SPLIT_BUCKETS} AS bucket
+            SELECT doc_id, {split_bucket_sql()} AS bucket
             FROM documents
         )
     """,

