@@ -492,27 +492,25 @@ ORACLES = {
         WHERE s.split = 'train'
     """,
     "bigram_pmi": rf"""
-        WITH toks AS (
+        WITH dtoks AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(text),
                                                      '[^\p{{L}}]+'),
                                t -> t <> '') AS toks
             FROM documents
         ),
+        tok AS ({token_rows_sql("dtoks")}),
         bi AS (
-            SELECT unnest(list_transform(range(1, len(toks)),
-                          i -> toks[i] || ' ' || toks[i + 1])) AS bg
-            FROM toks WHERE len(toks) >= 2
+            SELECT a.word AS w1, b.word AS w2
+            FROM tok a
+            JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
         ),
-        uni AS (SELECT unnest(toks) AS w FROM toks),
-        c_uni AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
-        n_uni AS (SELECT count(*) AS nu FROM uni),
+        c_uni AS (SELECT word AS w, count(*) AS c FROM tok GROUP BY word),
+        n_uni AS (SELECT count(*) AS nu FROM tok),
         n_bi AS (SELECT count(*) AS nb FROM bi),
         c_bi AS (
-            SELECT split_part(bg, ' ', 1) AS w1,
-                   split_part(bg, ' ', 2) AS w2,
-                   count(*) AS c_xy
-            FROM bi GROUP BY bg
+            SELECT w1, w2, count(*) AS c_xy
+            FROM bi GROUP BY w1, w2
             HAVING count(*) >= {MIN_BIGRAM_COUNT}
         )
         SELECT w1, w2, c_xy,
@@ -536,13 +534,13 @@ ORACLES["doc_lm_score"] = rf"""
                                t -> t <> '') AS toks
             FROM documents
         ),
+        tok AS ({token_rows_sql("staged")}),
         bg AS (
-            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-            FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-                  FROM staged WHERE len(toks) >= 2)
+            SELECT a.doc_id, a.word AS w1, b.word AS w2
+            FROM tok a
+            JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
         ),
-        cu AS (SELECT w1, count(*) AS c_w1
-               FROM (SELECT unnest(toks) AS w1 FROM staged) GROUP BY w1),
+        cu AS (SELECT word AS w1, count(*) AS c_w1 FROM tok GROUP BY word),
         cb AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY w1, w2)
         SELECT doc_id, count(*) AS n_bigrams,
                CAST(sum((CAST(c_xy AS HUGEINT) * {LM_SCALE}) // c_w1)

@@ -125,3 +125,45 @@ def test_span_scrub_oracle_diff_on_reference_corpus(spark, pg_docs_dir):
 def test_bpe_train_oracle_diff_on_reference_corpus(spark, pg_docs_dir):
     rows = _oracle_diff(spark, pg_docs_dir, "bpe_train")
     assert len(rows) == 12                       # one row per merge round
+
+
+def test_bigram_pmi_oracle_diff_on_reference_corpus(spark, pg_docs_dir):
+    """The PMI oracle linearized through the shared ``token_rows_sql``
+    fragment (VERDICT r13 item 2): value-diff engine vs the REGISTERED
+    oracle on real book-length documents — the corpus shape where the
+    old per-position array-carry class of oracle was measured
+    quadratic (the r13 span-family lesson)."""
+    rows = _oracle_diff(spark, pg_docs_dir, "bigram_pmi")
+    # real English prose: collocations above the count floor must exist
+    assert len(rows) > 100
+
+
+def test_doc_lm_score_oracle_diff_on_reference_corpus(spark, pg_docs_dir):
+    """Same linearization class as bigram_pmi (the ``toks[i]``-carry
+    rewritten to a pos/pos+1 equi-join over token rows)."""
+    rows = _oracle_diff(spark, pg_docs_dir, "doc_lm_score")
+    assert len(rows) == 8
+
+
+def test_ngram_jaccard_capped_oracle_diff_on_reference_corpus(
+        spark, pg_docs_dir):
+    """Capped dedup family on ORGANIC near-duplicate surface (VERDICT
+    r13 item 4): the 8 books share the Project Gutenberg license
+    boilerplate, so the shingle inverted index meets real cross-doc
+    overlap the synthetic corpus cannot produce."""
+    _oracle_diff(spark, pg_docs_dir, "dedup_ngram_jaccard_capped")
+
+
+def test_shingle_containment_oracle_diff_on_reference_corpus(
+        spark, pg_docs_dir):
+    rows = _oracle_diff(spark, pg_docs_dir, "shingle_containment")
+    # whole-BOOK containment of the shared license boilerplate is a
+    # tiny fraction of each 70k-token doc, so both engines agree the
+    # thresholded result is EMPTY here — the organic-overlap signal is
+    # asserted by the span-family tests above; this diff pins that the
+    # inverted-index join + threshold agree on real text
+    assert rows == []
+
+
+def test_minhash_lsh_oracle_diff_on_reference_corpus(spark, pg_docs_dir):
+    _oracle_diff(spark, pg_docs_dir, "dedup_minhash_lsh")
