@@ -34,9 +34,9 @@ n_docs, seq_tokens, doc_ids in packing order, shard, pos).
 Scale design (100 TB): the span scrub dominates and carries its own
 design (occurrence-capped self-join, docs/SCALE.md); the resample
 join is broadcast; packing is ``pack_assignment`` — one prefix-sum
-window per source by default, the IMPLEMENTED two-pass sub-sharded
-scan under ``SPARK_GRAFT_PACK_TWO_PASS=1`` for a hot source
-(value-identical; measured 1.28× faster at 23M hot docs with a
+window per source for small sources, the two-pass sub-sharded scan
+AUTO-SELECTED past PACK_HOT_DOCS in the hottest source (r14;
+value-identical; measured 1.28× faster at 23M hot docs with a
 growing gap, and task-bounded memory where the window form must sort
 the whole source in one task — docs/SCALE.md); the per-sequence
 collect_list is bounded by

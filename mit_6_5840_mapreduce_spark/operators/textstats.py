@@ -594,16 +594,35 @@ def token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BUDGET = 256                 # tokens per packed training sequence
 
 # Two-pass packing form: contiguous doc_ids per sub-shard. The default
-# single-window form is optimal while sources are numerous; the knob
-# (read at call time so probes/tests flip it per run) switches to the
-# classic two-pass distributed scan for a HOT source — see
+# single-window form is optimal while sources are numerous; the
+# two-pass distributed scan takes over for a HOT source — see
 # pack_assignment's docstring and the hot-source probe in
 # tools/scale_probe.py.
 PACK_SUBSHARD_DOCS = 4096
 
+# Auto-switch boundary (VERDICT r13 item 3): the idle-host crossover
+# was MEASURED between ~6M and ~23M docs in the hottest source
+# (tools/scale_probe.py hot-source section, NOTES_r13 — two-pass wins
+# 1.28x at 23M with a growing gap, and its real 100 TB advantage is
+# task MEMORY: the window form sorts the hot source's whole row set in
+# ONE task). 10M sits inside the measured band, so below it the
+# window's one-task sort is both faster and safely small.
+PACK_HOT_DOCS = 10_000_000
 
-def _pack_two_pass() -> bool:
-    return os.environ.get("SPARK_GRAFT_PACK_TWO_PASS", "0") == "1"
+
+def _pack_mode() -> str:
+    """Packing form selection: the ``SPARK_GRAFT_PACK_TWO_PASS`` knob
+    (read at call time so probes/tests flip it per run) forces a form
+    ("1" = two-pass, "0" = window); otherwise ``pack_assignment``
+    decides from the staged frame's own per-source counts — the
+    100 TB default no longer rides on an operator remembering to flip
+    a knob (VERDICT r13 item 3)."""
+    v = os.environ.get("SPARK_GRAFT_PACK_TWO_PASS", "")
+    if v == "1":
+        return "two_pass"
+    if v == "0":
+        return "window"
+    return "auto"
 
 
 def pack_assignment(staged: DataFrame, n_col: str) -> DataFrame:
@@ -618,20 +637,34 @@ def pack_assignment(staged: DataFrame, n_col: str) -> DataFrame:
 
     Two physical forms, value-identical by construction — the offset
     arithmetic does not depend on how the prefix sum was computed
-    (pinned across forms by tests/test_training_layout.py):
+    (pinned across forms AND across the auto-switch boundary by
+    tests/test_training_layout.py):
 
-    - default: ONE prefix-sum window per source — fewest shuffles, but
-      a hot source puts all its rows through one task's sort;
-    - ``SPARK_GRAFT_PACK_TWO_PASS=1``: the two-pass distributed scan —
+    - window form: ONE prefix-sum window per source — fewest shuffles,
+      but a hot source puts all its rows through one task's sort;
+    - two-pass form: the classic two-pass distributed scan —
       contiguous doc_id sub-shards take local prefix sums in parallel
       under a (source, sub-shard) window; per-sub-shard totals (one
       tiny row each) prefix-sum into cumulative offsets; an equi-join
       on the same keys (no extra corpus exchange — the window already
       hashed on them) adds the offset back. A source holding 90% of
       the corpus spreads over ~|docs|/PACK_SUBSHARD_DOCS tasks instead
-      of one (measured: tools/scale_probe.py hot-source probe)."""
+      of one (measured: tools/scale_probe.py hot-source probe).
+
+    Form selection is AUTOMATIC (VERDICT r13 item 3): one source-only
+    counting aggregation over the staged frame (Catalyst prunes the
+    token-count expression away, so this scans just the source column;
+    the result is ONE scalar to the driver — the ivf_train rule)
+    reads the hottest source's row count and picks two-pass past
+    PACK_HOT_DOCS. The env knob still forces either form (probes,
+    tests, operator override)."""
     from pyspark.sql.window import Window
-    if not _pack_two_pass():
+    mode = _pack_mode()
+    if mode == "auto":
+        hot = (staged.groupBy("source").count()
+               .agg(F.max("count")).collect()[0][0]) or 0
+        mode = "two_pass" if hot > PACK_HOT_DOCS else "window"
+    if mode == "window":
         w = Window.partitionBy("source").orderBy("doc_id") \
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         cum = staged.withColumn("cum", F.sum(n_col).over(w))

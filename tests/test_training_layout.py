@@ -143,3 +143,46 @@ def test_epoch_assembly_identical_under_two_pass_packing(
     monkeypatch.setattr(textstats, "PACK_SUBSHARD_DOCS", 16)
     two_pass = sorted(map(tuple, q(spark, hot_source_dir).collect()))
     assert two_pass == single
+
+
+def test_pack_auto_selects_two_pass_past_hot_doc_boundary(
+        spark, hot_source_dir, monkeypatch):
+    """VERDICT r13 item 3: with the env knob unset, pack_assignment
+    picks its form from the staged frame's own per-source counts.
+    Patch the boundary to straddle the planted hot source (360 docs)
+    from both sides and pin (a) which form runs — observed through the
+    plan's window-spec signature — and (b) that values are identical
+    across the boundary."""
+    monkeypatch.delenv("SPARK_GRAFT_PACK_TWO_PASS", raising=False)
+    monkeypatch.setattr(textstats, "PACK_SUBSHARD_DOCS", 16)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # boundary ABOVE the hot count -> window form (no sub-shard window)
+    monkeypatch.setattr(textstats, "PACK_HOT_DOCS", 100_000)
+    below = pack_sequences(spark, hot_source_dir)
+    assert "sub" not in plan(below)
+    rows_below = sorted(map(tuple, below.collect()))
+    # boundary BELOW the hot count -> two-pass form (sub-shard keys in
+    # the plan), values identical
+    monkeypatch.setattr(textstats, "PACK_HOT_DOCS", 100)
+    above = pack_sequences(spark, hot_source_dir)
+    assert "sub" in plan(above)
+    rows_above = sorted(map(tuple, above.collect()))
+    assert rows_above == rows_below and len(rows_below) == 400
+
+
+def test_pack_env_knob_overrides_auto(spark, hot_source_dir, monkeypatch):
+    """The knob stays an override: '0' forces the window form even when
+    the auto rule would pick two-pass."""
+    monkeypatch.setattr(textstats, "PACK_SUBSHARD_DOCS", 16)
+    monkeypatch.setattr(textstats, "PACK_HOT_DOCS", 100)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    monkeypatch.setenv("SPARK_GRAFT_PACK_TWO_PASS", "0")
+    assert "sub" not in plan(pack_sequences(spark, hot_source_dir))
+    monkeypatch.setenv("SPARK_GRAFT_PACK_TWO_PASS", "1")
+    assert "sub" in plan(pack_sequences(spark, hot_source_dir))
