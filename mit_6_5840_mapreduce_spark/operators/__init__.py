@@ -68,7 +68,10 @@ WINDOW_FIRST: tuple[str, ...] = (
     # item 3) ...
     "epoch_assembly",
     # ... and the span family consumes the memo hardened per ADVICE
-    # r12 (LRU eviction, stamp re-read under the insert lock)
+    # r12 (LRU eviction; inserts keyed by the PRE-build corpus stamp —
+    # the accept-and-document design: a frame built over a mid-rewrite
+    # corpus is keyed by the stamp read BEFORE the build, so fresh-stamp
+    # callers never reach it and the next insert sweep evicts it)
     "dedup_span_pairs", "dedup_span_scrub", "duplicate_spans",
     "contamination_spans", "decontaminate_span_scrub",
     # staleness rotation, oldest first: the full 21-name r8 tail —

@@ -90,7 +90,14 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train BPE_MERGES merge rules on the corpus; returns the ordered
     merge table (rank, left, right, pair_count) — see module docstring
     for the determinism and scale contract."""
-    vocab = _word_vocab(spark, sf_dir).localCheckpoint(eager=True)
+    # lazy checkpoints (r14, guide §1.2): each round's vocab has exactly
+    # ONE consumer job (the next round's top-pair collect), so eager
+    # materialization was a second job per round that computed nothing
+    # the collect wouldn't — the checkpoint now materializes inside the
+    # consumer job (no double-compute risk: single consumer stage).
+    # Lineage is still truncated every round, so plans stay one-merge
+    # deep instead of nesting BPE_MERGES folds.
+    vocab = _word_vocab(spark, sf_dir).localCheckpoint(eager=False)
     adjacent = F.when(
         F.size("syms") >= 2,
         F.transform(F.sequence(F.lit(1), F.size("syms") - 1),
@@ -111,7 +118,7 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = (vocab.select("cnt",
                               _merge_pair(F.col("syms"), a, b)
                               .alias("syms"))
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
     return spark.createDataFrame(
         merges, "rank INT, left STRING, right STRING, pair_count BIGINT")
 

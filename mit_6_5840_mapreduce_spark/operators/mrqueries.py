@@ -44,16 +44,23 @@ def mr_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference dedups (word, doc) pairs map-side with a set
     (``src/mrapps/indexer.go:21-25``) and sorts the doc list in Reduce
     (``indexer.go:37``); ``collect_set`` + ``sort_array`` reproduces both.
+
+    ONE shuffle (r14, guide §2.4): ``collect_set`` dedups (word, doc)
+    itself — partial sets map-side, merged reduce-side — so the
+    pre-``distinct()`` this used to do was a second full exchange of
+    the same pairs for nothing; ``doc_count`` is the set's size. This
+    is exactly the reference's map-side-set shape.
     """
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     return (
         tokens_df(docs)
         .select("word", F.col("doc_id").cast("string").alias("doc"))
-        .distinct()
         .groupBy("word")
-        .agg(
-            F.count("doc").alias("doc_count"),
-            F.concat_ws(",", F.sort_array(F.collect_set("doc"))).alias("docs"),
+        .agg(F.sort_array(F.collect_set("doc")).alias("doc_set"))
+        .select(
+            "word",
+            F.size("doc_set").cast("bigint").alias("doc_count"),
+            F.concat_ws(",", "doc_set").alias("docs"),
         )
     )
 

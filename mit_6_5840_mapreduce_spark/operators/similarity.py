@@ -641,34 +641,46 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     quant = emb.select("vec_id", qv.alias("qv"))
     # grouped vectors only: the dim explosion never touches singletons
     grouped = quant.join(labels, "vec_id")
-    qd = grouped.select("vec_id", "group_id",
-                        F.posexplode("qv").alias("dim", "qx"))
-    sums = qd.groupBy("group_id", "dim").agg(F.sum("qx").alias("sx"))
+    # Centroid sums as ONE wide hash-agg (r14, guide §2.3/§2.4 — the
+    # _minhash_sig_wide pattern): 64 per-dim integer sums in a single
+    # pass keyed by group_id. The previous form posexploded every
+    # grouped vector into 64 (group, dim, qx) rows, shuffled them to a
+    # (group_id, dim) aggregate, shuffled the SAME 64x rows again into
+    # a join against that aggregate, and re-aggregated per vec — two
+    # exchanges of 64x-exploded rows for what is a per-row fold once
+    # the per-group sums ride along as an array. Integer sums are
+    # order-free, so values are bit-identical.
+    sums = (grouped.groupBy("group_id")
+            .agg(*[F.sum(F.element_at("qv", d + 1)).alias(f"s{d}")
+                   for d in range(EMB_DIM)])
+            .select("group_id",
+                    F.array(*[F.col(f"s{d}")
+                              for d in range(EMB_DIM)]).alias("sarr")))
     # dot accumulates in exact decimal (DuckDB: HUGEINT — the r6
-    # user_value_outliers discipline), in the r8 row_units SHAPE: the
-    # per-row product is computed in BIGINT and cast to DECIMAL(18,0),
-    # so the sum stays on Spark's unscaled-long aggregation path and
-    # lands a DECIMAL(28,0) total (a per-row (38,0) operand forces the
-    # slow wide-decimal accumulation — the sessionize lesson,
-    # functions/numeric.py:52). Overflow stays LOUD, and the envelope
-    # trade is explicit (ADVICE r9): vs the pre-r7 all-BIGINT form this
-    # widened the cliff from a ~33M-member group (the 64-dim BIGINT sum)
-    # to ~2.3e8 (the (18,0) row cast raises under ANSI at qx*sx > 1e18,
-    # qx ~ 2^16, sx ~ g * 2^16); vs the (38,0) rows this code replaced
-    # it NARROWS from effectively unbounded to that same ~2.3e8-member
-    # cliff — an ACCEPTED loud bound, pinned by
-    # tests/test_decimal_overflow.py and recorded in docs/SCALE.md,
-    # bought for the ~20% hot-aggregate saving. The (28,0) total holds
-    # 64 rows of 1e18 with 1e9x headroom. The exact integer converts to
-    # DOUBLE at the same ranking division either way, so values are
-    # unchanged.
+    # user_value_outliers discipline): the per-element product is
+    # computed in BIGINT and cast to DECIMAL(18,0) — overflow stays
+    # LOUD under ANSI, the ~2.3e8-member-group cliff documented in
+    # docs/SCALE.md and pinned by tests/test_decimal_overflow.py is
+    # unchanged (qx*sx > 1e18 raises at the same group size) — and the
+    # fold accumulates the (18,0) terms into a DECIMAL(38,0) running
+    # total (64 terms of <= 1e18 never approach 1e38). The exact
+    # integer converts to DOUBLE at the same ranking division as the
+    # old DECIMAL(28,0) aggregate, so ranking values are unchanged.
+    def _fold_dec(terms: Column) -> Column:
+        return F.aggregate(
+            terms, F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: (acc + x).cast("decimal(38,0)"))
+
     dots = (
-        qd.join(sums, ["group_id", "dim"])
-        .groupBy("vec_id", "group_id")
-        .agg(F.sum((F.col("qx") * F.col("sx")).cast("decimal(18,0)"))
-             .alias("dot"),
-             F.sum((F.col("qx") * F.col("qx")).cast("decimal(18,0)"))
-             .alias("nrm2"))
+        grouped.join(sums, "group_id")
+        .select(
+            "vec_id", "group_id",
+            _fold_dec(F.zip_with(
+                "qv", "sarr",
+                lambda x, y: (x * y).cast("decimal(18,0)"))).alias("dot"),
+            _fold_dec(F.transform(
+                "qv",
+                lambda x: (x * x).cast("decimal(18,0)"))).alias("nrm2"))
     )
     w = Window.partitionBy("group_id").orderBy(
         F.desc(F.col("dot") / F.sqrt(F.col("nrm2"))), F.asc("vec_id"))

@@ -34,36 +34,33 @@ PUNCT_STRIP_RE = r"[\p{L}\p{N}\s]"
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID: per doc, hits per lexicon -> argmax
-    (ties -> lexicographically smallest language; no hits -> 'und')."""
+    (ties -> lexicographically smallest language; no hits -> 'und').
+
+    SHUFFLE-FREE form (r14, guide §2.4): the lexicons are 10-word
+    constants, so per-lexicon hit counts are a per-row JVM expression —
+    ``size(filter(toks, t -> t IN lexicon))`` — and the argmax is
+    ``array_min`` over the (-hits, lang) structs of the lexicons that
+    hit (struct ordering is field-by-field, exactly the old
+    min-over-struct aggregate). The previous form exploded every token
+    and paid three exchanges (hits agg, argmax agg, doc re-join) to
+    compare each token against 40 constant words; this one is a single
+    narrow scan at any corpus size — same rows, same values."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    lex = spark.createDataFrame(
-        [(lang, w) for lang, words in LEXICONS.items() for w in words],
-        "cand_lang STRING, stopword STRING")
-    toks = docs.select("doc_id", F.explode(tokenize(F.lower(F.col("text"))))
-                       .alias("word"))
-    hits = (
-        toks.join(broadcast(lex), toks.word == lex.stopword)
-        .groupBy("doc_id", "cand_lang")
-        .agg(F.count("*").alias("hits"))
-    )
-    # argmax(hits, tiebreak lang asc) without a window: min over the
-    # struct (-hits, lang) — struct ordering is field-by-field.
-    best = (
-        hits.select("doc_id",
-                    F.struct((-F.col("hits")).alias("neg"),
-                             F.col("cand_lang").alias("l")).alias("s"))
-        .groupBy("doc_id")
-        .agg(F.min("s").alias("s"))
-        .select("doc_id", F.col("s.l").alias("pred_lang"),
-                (-F.col("s.neg")).alias("hits"))
-    )
-    return (
-        load_table(spark, sf_dir, "documents").select("doc_id")
-        .join(best, "doc_id", "left")
-        .select("doc_id",
-                F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
-                F.coalesce("hits", F.lit(0).cast("bigint")).alias("hits"))
-    )
+    toks = tokenize(F.lower(F.col("text")))
+    staged = docs.select("doc_id", toks.alias("toks"))
+    cands = F.array(*[
+        F.struct(
+            (-F.size(F.filter(
+                F.col("toks"),
+                lambda t: t.isin(*words)))).cast("bigint").alias("neg"),
+            F.lit(lang).alias("l"))
+        for lang, words in sorted(LEXICONS.items())
+    ])
+    best = F.array_min(F.filter(cands, lambda s: s["neg"] < 0))
+    return staged.select(
+        "doc_id",
+        F.coalesce(best["l"], F.lit("und")).alias("pred_lang"),
+        F.coalesce(-best["neg"], F.lit(0).cast("bigint")).alias("hits"))
 
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,12 +232,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats outgrow the threshold."""
     from pyspark.sql.window import Window
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id",
-                       F.explode(tokenize(F.lower(F.col("text"))))
-                       .alias("word"))
-    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("term_count"))
-    tf = tf.withColumn(
-        "doc_len", F.sum("term_count").over(Window.partitionBy("doc_id")))
+    # doc_len = total tokens = size of the token array — computed in the
+    # scan and carried through the explode (r14, guide §2.4): the old
+    # ``sum(term_count) over (partition by doc_id)`` window re-derived
+    # the same number through an extra Exchange+Sort after the tf
+    # aggregation. max() over the group is a constant pick, no window.
+    staged = docs.select("doc_id",
+                         tokenize(F.lower(F.col("text"))).alias("toks"))
+    toks = staged.select("doc_id",
+                         F.size("toks").cast("bigint").alias("doc_len"),
+                         F.explode("toks").alias("word"))
+    tf = (toks.groupBy("doc_id", "word")
+          .agg(F.count("*").alias("term_count"),
+               F.max("doc_len").alias("doc_len")))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     total = docs.agg(F.count("*").alias("n_docs"))
     raw = ((F.col("term_count") * F.col("n_docs")).cast("double")
@@ -576,7 +580,10 @@ def token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.explode(tokenize(F.lower(F.col("text"))))
                        .alias("word"))
     cw = toks.groupBy("word").agg(F.count("*").alias("c_w"))
-    total = toks.agg(F.count("*").alias("n_total"))
+    # corpus total = sum of the per-word counts: a vocabulary-sized scan
+    # of the aggregate just built, not a THIRD full tokenize pass over
+    # the corpus (r14, guide §1.2 "don't compute things twice")
+    total = cw.agg(F.sum("c_w").alias("n_total"))
     return (
         toks.join(cw, "word")
         .crossJoin(broadcast(total))

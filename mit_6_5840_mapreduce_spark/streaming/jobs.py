@@ -291,23 +291,86 @@ def _await_or_fail(q, timeout_sec: int, what: str) -> None:
             f"{timeout_sec}s")
 
 
+# ---- Scale-adaptive streaming state partitioning (r14) -------------------
+# A stateful streaming query pins spark.sql.shuffle.partitions at first
+# start as its STATE partition count, and streaming is exempt from AQE
+# coalescing — so the session's batch-oriented constant (one per core)
+# made every micro-batch commit one state-store delta file per partition
+# per stateful operator (a stream-stream join keeps 4 stores per
+# partition), dominating availableNow wall time at small inputs and
+# undersizing state at 100 TB. Derive the count from the SOURCE's
+# on-disk size instead (guide §2.2 "size partitions to the data, not the
+# host"): one partition per STREAM_PART_TARGET_BYTES of input, floored
+# at 2 (parallel state commit even at toy scale), capped at
+# STREAM_PARTS_PER_CORE x cores (the sizing a long-running deployment
+# would pin so state redistribution headroom exists). Partition count
+# never changes RESULTS — grouping/join keys are logical — only where
+# state lives. Env override: SPARK_GRAFT_STREAM_PARTITIONS.
+
+STREAM_PART_TARGET_BYTES = 32 << 20
+STREAM_PARTS_PER_CORE = 4
+
+
+def stream_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Input-size-derived shuffle/state partition count for the
+    availableNow streaming queries over ``sf_dir``'s events source."""
+    override = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "")
+    if override:
+        return max(1, int(override))
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path))
+        else:
+            size = os.stat(path).st_size
+    except OSError:
+        size = 0
+    cap = STREAM_PARTS_PER_CORE * spark.sparkContext.defaultParallelism
+    return max(2, min(cap, -(-size // STREAM_PART_TARGET_BYTES)))
+
+
+class _stream_partitioning:
+    """Context manager: pin spark.sql.shuffle.partitions for queries
+    STARTED inside (a streaming query captures the value at start), then
+    restore the session value for everything after. No-op when ``n`` is
+    None (direct runner callers keep session behavior)."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def run_stream_to_memory(spark: SparkSession, df: DataFrame, name: str,
                          output_mode: str = "complete",
-                         timeout_sec: int = 120) -> DataFrame:
+                         timeout_sec: int = 120,
+                         shuffle_partitions: int | None = None) -> DataFrame:
     """Execute a streaming DataFrame with an availableNow trigger into a
     memory sink; returns the materialized result table."""
-    q = (
-        df.writeStream.format("memory").queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_fail(q, timeout_sec, f"stream->memory[{name}]")
+    with _stream_partitioning(spark, shuffle_partitions):
+        q = (
+            df.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_fail(q, timeout_sec, f"stream->memory[{name}]")
     return spark.table(name)
 
 
 def run_stream_to_parquet(spark: SparkSession, df: DataFrame, out_dir: str,
-                          timeout_sec: int = 120) -> None:
+                          timeout_sec: int = 120,
+                          shuffle_partitions: int | None = None) -> None:
     """Execute a streaming DataFrame availableNow through foreachBatch
     into parquet — the pattern for sinks Structured Streaming doesn't
     ship natively (upserts, JDBC, multi-table writes): each micro-batch
@@ -321,12 +384,13 @@ def run_stream_to_parquet(spark: SparkSession, df: DataFrame, out_dir: str,
         (batch_df.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(out_dir))
 
-    q = (
-        df.writeStream.foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_fail(q, timeout_sec, "stream->parquet")
+    with _stream_partitioning(spark, shuffle_partitions):
+        q = (
+            df.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_fail(q, timeout_sec, "stream->parquet")
 
 
 # ---- Driver-gate surface --------------------------------------------------
@@ -345,12 +409,14 @@ def _memq(prefix: str) -> str:
 
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
-        spark, windowed_counts_stream(spark, sf_dir), _memq("hourly"))
+        spark, windowed_counts_stream(spark, sf_dir), _memq("hourly"),
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir))
 
 
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
-        spark, sliding_counts_stream(spark, sf_dir), _memq("sliding"))
+        spark, sliding_counts_stream(spark, sf_dir), _memq("sliding"),
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir))
 
 
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,13 +440,15 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         target="timestamp")
     return run_stream_to_memory(
         spark, _dedup_within_watermark(stream), _memq("dedup"),
-        output_mode="append")
+        output_mode="append",
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir))
 
 
 def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = run_stream_to_memory(
         spark, user_running_totals_stream(spark, sf_dir), _memq("totals"),
-        output_mode="update")
+        output_mode="update",
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir))
     # update mode emits one row per user per micro-batch; keep the FINAL
     # state row. n_events strictly increases across a user's emissions
     # (the operator is only invoked for keys with >= 1 row in the
@@ -403,7 +471,8 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle splits on gap >= 30 min, where the batch twin (which
     flags gap > 30 min) differs only on exact-boundary gaps."""
     return run_stream_to_memory(
-        spark, sessionized_stream(spark, sf_dir), _memq("sess"))
+        spark, sessionized_stream(spark, sf_dir), _memq("sess"),
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir))
 
 
 def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,7 +481,8 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     join state. Oracle = the same interval join in plain SQL."""
     return run_stream_to_memory(
         spark, click_purchase_attribution_stream(spark, sf_dir),
-        _memq("attr"), output_mode="append")
+        _memq("attr"), output_mode="append",
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir))
 
 
 def stream_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,7 +503,9 @@ def stream_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"),
              exact_round_sum(F.col("value")).alias("sum_value"))
     )
-    return run_stream_to_memory(spark, agg, _memq("enriched"))
+    return run_stream_to_memory(
+        spark, agg, _memq("enriched"),
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir))
 
 
 def stream_foreachbatch_roundtrip(spark: SparkSession,
@@ -448,7 +520,9 @@ def stream_foreachbatch_roundtrip(spark: SparkSession,
     from mit_6_5840_mapreduce_spark.sources.scratch import scratch_dir
     out = os.path.join(scratch_dir("stream_fb"), "hourly")
     run_stream_to_parquet(spark, windowed_counts_stream(spark, sf_dir),
-                          out)
+                          out,
+                          shuffle_partitions=stream_shuffle_partitions(
+                              spark, sf_dir))
     if not glob.glob(os.path.join(out, "*.parquet")):
         # empty stream -> foreachBatch never wrote a commit
         return spark.createDataFrame(
@@ -480,11 +554,14 @@ def stream_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_stream_state.py."""
     agg = windowed_counts_stream(spark, sf_dir) \
         .select("hour", "event_type", "n_events")
-    return run_topk_stream(spark, agg)
+    return run_topk_stream(
+        spark, agg,
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir))
 
 
 def run_topk_stream(spark: SparkSession, hourly: DataFrame,
-                    timeout_sec: int = 120) -> DataFrame:
+                    timeout_sec: int = 120,
+                    shuffle_partitions: int | None = None) -> DataFrame:
     """Execute the append-mode hourly aggregate through the ranking
     foreachBatch sink and read the committed top-k back (shared by the
     gate query and the multi-micro-batch test)."""
@@ -503,13 +580,14 @@ def run_topk_stream(spark: SparkSession, hourly: DataFrame,
          .select("hour", "event_type", "n_events", "rank")
          .write.mode("append").parquet(out))
 
-    q = (
-        hourly.writeStream.foreachBatch(write_topk)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_fail(q, timeout_sec, "stream_topk")
+    with _stream_partitioning(spark, shuffle_partitions):
+        q = (
+            hourly.writeStream.foreachBatch(write_topk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_fail(q, timeout_sec, "stream_topk")
     if not glob.glob(os.path.join(out, "*.parquet")):
         return spark.createDataFrame(
             [], "hour TIMESTAMP, event_type STRING, n_events BIGINT, "
@@ -597,12 +675,15 @@ def stream_topk_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic rank), so their equivalence is value-checked."""
     return run_stream_to_memory(
         spark, topk_stateful_from_events(read_events_stream(spark, sf_dir)),
-        _memq("topkstate"), output_mode="append")
+        _memq("topkstate"), output_mode="append",
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir))
 
 
 def run_cdc_upsert_stream(spark: SparkSession, changelog: DataFrame,
                           customer: DataFrame,
-                          timeout_sec: int = 120) -> DataFrame:
+                          timeout_sec: int = 120,
+                          shuffle_partitions: int | None = None
+                          ) -> DataFrame:
     """Execute a CDC changelog stream through a VERSIONED-SNAPSHOT
     foreachBatch merge (shared by the gate query and the multi-batch
     test). Batch N reads snapshot v{N} and writes v{N+1}, so a retried
@@ -688,12 +769,13 @@ def run_cdc_upsert_stream(spark: SparkSession, changelog: DataFrame,
         merged.write.mode("overwrite").parquet(
             os.path.join(root, f"v{batch_id + 1}"))
 
-    q = (
-        changelog.writeStream.foreachBatch(merge_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_fail(q, timeout_sec, "stream_cdc_upsert")
+    with _stream_partitioning(spark, shuffle_partitions):
+        q = (
+            changelog.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_fail(q, timeout_sec, "stream_cdc_upsert")
     versions = sorted(
         int(os.path.basename(p)[1:])
         for p in glob.glob(os.path.join(root, "v*")))
@@ -719,7 +801,8 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     resurrection) is pinned by tests/test_cdc.py's split-file test."""
     return run_cdc_upsert_stream(
         spark, read_events_stream(spark, sf_dir),
-        load_table(spark, sf_dir, "customer"))
+        load_table(spark, sf_dir, "customer"),
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir))
 
 
 QUERIES = {

@@ -3,7 +3,10 @@ exist for (the r6 user_value_outliers discipline; token_rarity keeps
 per-row DECIMAL(38,0) — measured cost ~1% there — while semantic_dedup's
 medoid dot and user_value_outliers' sum-of-squares moved in r9 to the
 BIGINT-product -> DECIMAL(18,0) row shape, which stays on the
-unscaled-long aggregation path and raises LOUDLY at the row bound).
+unscaled-long aggregation path and raises LOUDLY at the row bound;
+in r14 semantic_dedup's dot became a ROW-LOCAL fold of the same
+(18,0) element products into a DECIMAL(38,0) total — same values,
+same loud row bound, 64x-row shuffles gone — pinned below).
 
 Each test drives the exact aggregation expression the operator uses
 over inputs sized BEYOND BIGINT range, checks the value against pure
@@ -121,3 +124,58 @@ def test_outlier_sum_of_squares_decimal_survives_bigint_overflow(spark):
         f"SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) "
         f"FROM (VALUES {values}) t(c)").fetchone()[0]
     assert duck == got[0].s2d
+
+
+def test_medoid_fold_decimal_matches_bigint_python(spark):
+    """semantic_dedup's r14 row-local fold: dot =
+    aggregate(zip_with(qv, sarr, (x,y) -> (x*y)::DECIMAL(18,0)),
+    0::DECIMAL(38,0), acc + x) — same exact integer as the r9
+    grouped-sum shape (pinned above) with the 64x-row shuffles gone.
+    With sx sized for a ~2^27-member group, 20 terms push the total
+    past BIGINT while every element product stays under the (18,0)
+    row bound; the (38,0) fold is exact and lands the identical
+    ranking DOUBLE as Python big-int and DuckDB HUGEINT."""
+    n = 20
+    qx = [65521 - i for i in range(n)]
+    sx = [(1 << 27) * q for q in qx]
+    df = spark.createDataFrame(
+        [(1, qx, sx)], "vec_id INT, qv ARRAY<BIGINT>, sarr ARRAY<BIGINT>")
+    fold = F.aggregate(
+        F.zip_with("qv", "sarr",
+                   lambda x, y: (x * y).cast("decimal(18,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: (acc + x).cast("decimal(38,0)"))
+    nrm = F.aggregate(
+        F.transform("qv", lambda x: (x * x).cast("decimal(18,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: (acc + x).cast("decimal(38,0)"))
+    got = (df.select((fold / F.sqrt(nrm)).alias("score")).collect())
+    true_dot = sum(q * s for q, s in zip(qx, sx))
+    true_nrm2 = sum(q * q for q in qx)
+    assert true_dot > (1 << 63)             # the fold total is past BIGINT
+    assert all(q * s < 10 ** 18 for q, s in zip(qx, sx))
+    expect = float(true_dot) / (float(true_nrm2) ** 0.5)
+    assert got[0].score == pytest.approx(expect, rel=0, abs=0)
+    values = ", ".join(f"({q}, {s})" for q, s in zip(qx, sx))
+    duck = duckdb.connect().execute(
+        f"SELECT CAST(sum(CAST(qx AS HUGEINT) * sx) AS HUGEINT)"
+        f" / sqrt(CAST(sum(CAST(qx AS HUGEINT) * qx) AS HUGEINT))"
+        f" FROM (VALUES {values}) t(qx, sx)").fetchone()[0]
+    assert duck == got[0].score
+
+
+def test_medoid_fold_row_past_decimal18_raises_loudly(spark):
+    """The ~2.3e8-member-group envelope is UNCHANGED by the r14 fold:
+    an element product past 1e18 must RAISE under ANSI from the
+    (18,0) cast inside the lambda, never silently corrupt the fold."""
+    q, s = 65521, (1 << 28) * 65521          # q*s ~ 1.15e18 > 1e18
+    assert 10 ** 18 < q * s < 2 ** 63
+    df = spark.createDataFrame(
+        [(1, [q], [s])], "vec_id INT, qv ARRAY<BIGINT>, sarr ARRAY<BIGINT>")
+    fold = F.aggregate(
+        F.zip_with("qv", "sarr",
+                   lambda x, y: (x * y).cast("decimal(18,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: (acc + x).cast("decimal(38,0)"))
+    with pytest.raises(Exception, match="(?i)overflow|cannot be represented"):
+        df.select(fold.alias("dot")).collect()

@@ -32,7 +32,9 @@ SENTINELS = {"mr_wc", "mr_wc_rdd", "dedup_exact", "stream_hourly_counts"}
 # changed in round 13: the epoch capstone's pack/shuffle stages now
 # render through the shared single-sourced rules (engine AND oracle),
 # and every span-family query consumes the ADVICE-r12-hardened memo
-# (LRU eviction; stamp re-read under the insert lock)
+# (LRU eviction; inserts keyed by the PRE-build corpus stamp, so a
+# frame built over a mid-rewrite corpus is unreachable by fresh-stamp
+# callers and evicted by the next insert sweep)
 CHANGED_THIS_ROUND = {
     "epoch_assembly",
     "dedup_span_pairs", "dedup_span_scrub", "duplicate_spans",
