@@ -371,6 +371,17 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 20
 CC_EDGES_PER_PARTITION = 100_000
 
+# Pointer jumps per round (r14): each jump is a label-vector self-join
+# that doubles how far a label pointer reaches, so 2 jumps quadruple
+# reach per round and roughly HALVE the round count vs the r7
+# single-jump form (sequential reference: diameter 1000 converges in 6
+# rounds, not 10). Rounds are the expensive unit — each one costs an
+# edge join + an eager checkpoint job — while a jump is a join of the
+# compact label vector only; trading 1 extra label join per round for
+# ~half the edge-join passes wins at bench scale (fixed per-job
+# overhead) and at 100 TB (edge passes dominate).
+CC_JUMPS_PER_ROUND = 2
+
 # probe/test instrumentation: rounds the most recent cc_labels call
 # used, INCLUDING the final observing round (zero label changes)
 _LAST_CC_ROUNDS = 0
@@ -397,18 +408,22 @@ def cc_labels(spark: SparkSession, pairs: DataFrame,
     list is hash-partitioned by ``src`` into
     |edges|/CC_EDGES_PER_PARTITION partitions and cached in that
     layout, so each round reshuffles only the compact label vector
-    against stationary edges. Each round is propagate-then-shortcut
-    (r7, VERDICT r6 item 4): one hop of min-label propagation along the
-    edges, then POINTER JUMPING — ``label <- label(label)``, a self-join
-    of the compact label vector — so label distance doubles per round
-    and convergence needs ~ceil(log2(diameter)) + 1 rounds instead of
-    diameter + 1 (a 1000-hop near-dup chain converges in 10 rounds, not
-    1001). Per round: one eager checkpoint job for the propagate hop
-    (the edge join — the expensive part, unchanged) plus one light
-    labels-only job for the shortcut + changed-label count. Hard cap
-    CC_MAX_ITERS with loud failure. No row data ever reaches the
-    driver. Exact round counts are pinned against a sequential
-    reference in tests/test_dedup_cap.py."""
+    against stationary edges. Initial labels are SEEDED with the first
+    propagate hop (r14): the init aggregation the r7 form already paid
+    (``distinct`` over edge sources) becomes ``min(dst)`` per source,
+    so ``label0 = least(node, min neighbor)`` and the loop starts one
+    hop ahead for the same shuffle. Each round is
+    propagate-then-shortcut (r7, VERDICT r6 item 4): one hop of
+    min-label propagation along the edges, then CC_JUMPS_PER_ROUND
+    rounds of POINTER JUMPING — ``label <- label(label)``, a self-join
+    of the compact label vector, each jump doubling label reach — so a
+    1000-hop near-dup chain converges in 6 rounds (r7 single-jump
+    form: 10; pre-r7 one-hop form: 1001). Per round: one eager
+    checkpoint job for the propagate hop (the edge join — the
+    expensive part) plus one light labels-only job for the jumps +
+    changed-label count. Hard cap CC_MAX_ITERS with loud failure. No
+    row data ever reaches the driver. Exact round counts are pinned
+    against a sequential reference in tests/test_dedup_cap.py."""
     edges_raw = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"),
@@ -419,8 +434,12 @@ def cc_labels(spark: SparkSession, pairs: DataFrame,
     n_parts = max(2, min(spark.sparkContext.defaultParallelism,
                          1 + n_edges // CC_EDGES_PER_PARTITION))
     edges = edges_raw.repartition(n_parts, "src").persist()
-    labels = (edges.select(F.col("src").alias("node_id")).distinct()
-              .select("node_id", F.col("node_id").alias("label"))
+    # seeded init: the same one-aggregation shuffle the old
+    # distinct-over-sources init paid, but min(dst) rides along so
+    # labels start one propagate hop ahead (label0 = least(v, min nb))
+    labels = (edges.groupBy("src").agg(F.min("dst").alias("min_dst"))
+              .select(F.col("src").alias("node_id"),
+                      F.least("src", "min_dst").alias("label"))
               .localCheckpoint(eager=True))
     edges_raw.unpersist()
     global _LAST_CC_ROUNDS
@@ -444,18 +463,45 @@ def cc_labels(spark: SparkSession, pairs: DataFrame,
                             F.coalesce("nb_label", "label")).alias("label"))
             .localCheckpoint(eager=True)
         )
-        # pointer jumping: label <- label(label). A label is always the
-        # id of a node IN the pair graph (it starts as own id and only
-        # ever moves to a smaller node id seen via edges), so the rep
-        # lookup always matches; coalesce guards the invariant anyway.
-        reps = prop.select(F.col("node_id").alias("rep_id"),
-                           F.col("label").alias("rep_label"))
-        new_labels = (
-            prop.join(reps, prop.label == reps.rep_id, "left")
+        # CLASS-MIN (r14): every node that started the round pointing
+        # at the same representative (old_label) adopts the MINIMUM of
+        # the propagated labels across that whole class — one
+        # label-vector groupBy + join. This is what makes convergence
+        # ~log(diameter) REGARDLESS of how node ids lie along the
+        # graph: plain propagate+jump only doubles reach when label
+        # pointers happen to chain toward the component min, and on a
+        # path whose ids are randomly permuted it degenerates to one
+        # hop per round (sequential reference: 408 rounds on a
+        # 1000-edge random-id path — past CC_MAX_ITERS, a loud failure
+        # at scale). With class-min the same path converges in 7
+        # rounds. Any adopted label is some same-component member's
+        # label, so the pair-graph invariant below is preserved.
+        cls = prop.groupBy("old_label").agg(
+            F.min("label").alias("cm_label"))
+        clsmin = (
+            prop.join(cls, "old_label")
             .select("node_id", "old_label",
-                    F.coalesce("rep_label", "label").alias("label"))
-            .localCheckpoint(eager=False)
+                    F.least("label", "cm_label").alias("label"))
         )
+        # pointer jumping: label <- label(label), CC_JUMPS_PER_ROUND
+        # times. A label is always the id of a node IN the pair graph
+        # (it starts as a node/neighbor id and only ever moves to a
+        # smaller node id of the same component seen via edges or
+        # class members), so the rep lookup always matches; coalesce
+        # guards the invariant anyway. Only the FINAL jump's frame is
+        # checkpointed — the intermediate subtrees re-read the
+        # materialized ``prop``, so the whole cascade stays inside the
+        # one changed-count job.
+        jumped = clsmin
+        for _ in range(CC_JUMPS_PER_ROUND):
+            reps = jumped.select(F.col("node_id").alias("rep_id"),
+                                 F.col("label").alias("rep_label"))
+            jumped = (
+                jumped.join(reps, jumped.label == reps.rep_id, "left")
+                .select("node_id", "old_label",
+                        F.coalesce("rep_label", "label").alias("label"))
+            )
+        new_labels = jumped.localCheckpoint(eager=False)
         changed = new_labels.where(
             F.col("label") != F.col("old_label")).count()
         labels = new_labels.select("node_id", "label")

@@ -135,10 +135,16 @@ def _chain_corpus_dir(tmp_path_factory, n_docs: int):
 
 def test_dedup_groups_raises_at_iteration_cap(spark, tmp_path_factory,
                                               monkeypatch):
-    """A component whose diameter exceeds CC_MAX_ITERS must raise, not
-    silently split into multiple groups (ADVICE round 1)."""
+    """A component whose convergence needs more rounds than
+    CC_MAX_ITERS must raise, not silently split into multiple groups
+    (ADVICE round 1). The chain depth is derived from the sequential
+    reference so the test tracks the loop's actual round complexity
+    (r14: seeded init + 2 jumps/round converges much deeper chains per
+    round than the r7 form did)."""
     from mit_6_5840_mapreduce_spark.operators import dedup as dmod
-    d = _chain_corpus_dir(tmp_path_factory, 8)      # diameter 7
+    diameter = next(d for d in range(1, 200)
+                    if _pointer_jump_rounds(d) > 2)
+    d = _chain_corpus_dir(tmp_path_factory, diameter + 1)
     monkeypatch.setattr(dmod, "CC_MAX_ITERS", 2)
     with pytest.raises(RuntimeError, match="did not converge"):
         dmod.dedup_groups(spark, d).collect()
@@ -189,35 +195,55 @@ def test_cap_keeps_legit_pairs(spark, stop_shingle_dir, tmp_path_factory):
 
 
 def _pointer_jump_rounds(d: int) -> int:
-    """Sequential reference for cc_labels' propagate-then-shortcut loop
-    on a path graph 0-1-...-d: per round, every node takes the min of
-    its own and its neighbors' labels (one hop), then label <-
-    label(label) (pointer jump). Returns rounds until a full round
-    changes nothing (i.e. INCLUDING the observing round) — the exact
-    number of loop iterations the Spark implementation runs."""
-    lab = list(range(d + 1))
+    """Sequential reference for cc_labels' r14 loop on a path graph
+    0-1-...-d: labels are SEEDED with one propagate hop
+    (label0 = min(v, neighbors)); then per round, every node takes the
+    min of its own and its neighbors' labels (one hop), every
+    old-label CLASS adopts the min propagated label across its
+    members, and CC_JUMPS_PER_ROUND pointer jumps follow
+    (label <- label(label), each doubling label reach). Returns rounds
+    until a full round changes nothing (i.e. INCLUDING the observing
+    round) — the exact number of loop iterations the Spark
+    implementation runs. (On the monotone path the class-min step
+    never fires — classes chain toward the min already — so the round
+    counts equal the jump-only form; its value shows on permuted-id
+    graphs, see test_cc_random_id_path_rounds.)"""
+    from mit_6_5840_mapreduce_spark.operators.dedup import (
+        CC_JUMPS_PER_ROUND,
+    )
+    lab = [min([v] + [u for u in (v - 1, v + 1) if 0 <= u <= d])
+           for v in range(d + 1)]
     rounds = 0
     while True:
         rounds += 1
         old = lab[:]
-        prop = [min([old[v]] + [old[u] for u in (v - 1, v + 1)
-                                if 0 <= u <= d])
-                for v in range(d + 1)]
-        lab = [prop[prop[v]] for v in range(d + 1)]
+        cur = [min([old[v]] + [old[u] for u in (v - 1, v + 1)
+                               if 0 <= u <= d])
+               for v in range(d + 1)]
+        cm: dict = {}
+        for v in range(d + 1):
+            cm[old[v]] = min(cm.get(old[v], cur[v]), cur[v])
+        cur = [min(cur[v], cm[old[v]]) for v in range(d + 1)]
+        for _ in range(CC_JUMPS_PER_ROUND):
+            cur = [cur[cur[v]] for v in range(d + 1)]
+        lab = cur
         if lab == old:
             return rounds
 
 
 def test_pointer_jump_reference_is_logarithmic():
-    """The reference itself shows the ~log2 shape the rewrite buys:
-    doubling label distance per round (old form: diameter + 1)."""
-    assert _pointer_jump_rounds(4) == 3
-    assert _pointer_jump_rounds(7) == 4        # old form: 8
-    assert _pointer_jump_rounds(127) == 8      # old form: 128
-    assert _pointer_jump_rounds(1000) == 10    # old form: 1001
+    """The reference itself shows the sub-log2 shape the r14 rewrite
+    buys: seeded init + 2 jumps/round quadruples label reach per round
+    (r7 single-jump form: 10 rounds at diameter 1000; pre-r7 one-hop
+    form: 1001)."""
+    assert _pointer_jump_rounds(4) == 2        # r7 form: 3
+    assert _pointer_jump_rounds(7) == 2        # r7 form: 4
+    assert _pointer_jump_rounds(127) == 4      # r7 form: 8
+    assert _pointer_jump_rounds(1000) == 6     # r7 form: 10
     import math
     for d in range(2, 130):
-        assert _pointer_jump_rounds(d) <= math.ceil(math.log2(d)) + 1
+        assert _pointer_jump_rounds(d) <= \
+            math.ceil(math.log2(d) / 2) + 1
 
 
 def test_cc_bound_is_pointer_jump_rounds(spark, tmp_path_factory,
@@ -231,9 +257,9 @@ def test_cc_bound_is_pointer_jump_rounds(spark, tmp_path_factory,
     count via last_cc_rounds, so a silent regression to one-hop
     propagation (rounds = diameter + 1) fails loudly here."""
     from mit_6_5840_mapreduce_spark.operators import dedup as dmod
-    K = 4
+    K = 3
     monkeypatch.setattr(dmod, "CC_MAX_ITERS", K)
-    d_ok = max(d for d in range(1, 40) if _pointer_jump_rounds(d) <= K)
+    d_ok = max(d for d in range(1, 60) if _pointer_jump_rounds(d) <= K)
     assert _pointer_jump_rounds(d_ok + 1) == K + 1
     ok = _chain_corpus_dir(tmp_path_factory, d_ok + 1)
     rows = dmod.dedup_groups(spark, ok).collect()
@@ -243,6 +269,31 @@ def test_cc_bound_is_pointer_jump_rounds(spark, tmp_path_factory,
     too_deep = _chain_corpus_dir(tmp_path_factory, d_ok + 2)
     with pytest.raises(RuntimeError, match="did not converge"):
         dmod.dedup_groups(spark, too_deep).collect()
+
+
+def test_cc_random_id_path_rounds(spark):
+    """The class-min step's reason to exist (r14): a path whose node
+    ids are RANDOMLY PERMUTED along it. Propagate + pointer jumping
+    alone degenerates to ~one hop per round there (the sequential
+    model needs 408 rounds on a 1000-edge random-id path — far past
+    CC_MAX_ITERS, i.e. a loud convergence failure on a corpus whose
+    near-dup chains don't happen to have monotone ids); with class-min
+    the same graph converges in ~log(diameter) rounds. Pins both the
+    labels (component min everywhere) and a hard round budget."""
+    import math
+    import random
+
+    from mit_6_5840_mapreduce_spark.operators import dedup as dmod
+    d = 200
+    perm = list(range(d + 1))
+    random.Random(1234).shuffle(perm)
+    pairs = spark.createDataFrame(
+        [(perm[i], perm[i + 1]) for i in range(d)],
+        "a BIGINT, b BIGINT")
+    rows = dmod.cc_labels(spark, pairs, "a", "b").collect()
+    assert {r.label for r in rows} == {0}          # one component, min id 0
+    assert len(rows) == d + 1
+    assert dmod.last_cc_rounds() <= math.ceil(math.log2(d)) + 2
 
 
 # ---- band-bucket population caps (round 10, VERDICT r9 item 1) ----------
