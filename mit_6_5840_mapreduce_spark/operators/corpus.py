@@ -44,6 +44,7 @@ from mit_6_5840_mapreduce_spark.operators.textstats import (
     VAL_PCT,
     doc_split,
     split_bucket_sql,
+    split_name,
 )
 from mit_6_5840_mapreduce_spark.sources.tables import fan_out, load_table
 
@@ -54,9 +55,11 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc with a high fraction is (near-)duplicated in training data —
     exactly what eval-set hygiene must catch. Uses the same
     deterministic md5-bucket split as ``doc_split``."""
+    # split attached as a ROW-LOCAL projection (r14, guide §2.4): the
+    # old join against a second documents scan shuffled the shingle
+    # table to attach a value md5(doc_id) already encodes
     sh = (_doc_shingles(spark, sf_dir)
-          .join(doc_split(spark, sf_dir).select("doc_id", "split"),
-                "doc_id")
+          .withColumn("split", split_name())
           .cache())
     train_hs = (sh.where(F.col("split") == "train")
                 .select("hs").distinct())
@@ -98,8 +101,9 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
     wins = cap_bucket_population(
         _span_windows(spark, sf_dir), ["hw"], SPAN_OCC_CAP)
-    tagged = wins.join(doc_split(spark, sf_dir)
-                       .select("doc_id", "split"), "doc_id")
+    # split is row-local off doc_id (split_name, r14): no join against
+    # a second documents scan to tag the window frame
+    tagged = wins.withColumn("split", split_name())
     tw = tagged.where(F.col("split") == "test").alias("t")
     rw = tagged.where(F.col("split") == "train").alias("r")
     hits = (
@@ -152,9 +156,11 @@ def decontaminate_span_scrub(spark: SparkSession,
             .alias("pos"))
         .distinct()
     )
-    train = (doc_split(spark, sf_dir)
-             .where(F.col("split") == "train").select("doc_id"))
-    return scrub_positions(spark, sf_dir, cuts, only=train)
+    # the train restriction is row-local off doc_id (split_name, r14):
+    # a filter over the shared token-array frame, not a semi-join
+    # against a second documents scan
+    return scrub_positions(spark, sf_dir, cuts,
+                           only=(split_name() == "train"))
 
 
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,9 +206,10 @@ def decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to a distinct-shingle-hash set (eval sets are tiny
     relative to the corpus — at 100 TB this side is broadcast-sized),
     the train side streams through one equi-join + one count-agg."""
+    # split attached row-locally (split_name, r14) — same rationale as
+    # contamination_check
     sh = (_doc_shingles(spark, sf_dir)
-          .join(doc_split(spark, sf_dir).select("doc_id", "split"),
-                "doc_id")
+          .withColumn("split", split_name())
           .cache())
     test_hs = (sh.where(F.col("split") == "test")
                .select("hs").distinct())

@@ -71,22 +71,65 @@ def _shingles(t: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, hs) pairs, hs = 60-bit md5 of the shingle.
+def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hss): per-document array of DISTINCT 60-bit shingle
+    hashes, computed entirely ROW-LOCALLY (r14, guide §2.4): the
+    (doc_id, hs) universe is distinct PER DOCUMENT by definition, so the
+    old global ``.distinct()`` was a full Exchange of every shingle row
+    spent on a per-row ``array_distinct`` — one shuffle removed from
+    EVERY shingle consumer (jaccard/containment/minhash/index) at any
+    scale. ``array_distinct`` runs over the HASHES (not the shingle
+    strings), so the improbable 60-bit collision inside one document
+    dedups exactly like the old global distinct did.
 
-    Hashing BEFORE the distinct/joins shrinks every downstream shuffle to
+    Hashing BEFORE any shuffle shrinks every downstream exchange to
     fixed-width ints (vs ~20-char strings); collision probability at 60
     bits is ~n^2/2^61 — negligible at any realistic shingle cardinality.
     """
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
-        .select("doc_id",
-                F.explode(_shingles(F.col("toks"))).alias("shingle"))
-        .select("doc_id",
-                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-                 .cast("bigint").alias("hs"))
-        .distinct()
+        # docs too short to shingle dropped HERE on the cheap token
+        # count (size(toks) >= n <=> hss non-empty, exactly the rows
+        # the old explode/distinct form dropped), so no consumer needs
+        # a size(hss) filter — a pushed-down predicate referencing hss
+        # would re-evaluate the whole md5 pass per row (the
+        # InferFiltersFromGenerate/pushdown trap measured at 2x; see
+        # _doc_shingles)
+        .where(F.size("toks") >= NGRAM_N)
+        # single reference to _shingles inside transform: the shingle
+        # array is evaluated once per row (the _shingles staging note
+        # about inline re-evaluation applies to its *input*, which is
+        # the staged toks column here)
+        .select("doc_id", F.array_distinct(F.transform(
+            _shingles(F.col("toks")),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+            .cast("bigint"))).alias("hss"))
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, hs) pairs, hs = 60-bit md5 of the shingle —
+    same value set as the pre-r14 global-distinct form; dedup is
+    row-local now.
+
+    The hash-array expression is built INLINE as the explode child on
+    purpose: with an expensive generator child,
+    ``InferFiltersFromGenerate`` deliberately skips the ``size(e) > 0``
+    inference (SPARK-36715's cost guard), whereas exploding a STAGED
+    hss attribute gets the filter inferred on the cheap column and
+    predicate pushdown then re-inlines the entire tokenize+md5 chain
+    into a per-row scan Filter — measured 2x on this query. Callers
+    that need the array form stage ``_doc_shingle_arrays`` behind
+    their own cache so the inferred filter lands above an
+    InMemoryRelation boundary instead."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(F.array_distinct(F.transform(
+            _shingles(F.col("toks")),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+            .cast("bigint")))).alias("hs"))
     )
 
 
@@ -136,15 +179,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     textbook Jaccard. ``dedup_ngram_jaccard_capped`` is the gate entry
     with the cap on (its DuckDB oracle applies the identical filter).
     """
-    # cache: the shingle set feeds four consumers (a-side, b-side, two
-    # size lookups); without it Catalyst re-derives the whole
-    # scan+explode+distinct subtree per consumer
+    # EXACT form (r14, guide §2.3/§2.4): set sizes are row-local off the
+    # per-doc distinct-hash array (size(hss)) and ride ALONG the
+    # inverted-index rows — 1 extra int per row through the self-join —
+    # so the sizes aggregation and the two post-agg joins disappear.
+    # The pair group keys (doc_a, doc_b) functionally determine
+    # (na, nb), so grouping by all four is value-identical.
+    # CAPPED form: sizes must count SURVIVING shingles (the cap's
+    # contract: Jaccard over the pruned universe), which is not
+    # row-local — it keeps the aggregate + post-agg joins, but the
+    # sizes agg and the keep-filter reuse the cached filtered index.
+    if max_df is None:
+        # the ARRAY frame is the cache boundary (not the exploded
+        # rows): exploding a staged attribute gets a size(hss) > 0
+        # filter inferred, and above an InMemoryRelation that filter
+        # reads the stored column — pushed into a raw plan it would
+        # re-inline the whole md5 pass per row (the 2x trap; see
+        # _doc_shingles)
+        arr = _doc_shingle_arrays(spark, sf_dir).cache()
+        sh = arr.select("doc_id", F.size("hss").alias("n"),
+                        F.explode("hss").alias("hs"))
+        a = sh.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("na"), "hs")
+        b = sh.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("nb"), "hs")
+        inter = (
+            a.join(b, "hs")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(F.count("*").alias("n_common"))
+        )
+        return (
+            inter.withColumn(
+                "jaccard",
+                floor4(F.col("n_common")
+                       / (F.col("na") + F.col("nb") - F.col("n_common"))))
+            .where(F.col("jaccard") >= MIN_JACCARD)
+            .select("doc_a", "doc_b", "n_common", "jaccard")
+        )
     sh = _doc_shingles(spark, sf_dir)
-    if max_df is not None:
-        keep = (sh.groupBy("hs").agg(F.count("*").alias("df"))
-                .where(F.col("df") <= max_df).select("hs"))
-        sh = sh.join(keep, "hs")
-    sh = sh.cache()
+    keep = (sh.groupBy("hs").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df).select("hs"))
+    sh = sh.join(keep, "hs").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "hs")
     b = sh.select(F.col("doc_id").alias("doc_b"), "hs")
@@ -170,19 +246,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
 
 
 def _minhash_sig_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sig_0 .. sig_15): the whole MinHash signature in ONE
-    hash-aggregation pass — 16 min() expressions over the permuted base
-    hash instead of a 16x row explosion + re-shuffle. At 100 TB this is
-    the difference between one shuffle of |shingles| rows and one of
-    16x|shingles| rows."""
-    sh = _doc_shingles(spark, sf_dir)
-    base = sh.select("doc_id", (F.col("hs") % MINHASH_P).alias("h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P)
-         .alias(f"sig_{i}")
+    """(doc_id, sig_0 .. sig_15): the whole MinHash signature computed
+    ROW-LOCALLY (r14, guide §2.4) — 16 ``array_min`` folds over the
+    per-doc distinct-hash array, ZERO Exchanges. The r8 form was one
+    hash-agg pass (already 16x better than a row explosion); with the
+    shingle set per-doc as an array, min-over-permutation needs no
+    shuffle at all: signature building is now a pure projection of the
+    document scan at any corpus size. Docs whose shingle array is empty
+    produce no signature row, exactly like the aggregate form.
+    ``a*h+b`` stays < 2^52 (a <= ~1.12e6, h < 2^31), far from BIGINT
+    overflow."""
+    # no emptiness filter here: _doc_shingle_arrays drops shingle-less
+    # docs on the cheap token count (a size(hss) predicate would push
+    # down and re-inline the md5 pass — see _doc_shingles)
+    arr = _doc_shingle_arrays(spark, sf_dir)
+    staged = arr.select("doc_id",
+                        F.transform("hss", lambda h: h % MINHASH_P)
+                        .alias("harr"))
+    sigs = [
+        F.array_min(F.transform(
+            "harr", lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P))
+        .alias(f"sig_{i}")
         for i, (a, b) in enumerate(PERMS)
     ]
-    return base.groupBy("doc_id").agg(*aggs)
+    return staged.select("doc_id", *sigs)
 
 
 def _sig_cols(prefix: str = "sig_") -> list:
@@ -567,22 +654,24 @@ def dedup_groups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document from token frequencies."""
+    """32-bit SimHash per document from token frequencies.
+
+    ONE hash-agg keyed by doc_id (r14, guide §2.4): summing each
+    token occurrence's sign directly is identical to summing
+    cnt * sign over distinct words — the per-(doc_id, word) count
+    aggregation the r8 form paid was a full extra Exchange computing an
+    intermediate the bit-sums never needed. Map-side partial
+    aggregation reduces each partition to one 32-column row per doc
+    before the (only) shuffle; integer sums are order-independent, so
+    the rewrite is oracle-exact."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = (
         docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("cnt"))
         .withColumn("h", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10)
                     .cast("bigint"))
     )
-    # all 32 bit-sums in ONE hash-agg (32 conditional aggregates) instead
-    # of a 32x row explosion + extra shuffle; integer sums are
-    # order-independent, so the rewrite is oracle-exact. Same pattern as
-    # _minhash_sig_wide — at scale this shuffles |distinct(doc,word)|
-    # rows once, not 32x.
     bit_aggs = [
-        F.sum(F.expr(f"cnt * (2 * ((h >> {j}) & 1) - 1)")).alias(f"s{j}")
+        F.sum(F.expr(f"2 * ((h >> {j}) & 1) - 1")).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
     packed = " + ".join(
@@ -724,12 +813,35 @@ def shingle_containment(spark: SparkSession, sf_dir: str,
     100 TB the cap is mandatory (docs/SCALE.md). Default off = the
     oracle-exact textbook form; ``shingle_containment_capped`` is the
     gate entry with the cap engaged."""
+    # Same r14 restructure as dedup_ngram_jaccard: in the EXACT form
+    # |S(A)| is row-local off the per-doc distinct-hash array and rides
+    # the a-side index rows (1 extra int), so the sizes aggregation and
+    # the post-agg join disappear; the CAPPED form's sizes must count
+    # surviving shingles and keep the aggregate + join.
+    containment = floor4(F.col("n_common") / F.col("n"))
+    if max_df is None:
+        # array frame as the cache boundary (the _doc_shingles
+        # pushed-filter rule)
+        arr = _doc_shingle_arrays(spark, sf_dir).cache()
+        sh = arr.select("doc_id", F.size("hss").alias("n"),
+                        F.explode("hss").alias("hs"))
+        a = sh.select(F.col("doc_id").alias("doc_a"), "n", "hs")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "hs")
+        inter = (
+            a.join(b, "hs")
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .groupBy("doc_a", "doc_b", "n")
+            .agg(F.count("*").alias("n_common"))
+        )
+        return (
+            inter.withColumn("containment", containment)
+            .where(F.col("containment") >= CONTAINMENT_MIN)
+            .select("doc_a", "doc_b", "n_common", "containment")
+        )
     sh = _doc_shingles(spark, sf_dir)
-    if max_df is not None:
-        keep = (sh.groupBy("hs").agg(F.count("*").alias("df"))
-                .where(F.col("df") <= max_df).select("hs"))
-        sh = sh.join(keep, "hs")
-    sh = sh.cache()
+    keep = (sh.groupBy("hs").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df).select("hs"))
+    sh = sh.join(keep, "hs").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "hs")
     b = sh.select(F.col("doc_id").alias("doc_b"), "hs")
@@ -739,7 +851,6 @@ def shingle_containment(spark: SparkSession, sf_dir: str,
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
-    containment = floor4(F.col("n_common") / F.col("n"))
     return (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), "n"),
                    "doc_a")
@@ -1195,13 +1306,17 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def scrub_positions(spark: SparkSession, sf_dir: str, cuts: DataFrame,
-                    only: DataFrame | None = None) -> DataFrame:
+                    only: Column | None = None) -> DataFrame:
     """THE span-cut recompose stage — single-sourced for both cut
     consumers (``dedup_span_scrub`` over pair alignments;
     ``decontaminate_span_scrub`` over cross-split quotes), so the
     anti-join/recompose semantics cannot drift per caller. ``cuts`` is
     a (doc_id, pos) frame of token positions to remove; ``only``
-    optionally restricts the output to a (doc_id) subset (semi join).
+    optionally restricts the output to a doc subset — a ROW-LOCAL
+    filter Column over the base frame's ``doc_id`` (r14, guide §2.4:
+    the previous (doc_id)-frame semi-join shuffled the token arrays
+    against a second documents scan to apply a predicate md5(doc_id)
+    already decides; its one caller passes the split_name rule).
     Per surviving document: token count, tokens cut, cut fraction,
     and the scrubbed text recomposed deterministically
     (array_sort(collect_list(struct(pos, word))) — merge-order-proof;
@@ -1212,13 +1327,12 @@ def scrub_positions(spark: SparkSession, sf_dir: str, cuts: DataFrame,
     posexplode and the totals size()) AND the window machinery the
     same queries compose — one materialization serves all of them,
     replacing a per-call private persist that nothing ever released
-    (the ADVICE-r10 defect class). The ``only`` semi-join runs above
-    the cached frame; re-running that filter per branch is a pruned
-    doc_id-side scan, orders cheaper than the tokenize it used to
-    force."""
+    (the ADVICE-r10 defect class). The ``only`` filter runs above
+    the cached frame; re-running it per branch is a row-local
+    predicate, orders cheaper than the tokenize it used to force."""
     base = _token_arrays(spark, sf_dir)
     if only is not None:
-        base = base.join(only, "doc_id", "leftsemi")
+        base = base.where(only)
     toks = (base.select("doc_id", F.posexplode("toks"))
             .select("doc_id", (F.col("pos") + 1).cast("bigint").alias("pos"),
                     F.col("col").alias("word")))

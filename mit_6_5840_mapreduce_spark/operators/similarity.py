@@ -106,18 +106,24 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _with_norm(emb.where(F.col("vec_id") < N_CENTROIDS),
                        "centroid_id", "centroid", "cn")
     vecs = _with_norm(emb, "vec_id", "v", "vn")
-    scored = (
-        vecs.crossJoin(broadcast(cents))
-        .select("vec_id", "centroid_id",
-                floor4(_dot(F.col("v"), F.col("centroid"))
-                       / (F.col("vn") * F.col("cn"))).alias("cos_sim"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_sim"), F.asc("centroid_id"))
+    # row-local argmin over the broadcast centroid array (r14, guide
+    # §2.4 — the _cell_assign rewrite): no K-way explosion, no
+    # Exchange+Sort window. NOTE the old window ordered by the
+    # floor4-ROUNDED score; array_min over (-floor4(cs), centroid_id)
+    # reproduces that exact tiebreak.
+    carr = cents.agg(F.array_sort(F.collect_list(F.struct(
+        "centroid_id", "centroid", "cn"))).alias("cents"))
+    best = F.array_min(F.transform(
+        "cents",
+        lambda c: F.struct(
+            (-floor4(_dot(F.col("v"), c["centroid"])
+                     / (F.col("vn") * c["cn"]))).alias("ncs"),
+            c["centroid_id"].alias("centroid_id"))))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", "cos_sim")
+        vecs.crossJoin(broadcast(carr))
+        .select("vec_id", best.alias("b"))
+        .select("vec_id", F.col("b.centroid_id").alias("centroid_id"),
+                (-F.col("b.ncs")).alias("cos_sim"))
     )
 
 
@@ -125,20 +131,41 @@ N_PROBE = 3             # ivf_search: cells probed per query
 
 
 def _cell_assign(emb: DataFrame, cents: DataFrame, id_col: str,
-                 rank_col: str, n_cells: int) -> DataFrame:
+                 n_cells: int) -> DataFrame:
     """Nearest-n_cells centroid assignment (shared by build & probe sides
-    of ivf_search). cents must be the small broadcastable side."""
+    of ivf_search). cents must be the small broadcastable side.
+
+    ROW-LOCAL top-n (r14, guide §2.4): the K centroids ride along as ONE
+    broadcast array column, each vector scores all K in a per-row
+    transform and sorts the K-element (neg_cs, centroid_id) structs —
+    so the K-way row explosion AND the Exchange+Sort the old
+    row_number window paid are gone; the only non-projection work left
+    is the n_cells explode. Ordering is value-identical to the old
+    (cs DESC, centroid_id ASC) rank: double negation is exact (bit
+    inverse, -0.0 included, and Spark's total order on DOUBLE makes
+    asc(-cs) == desc(cs)), and the per-centroid cosine is the SAME
+    fold over the same operands — the centroid array is aggregated,
+    never recomputed."""
     vecs = _with_norm(emb, id_col, "v", "vn")
-    scored = (
-        vecs.crossJoin(broadcast(cents))
-        .select(id_col, "centroid_id",
-                (_dot(F.col("v"), F.col("centroid"))
-                 / (F.col("vn") * F.col("cn"))).alias("cs"))
+    # one row: all K centroids, deterministically ordered (array_sort
+    # on struct compares centroid_id first; ids are distinct). Order
+    # inside the array cannot affect results — the per-row sort below
+    # is total — but determinism keeps plans reproducible.
+    carr = cents.agg(F.array_sort(F.collect_list(F.struct(
+        "centroid_id", "centroid", "cn"))).alias("cents"))
+    sel = F.slice(
+        F.array_sort(F.transform(
+            "cents",
+            lambda c: F.struct(
+                (-(_dot(F.col("v"), c["centroid"])
+                   / (F.col("vn") * c["cn"]))).alias("ncs"),
+                c["centroid_id"].alias("centroid_id")))),
+        1, n_cells)
+    return (
+        vecs.crossJoin(broadcast(carr))
+        .select(id_col, F.explode(sel).alias("s"))
+        .select(id_col, F.col("s.centroid_id").alias("centroid_id"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("centroid_id"))
-    return (scored.withColumn(rank_col, F.row_number().over(w))
-            .where(F.col(rank_col) <= n_cells)
-            .select(id_col, "centroid_id"))
 
 
 def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,11 +183,10 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _with_norm(emb.where(F.col("vec_id") < N_CENTROIDS),
                        "centroid_id", "centroid", "cn")
     # build: every corpus vector -> its 1 nearest cell
-    corpus_cells = _cell_assign(emb, cents, "cand_id", "rn", 1)
+    corpus_cells = _cell_assign(emb, cents, "cand_id", 1)
     # probe: every query -> its N_PROBE nearest cells
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
-    query_cells = _cell_assign(queries, cents, "query_id", "probe_rank",
-                               N_PROBE)
+    query_cells = _cell_assign(queries, cents, "query_id", N_PROBE)
     cand_ids = (query_cells.join(corpus_cells, "centroid_id")
                 .where(F.col("cand_id") != F.col("query_id"))
                 .select("query_id", "cand_id").distinct())
@@ -268,23 +294,32 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
              for r in emb.where(F.col("vec_id") < N_CENTROIDS)
                          .orderBy("vec_id").collect()]
     prev_assign = None          # E-step whose means produced the model
+    def _nearest() -> Column:
+        # row-local argmax-cosine over the broadcast centroid array
+        # (r14, the _cell_assign rewrite): replaces the per-iteration
+        # crossJoin K-explosion + Exchange+Sort window. Same fold, same
+        # (cs DESC, centroid_id ASC) tiebreak via exact double negation.
+        return F.array_min(F.transform(
+            "cents",
+            lambda c: F.struct(
+                (-(_dot(F.col("embedding"), c["centroid"])
+                   / (F.col("vn") * c["cn"]))).alias("ncs"),
+                c["centroid_id"].alias("centroid_id"))))
+
+    def _carr(cent_df: DataFrame) -> DataFrame:
+        cn = cent_df.select("centroid_id", "centroid",
+                            _norm(F.col("centroid")).alias("cn"))
+        return cn.agg(F.array_sort(F.collect_list(F.struct(
+            "centroid_id", "centroid", "cn"))).alias("cents"))
+
     for it in range(KMEANS_ITERS):
         cent_df = spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
             "centroid_id INT, centroid ARRAY<DOUBLE>")
-        cn = cent_df.select("centroid_id", "centroid",
-                            _norm(F.col("centroid")).alias("cn"))
-        scored = (
-            vecs.crossJoin(broadcast(cn))
-            .select("vec_id", "embedding", "centroid_id",
-                    (_dot(F.col("embedding"), F.col("centroid"))
-                     / (F.col("vn") * F.col("cn"))).alias("cs"))
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("cs"), F.asc("centroid_id"))
-        assigned = (scored.withColumn("rn", F.row_number().over(w))
-                    .where(F.col("rn") == 1)
-                    .select("vec_id", "centroid_id", "embedding"))
+        assigned = (
+            vecs.crossJoin(broadcast(_carr(cent_df)))
+            .select("vec_id", _nearest()["centroid_id"]
+                    .alias("centroid_id"), "embedding"))
         if it == KMEANS_ITERS - 1:
             # materialize the FINAL E-step once: the means job below
             # and the prev_assign artifact write both read the
@@ -311,22 +346,14 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in means:
             new_cents[r.centroid_id] = r.centroid
         cents = new_cents
-    # final assignment under the trained centroids
+    # final assignment under the trained centroids (same row-local form)
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "centroid_id INT, centroid ARRAY<DOUBLE>")
-    cn = cent_df.select("centroid_id", "centroid",
-                        _norm(F.col("centroid")).alias("cn"))
-    scored = (
-        vecs.crossJoin(broadcast(cn))
-        .select("vec_id", "centroid_id",
-                (_dot(F.col("embedding"), F.col("centroid"))
-                 / (F.col("vn") * F.col("cn"))).alias("cs"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cs"), F.asc("centroid_id"))
-    assigned = (scored.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1))
+    assigned = (
+        vecs.crossJoin(broadcast(_carr(cent_df)))
+        .select("vec_id", _nearest()["centroid_id"]
+                .alias("centroid_id")))
     # materialize the validated-model artifacts for the DuckDB oracle:
     # centroids (+ a corpus-count nonce row at centroid_id = -1), the
     # penultimate E-step (mean-check provenance), the final E-step
@@ -1089,10 +1116,9 @@ def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _with_norm(emb.where(F.col("vec_id") < N_CENTROIDS),
                        "centroid_id", "centroid", "cn")
-    corpus_cells = _cell_assign(emb, cents, "cand_id", "rn", 1)
+    corpus_cells = _cell_assign(emb, cents, "cand_id", 1)
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
-    query_cells = _cell_assign(queries, cents, "query_id", "probe_rank",
-                               N_PROBE)
+    query_cells = _cell_assign(queries, cents, "query_id", N_PROBE)
     cand = (query_cells.join(corpus_cells, "centroid_id")
             .where(F.col("cand_id") != F.col("query_id"))
             .select("query_id", "cand_id").distinct())

@@ -237,11 +237,21 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ``sum(term_count) over (partition by doc_id)`` window re-derived
     # the same number through an extra Exchange+Sort after the tf
     # aggregation. max() over the group is a constant pick, no window.
+    # The explode child is a STRUCT-transform EXPRESSION on purpose:
+    # exploding a staged attribute lets InferFiltersFromGenerate add a
+    # size>0 filter that pushdown re-inlines as a second full tokenize
+    # per row at the scan (the _doc_shingles trap — measured +70% on
+    # the cosine sibling); an expensive generator child skips the
+    # inference, and size() on the staged array is a cheap per-element
+    # length read.
     staged = docs.select("doc_id",
                          tokenize(F.lower(F.col("text"))).alias("toks"))
-    toks = staged.select("doc_id",
-                         F.size("toks").cast("bigint").alias("doc_len"),
-                         F.explode("toks").alias("word"))
+    toks = (staged.select("doc_id", F.explode(F.transform(
+                "toks", lambda t: F.struct(
+                    t.alias("word"),
+                    F.size("toks").alias("dl")))).alias("s"))
+            .select("doc_id", F.col("s.word").alias("word"),
+                    F.col("s.dl").cast("bigint").alias("doc_len")))
     tf = (toks.groupBy("doc_id", "word")
           .agg(F.count("*").alias("term_count"),
                F.max("doc_len").alias("doc_len")))
@@ -295,14 +305,25 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation output, so it is the runtime stats that convert) —
     and stays a shuffle join when those stats outgrow the
     threshold."""
-    from pyspark.sql.window import Window
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id",
-                       F.explode(tokenize(F.lower(F.col("text"))))
-                       .alias("word"))
-    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
-    tf = tf.withColumn(
-        "doc_len", F.sum("cnt").over(Window.partitionBy("doc_id")))
+    # doc_len carried through the explode off the token array (r14 —
+    # the tfidf_top_terms rewrite applied to its sibling): the old
+    # ``sum(cnt) over (partition by doc_id)`` re-derived it through an
+    # extra Exchange+Sort after the tf aggregation; max() over the
+    # (doc_id, word) group is a constant pick. Struct-transform explode
+    # child for the same InferFiltersFromGenerate reason as
+    # tfidf_top_terms (a first cut that exploded the staged attribute
+    # measured +70% from the pushed re-tokenize filter).
+    staged = docs.select("doc_id",
+                         tokenize(F.lower(F.col("text"))).alias("toks"))
+    toks = (staged.select("doc_id", F.explode(F.transform(
+                "toks", lambda t: F.struct(
+                    t.alias("word"),
+                    F.size("toks").alias("dl")))).alias("s"))
+            .select("doc_id", F.col("s.word").alias("word"),
+                    F.col("s.dl").cast("bigint").alias("doc_len")))
+    tf = (toks.groupBy("doc_id", "word")
+          .agg(F.count("*").alias("cnt"), F.max("doc_len").alias("doc_len")))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     total = docs.agg(F.count("*").alias("n_docs"))
     # persist: the weight table feeds THREE consumers (norms + both
@@ -449,6 +470,20 @@ def split_bucket_sql() -> str:
             f"1, 8)) AS BIGINT) % {SPLIT_BUCKETS}")
 
 
+def split_name() -> Column:
+    """bucket -> named split, the ``doc_split`` rendering of THE
+    single-sourced rule — exposed (r14, guide §2.4) so consumers whose
+    frame already carries ``doc_id`` attach the split ROW-LOCALLY as a
+    projection instead of joining a second ``documents`` scan: at
+    100 TB that join shuffles the corpus to attach a string a hash of
+    the key already encodes (the ``split_bucket`` docstring's own
+    argument, previously applied only to quality's train gate)."""
+    bucket = split_bucket()
+    return (F.when(bucket < TRAIN_PCT, "train")
+            .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+            .otherwise("test"))
+
+
 def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test holdout assignment: md5-bucket of
     doc_id -> 80/10/10 (rule: ``split_bucket``). No RNG and no state,
@@ -457,12 +492,9 @@ def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a holdout (a seeded `sample()` changes with partition
     layout)."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = split_bucket()
     return docs.select(
-        "doc_id", bucket.alias("bucket"),
-        F.when(bucket < TRAIN_PCT, "train")
-         .when(bucket < TRAIN_PCT + VAL_PCT, "val")
-         .otherwise("test").alias("split"))
+        "doc_id", split_bucket().alias("bucket"),
+        split_name().alias("split"))
 
 
 # Per-language sampling targets in per-mille (upsample nothing, just
@@ -804,10 +836,13 @@ def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = _self.doc_quality(spark, sf_dir).where(
         F.col("quality_score") >= QUALITY_CUT)
     lang = _self.lang_id(spark, sf_dir).select("doc_id", "pred_lang")
-    split = _self.doc_split(spark, sf_dir).select("doc_id", "split")
+    # split attached row-locally (split_name, r14, guide §2.4): every
+    # surviving doc_id is from documents, so the old inner join against
+    # a fourth documents scan was a projection in disguise
     return (
         survivors.join(quality, "doc_id")
-        .join(lang, "doc_id").join(split, "doc_id")
+        .join(lang, "doc_id")
+        .withColumn("split", _self.split_name())
         .groupBy("split", "pred_lang")
         .agg(F.count("*").alias("n_docs"),
              F.sum("n_tokens").alias("total_tokens"),
