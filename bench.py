@@ -189,16 +189,33 @@ def time_query(spark, queries, name: str, sf_dir: str) -> float:
 
 def idle_rerun(spark, queries, sf_dir: str, chosen: dict) -> dict | None:
     """Re-time the chosen attempt's spiked queries after an extra idle
-    wait; None when the attempt is clean or nothing spiked (the medians
-    then speak for themselves)."""
-    if not chosen["contaminated"]:
-        return None
+    wait; None when nothing spiked, or when spikes carry no load
+    evidence (the medians then speak for themselves).
+
+    Fires on the contaminated stamp OR on ratio+load evidence alone
+    (ADVICE r13): with AFTER_LOADAVG recalibrated to the bench's own
+    14.x footprint, a genuine co-tenant burst in the 8-14 band leaves
+    the sweep UNSTAMPED — previously only the single-shot resample
+    sidecar covered that band, and r14's first sweep shipped exactly
+    that record (peak 12.0, ratio_max 2.04, no idle rerun). The load
+    gate is the resample sidecar's own (RESAMPLE_LOADAVG over
+    before/after/peak), so a spiked ratio on a genuinely quiet host —
+    a real regression — still adjudicates through the medians instead
+    of burning an idle wait."""
     ratio_thresh = float(os.environ.get(
         "SPARK_GRAFT_RESAMPLE_RATIO", RESAMPLE_RATIO))
     ratios = {**chosen["ratios"], **chosen.get("ratios_v2", {})}
     spiked = sorted(n for n, r in ratios.items() if r > ratio_thresh)
     if not spiked:
         return None
+    if not chosen["contaminated"]:
+        load_thresh = float(os.environ.get(
+            "SPARK_GRAFT_RESAMPLE_LOADAVG", RESAMPLE_LOADAVG))
+        load_evidence = max(chosen["load_before"][0],
+                            chosen["load_after"][0],
+                            chosen.get("load_peak") or 0.0)
+        if load_evidence <= load_thresh:
+            return None
     load = wait_for_idle(max_wait=float(os.environ.get(
         "SPARK_GRAFT_BENCH_IDLE_RERUN_WAIT_SEC", IDLE_RERUN_WAIT_SEC)))
     idle_thresh = float(os.environ.get(

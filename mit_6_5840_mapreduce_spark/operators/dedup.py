@@ -1333,6 +1333,12 @@ def scrub_positions(spark: SparkSession, sf_dir: str, cuts: DataFrame,
     base = _token_arrays(spark, sf_dir)
     if only is not None:
         base = base.where(only)
+    # Examined r14, deliberately left as-is: co-partitioning the
+    # anti-join and the regroup by doc_id alone (one token-scale
+    # exchange instead of two) is defeated by Spark's
+    # requireAllClusterKeysForCoPartition default — EnsureRequirements
+    # re-shuffles by (doc_id, pos) anyway and the subset repartition
+    # becomes pure overhead (verified in-plan this round).
     toks = (base.select("doc_id", F.posexplode("toks"))
             .select("doc_id", (F.col("pos") + 1).cast("bigint").alias("pos"),
                     F.col("col").alias("word")))

@@ -250,17 +250,42 @@ def test_pick_cleanest_prefers_first_uncontaminated():
 
 
 def test_idle_rerun_skips_clean_or_spikeless_attempts(monkeypatch):
-    """The embedded idle rerun (VERDICT r12 item 2) only runs when the
-    chosen attempt is BOTH contaminated and carrying spikes — a clean
-    record, or a dirty one whose ratios all sit under the resample
-    threshold, adjudicates itself through the medians."""
-    clean = {"contaminated": False, "ratios": {"mr_wc": 3.0},
-             "ratios_v2": {}}
-    assert bench.idle_rerun(None, {}, "", clean) is None
+    """The embedded idle rerun (VERDICT r12 item 2, widened per ADVICE
+    r13) runs when the chosen attempt carries spikes AND either the
+    contaminated stamp or load evidence at the resample gate — a
+    spikeless record (stamped or not), or a spiked one on a genuinely
+    quiet host (a real regression), adjudicates itself through the
+    medians."""
+    quiet_spiked = {"contaminated": False, "ratios": {"mr_wc": 3.0},
+                    "ratios_v2": {}, "load_before": (0.5, 0.5, 0.5),
+                    "load_after": (0.6, 0.5, 0.5), "load_peak": 1.0}
+    assert bench.idle_rerun(None, {}, "", quiet_spiked) is None
     dirty_no_spike = {"contaminated": True,
                       "ratios": {"mr_wc": 1.1},
                       "ratios_v2": {"bpe_train": 1.2}}
     assert bench.idle_rerun(None, {}, "", dirty_no_spike) is None
+
+
+def test_idle_rerun_fires_on_unstamped_spikes_with_load(spark, sf_dir,
+                                                        monkeypatch):
+    """ADVICE r13's blind spot: AFTER_LOADAVG now sits at the bench's
+    own footprint, so a co-tenant burst in the 8-14 band leaves the
+    sweep UNSTAMPED while still inflating ratios — the idle rerun must
+    fire on that (ratio spike + mid-sweep load evidence), not only on
+    the contaminated stamp."""
+    monkeypatch.setattr(bench, "wait_for_idle",
+                        lambda max_wait=None, poll=None: (0.5, 0.5, 0.5))
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.6, 0.5, 0.5))
+    unstamped_burst = {"contaminated": False,
+                       "ratios": {"mr_wc": 2.0},
+                       "ratios_v2": {},
+                       "load_before": (0.5, 0.5, 0.5),
+                       "load_after": (1.0, 0.8, 0.6),
+                       "load_peak": 12.0}
+    queries = {"mr_wc": (lambda s, d: s.range(3))}
+    out = bench.idle_rerun(spark, queries, sf_dir, unstamped_burst)
+    assert out is not None and sorted(out["timings"]) == ["mr_wc"]
+    assert out["idle"] is True
 
 
 def test_idle_rerun_retimes_spikes_and_reports_idleness(spark, sf_dir,

@@ -37,6 +37,19 @@ def main() -> int:
         return 2
     spark = get_spark("profile")
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    # co-tenant contention gate (the bench.py wait_for_idle protocol):
+    # with SPARK_GRAFT_PROFILE_IDLE set, wait for 1-min loadavg below
+    # the threshold before EACH timed run, so before/after comparisons
+    # aren't polluted by host bursts (this box swings 2x under them)
+    idle = float(os.environ.get("SPARK_GRAFT_PROFILE_IDLE", "0"))
+
+    def wait_idle() -> None:
+        if idle <= 0:
+            return
+        deadline = time.time() + float(os.environ.get(
+            "SPARK_GRAFT_PROFILE_IDLE_WAIT_SEC", "600"))
+        while os.getloadavg()[0] >= idle and time.time() < deadline:
+            time.sleep(5)
     # warm-up (bench protocol: JIT/codegen paid before measurement)
     queries["q4_order_priority"](spark, sf_dir).write.mode(
         "overwrite").format("noop").save()
@@ -50,6 +63,7 @@ def main() -> int:
         runs = []
         for _ in range(repeat):
             spark.catalog.clearCache()
+            wait_idle()
             spark.sparkContext.setJobDescription(f"profile:{name}")
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.mode("overwrite") \
