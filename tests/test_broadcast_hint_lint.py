@@ -31,7 +31,9 @@ ALLOWED_NAMES = {
     "total", "totals", "mm", "maxd", "bounds", "top", "thresh",
     # model-sized tables: centroids, codebooks, LUTs, quantile cuts,
     # per-source/per-lang rate dims, CMS sketch cells, Bloom bit set
+    # (carr = the r14 one-row collect_list'ed centroid array)
     "cents", "cn", "cb", "lut", "cuts", "rates", "sketch", "bits",
+    "carr",
     # broadcast query blocks (TOP_K queries, bounded by contract)
     "q",
     # constant literal dims (5-row value bands, stopword lexicon)
@@ -44,6 +46,10 @@ ALLOWED_NAMES = {
 # Allowed call-expression hints: f(...) forms whose result is bounded.
 ALLOWED_CALLS = {
     "_pq_codebook",     # K x subspaces codebook (model-sized)
+    # ONE-row frame: all N_CENTROIDS centroids collect_list'ed into a
+    # single array column (the r14 row-local assignment form) —
+    # model-sized at any corpus scale, same bound as "cents"
+    "_carr",
 }
 
 # _t(spark, sf_dir, "<table>") may be hinted only for fixed dims.
