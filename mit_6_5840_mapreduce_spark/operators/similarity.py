@@ -1046,18 +1046,26 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast join + per-row argmin), no shuffle of the vectors."""
     emb = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
     subs = _pq_subspaces(emb, "vec_id", "sub")
-    cb = _pq_codebook(spark, sf_dir)
-    scored = (
-        subs.join(broadcast(cb), "subspace")
-        .select("vec_id", "subspace", "code",
-                _sub_l2_fp(F.col("sub"), F.col("cb")).alias("d2_fp"))
-    )
-    w = Window.partitionBy("vec_id", "subspace").orderBy(
-        F.asc("d2_fp"), F.asc("code"))
+    # row-local argmin over the per-subspace codeword array (r14 — the
+    # _cell_assign rewrite applied to the encode step): the broadcast
+    # join attaches each subspace's PQ_K codewords as ONE array row, and
+    # array_min over (d2_fp, code) structs reproduces the old
+    # (d2_fp ASC, code ASC) row_number pick exactly (BIGINT distances,
+    # lexicographic struct order) — no K-way explosion, no
+    # Exchange+Sort window over n x PQ_M x PQ_K rows.
+    cba = (_pq_codebook(spark, sf_dir)
+           .groupBy("subspace")
+           .agg(F.array_sort(F.collect_list(F.struct("code", "cb")))
+                .alias("cbs")))
+    best = F.array_min(F.transform(
+        "cbs", lambda c: F.struct(
+            _sub_l2_fp(F.col("sub"), c["cb"]).alias("d2_fp"),
+            c["code"].alias("code"))))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "subspace", "code", "d2_fp")
+        subs.join(broadcast(cba), "subspace")
+        .select("vec_id", "subspace", best.alias("b"))
+        .select("vec_id", "subspace", F.col("b.code").alias("code"),
+                F.col("b.d2_fp").alias("d2_fp"))
     )
 
 

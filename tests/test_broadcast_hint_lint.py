@@ -31,9 +31,11 @@ ALLOWED_NAMES = {
     "total", "totals", "mm", "maxd", "bounds", "top", "thresh",
     # model-sized tables: centroids, codebooks, LUTs, quantile cuts,
     # per-source/per-lang rate dims, CMS sketch cells, Bloom bit set
-    # (carr = the r14 one-row collect_list'ed centroid array)
+    # (carr = the r14 one-row collect_list'ed centroid array; cba =
+    # the PQ codebook grouped to one codeword-array row per subspace —
+    # PQ_M rows, model-sized)
     "cents", "cn", "cb", "lut", "cuts", "rates", "sketch", "bits",
-    "carr",
+    "carr", "cba",
     # broadcast query blocks (TOP_K queries, bounded by contract)
     "q",
     # constant literal dims (5-row value bands, stopword lexicon)
