@@ -1323,43 +1323,65 @@ def scrub_positions(spark: SparkSession, sf_dir: str, cuts: DataFrame,
     the per-doc collect_list is the bounded-group class).
 
     The token arrays come from the SHARED memoized ``_token_arrays``
-    frame (r12): the tokenize scan feeds two branches here (the
-    posexplode and the totals size()) AND the window machinery the
-    same queries compose — one materialization serves all of them,
-    replacing a per-call private persist that nothing ever released
-    (the ADVICE-r10 defect class). The ``only`` filter runs above
-    the cached frame; re-running it per branch is a row-local
-    predicate, orders cheaper than the tokenize it used to force."""
+    frame (r12): the tokenize scan feeds the recompose AND the window
+    machinery the same queries compose — one materialization serves
+    all of them, replacing a per-call private persist that nothing
+    ever released (the ADVICE-r10 defect class). The ``only`` filter
+    runs above the cached frame; re-running it per branch is a
+    row-local predicate, orders cheaper than the tokenize it used to
+    force.
+
+    ROW-LOCAL recompose (r15, guide §2.4 — remove shuffles outright):
+    the cut-position anti-join used to posexplode every document into
+    (doc_id, pos, word) rows, anti-join them against ``cuts`` on
+    (doc_id, pos) and collect_list them back per doc — two
+    corpus-token-scale exchanges plus a token-row explosion, all to
+    apply a per-document position mask. Now ``cuts`` is grouped ONCE
+    into a per-doc position array (span-scale, orders smaller than the
+    token stream), joined to the token-array frame by doc_id, and the
+    mask is applied inside the row: kept positions =
+    ``array_except(sequence(1, n), cut_arr)`` (hash-set based — linear
+    in n + |cuts|, no quadratic contains-scan even on a fully
+    duplicated document), words picked by ``element_at``. Exchanges:
+    2 token-scale + 1 span-scale -> 1 doc-scale (the arrays join) +
+    1 span-scale; the collect_list regroup and the explode are gone
+    at any corpus size. (This also retires the r14 co-partitioning
+    note: the requireAllClusterKeysForCoPartition-blocked single-
+    exchange plan is moot once there is no token-row join at all.)
+    Values are identical by construction: the anti-join kept exactly
+    the tokens whose position was not in cuts, in position order
+    (array_sort on (pos, word) == sequence order), and a doc with
+    every token cut produced no kept rows -> n_kept 0, text "" —
+    array_except returns [] for the same case. Positions in ``cuts``
+    outside [1, n] never matched the anti-join and never appear in
+    sequence(1, n); duplicate cut positions collapse in array_except
+    exactly as they did in the anti-join."""
     base = _token_arrays(spark, sf_dir)
     if only is not None:
         base = base.where(only)
-    # Examined r14, deliberately left as-is: co-partitioning the
-    # anti-join and the regroup by doc_id alone (one token-scale
-    # exchange instead of two) is defeated by Spark's
-    # requireAllClusterKeysForCoPartition default — EnsureRequirements
-    # re-shuffles by (doc_id, pos) anyway and the subset repartition
-    # becomes pure overhead (verified in-plan this round).
-    toks = (base.select("doc_id", F.posexplode("toks"))
-            .select("doc_id", (F.col("pos") + 1).cast("bigint").alias("pos"),
-                    F.col("col").alias("word")))
-    kept = toks.join(cuts, ["doc_id", "pos"], "left_anti")
-    kept_agg = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.concat_ws(" ", F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "word"))),
-            lambda s: s.word)).alias("scrubbed_text"))
-    totals = base.select("doc_id", F.size("toks").cast("bigint")
-                         .alias("n_tokens"))
-    n_cut = F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
-    return (
-        totals.join(kept_agg, "doc_id", "left")
-        .select("doc_id", "n_tokens", n_cut.alias("n_cut"),
-                F.when(F.col("n_tokens") > 0,
-                       floor4(n_cut / F.col("n_tokens")))
-                .otherwise(F.lit(0.0)).alias("cut_frac"),
-                F.coalesce("scrubbed_text", F.lit(""))
-                .alias("scrubbed_text"))
+    cut_arrs = (cuts.groupBy("doc_id")
+                .agg(F.collect_list(F.col("pos").cast("int"))
+                     .alias("cut_arr")))
+    n = F.size("toks")
+    kept_pos = F.array_except(
+        F.when(n > 0, F.sequence(F.lit(1), n))
+        .otherwise(F.array().cast("array<int>")),
+        F.coalesce("cut_arr", F.array().cast("array<int>")))
+    staged = (
+        base.join(cut_arrs, "doc_id", "left")
+        .select("doc_id", "toks", n.cast("bigint").alias("n_tokens"),
+                kept_pos.alias("kept_pos"))
     )
+    n_kept = F.size("kept_pos").cast("bigint")
+    n_cut = F.col("n_tokens") - n_kept
+    return staged.select(
+        "doc_id", "n_tokens", n_cut.alias("n_cut"),
+        F.when(F.col("n_tokens") > 0,
+               floor4(n_cut / F.col("n_tokens")))
+        .otherwise(F.lit(0.0)).alias("cut_frac"),
+        F.concat_ws(" ", F.transform(
+            "kept_pos", lambda p: F.element_at("toks", p)))
+        .alias("scrubbed_text"))
 
 
 def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

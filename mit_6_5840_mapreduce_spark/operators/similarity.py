@@ -122,6 +122,11 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         vecs.crossJoin(broadcast(carr))
         .select("vec_id", best.alias("b"))
+        # empty-centroid guard (ADVICE r14): the grand agg always emits
+        # one row, so with zero centroids array_min over the empty
+        # transform is NULL — drop those rows to keep the old window
+        # form's (and the oracle's) empty output for that case
+        .where(F.col("b").isNotNull())
         .select("vec_id", F.col("b.centroid_id").alias("centroid_id"),
                 (-F.col("b.ncs")).alias("cos_sim"))
     )
@@ -143,9 +148,14 @@ def _cell_assign(emb: DataFrame, cents: DataFrame, id_col: str,
     is the n_cells explode. Ordering is value-identical to the old
     (cs DESC, centroid_id ASC) rank: double negation is exact (bit
     inverse, -0.0 included, and Spark's total order on DOUBLE makes
-    asc(-cs) == desc(cs)), and the per-centroid cosine is the SAME
-    fold over the same operands — the centroid array is aggregated,
-    never recomputed."""
+    asc(-cs) == desc(cs)) for every FINITE score, and the per-centroid
+    cosine is the SAME fold over the same operands — the centroid
+    array is aggregated, never recomputed. Non-finite caveat (ADVICE
+    r14, intentional): a NaN cosine (a zero-norm centroid's 0/0)
+    ranked FIRST under the old desc window (Spark orders NaN above
+    all doubles) but sorts LAST here — preferring a real centroid
+    over a NaN score is the better pick, and no gate corpus contains
+    a zero-norm vector (norms are checked by the recall audits)."""
     vecs = _with_norm(emb, id_col, "v", "vn")
     # one row: all K centroids, deterministically ordered (array_sort
     # on struct compares centroid_id first; ids are distinct). Order

@@ -249,6 +249,97 @@ def test_pick_cleanest_prefers_first_uncontaminated():
         [att(True, 1.2, 40.0), att(True, 1.2, 35.0)]) == 1
 
 
+def test_suspect_flags_unstamped_uniform_inflation(monkeypatch):
+    """The r15 blind-band fix: BENCH_r14 shipped UNSTAMPED (peak 9.77 <
+    AFTER_LOADAVG) with ratio_median 1.30 — every published median
+    carried co-tenant noise its own idle rerun then refuted. An
+    unstamped attempt whose worst block median exceeds
+    SUSPECT_RATIO_MEDIAN must be flagged suspect; a stamped one is
+    already handled by the contamination retry, and a genuinely clean
+    one must never be."""
+    assert bench.suspect({"contaminated": False, "ratio_median": 1.30,
+                          "ratio_median_v2": 0.99})
+    # v2-only inflation counts (worst-of-both-blocks)
+    assert bench.suspect({"contaminated": False, "ratio_median": 0.95,
+                          "ratio_median_v2": 1.25})
+    # clean attempt: not suspect
+    assert not bench.suspect({"contaminated": False, "ratio_median": 0.95,
+                              "ratio_median_v2": 1.05})
+    # stamped attempt: the stamp owns it, suspect stays False
+    assert not bench.suspect({"contaminated": True, "ratio_median": 2.0,
+                              "ratio_median_v2": 2.0})
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SUSPECT_RATIO_MEDIAN", "1.4")
+    assert not bench.suspect({"contaminated": False, "ratio_median": 1.30,
+                              "ratio_median_v2": 0.99})
+
+
+def test_pick_cleanest_skips_suspect_for_later_clean_attempt():
+    """A suspect attempt must lose to a later clean one (the retry loop
+    only retries past stamped/suspect attempts), and an all-suspect
+    trail falls back to the lowest worst-median."""
+    def att(contam, susp, ratio_median, total):
+        return {"contaminated": contam, "suspect": susp,
+                "ratio_median": ratio_median, "timings": {"q": total}}
+    assert bench.pick_cleanest(
+        [att(False, True, 1.3, 30.0), att(False, False, 0.95, 24.0)]) == 1
+    assert bench.pick_cleanest(
+        [att(False, True, 1.3, 30.0), att(False, True, 1.2, 28.0)]) == 1
+    # legacy attempt dicts without the suspect key behave as before
+    assert bench.pick_cleanest(
+        [{"contaminated": False, "ratio_median": 1.3,
+          "timings": {"q": 30.0}}]) == 0
+
+
+def test_adjudicate_published_substitutes_idle_wins_only():
+    """r15 measurement fix: the published per-query number is replaced
+    by the idle-rerun median ONLY when the rerun window was genuinely
+    idle AND read faster (external load can only inflate, so a faster
+    idle read proves the swept median was noise). Slower reruns,
+    non-idle windows, and absent reruns change nothing."""
+    timings = {"mr_wc": 2.0, "lang_id": 0.5}
+    v2 = {"bpe_train": 9.0}
+    rerun = {"idle": True,
+             "timings": {"mr_wc": 0.7, "lang_id": 0.9, "bpe_train": 3.1}}
+    out = bench.adjudicate_published(timings, v2, rerun)
+    assert out == ["bpe_train", "mr_wc"]
+    assert timings == {"mr_wc": 0.7, "lang_id": 0.5}   # slower rerun kept out
+    assert v2 == {"bpe_train": 3.1}
+    # non-idle rerun window: numbers still suspect, nothing substituted
+    t2 = {"mr_wc": 2.0}
+    assert bench.adjudicate_published(
+        t2, {}, {"idle": False, "timings": {"mr_wc": 0.7}}) == []
+    assert t2 == {"mr_wc": 2.0}
+    # no rerun at all
+    assert bench.adjudicate_published(t2, {}, None) == []
+
+
+def test_idle_rerun_uses_median_of_repeat(spark, sf_dir, monkeypatch):
+    """Published-capable rerun numbers must follow the sweep's own
+    median-of-repeat protocol (r15): repeat=3 times the query 3x."""
+    monkeypatch.setattr(bench, "wait_for_idle",
+                        lambda max_wait=None, poll=None: (0.5, 0.5, 0.5))
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.6, 0.5, 0.5))
+    calls = []
+    monkeypatch.setattr(
+        bench, "time_query",
+        lambda s, q, name, d: (calls.append(name), 0.1)[1])
+    chosen = {"contaminated": True, "ratios": {"mr_wc": 3.4},
+              "ratios_v2": {}}
+    out = bench.idle_rerun(spark, {"mr_wc": None}, sf_dir, chosen,
+                           repeat=3)
+    assert calls == ["mr_wc"] * 3
+    assert out["timings"] == {"mr_wc": 0.1}
+
+
+def test_idle_rerun_tolerates_legacy_records_without_load_fields():
+    """ADVICE r14: an unstamped attempt dict missing load_before/
+    load_after (a replayed legacy record) must degrade to stamped-only
+    gating, not raise KeyError."""
+    legacy = {"contaminated": False, "ratios": {"mr_wc": 3.0},
+              "ratios_v2": {}}
+    assert bench.idle_rerun(None, {}, "", legacy) is None
+
+
 def test_idle_rerun_skips_clean_or_spikeless_attempts(monkeypatch):
     """The embedded idle rerun (VERDICT r12 item 2, widened per ADVICE
     r13) runs when the chosen attempt carries spikes AND either the
