@@ -632,12 +632,24 @@ def dedup_groups(spark: SparkSession, sf_dir: str,
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     labels = cc_labels(spark, pairs, "doc_a", "doc_b") \
         .withColumnRenamed("node_id", "doc_id")
-    w = Window.partitionBy("group_id")
+    # Group sizes from the LABEL VECTOR alone (r15, guide §2.4 — the
+    # corpus-scale `count(*) over (partition by group_id)` window paid
+    # a full-corpus Exchange+Sort for counts the tiny pair-subgraph
+    # frame already determines): every member of a non-singleton group
+    # is a pair-graph node (so its row is IN labels), a singleton's
+    # group_id is its own doc_id which can never collide with a
+    # component label (labels are member node ids; doc_ids are unique),
+    # so per-label counts over `labels` ARE the group sizes and every
+    # unlabeled doc has size exactly 1. Values identical; the window's
+    # corpus-wide shuffle+sort is gone at any scale.
+    sizes = labels.groupBy("label").agg(F.count("*").alias("gsz"))
+    lab_sized = labels.join(sizes, "label")
     return (
-        docs.join(labels, "doc_id", "left")
+        docs.join(lab_sized, "doc_id", "left")
         .select("doc_id",
-                F.coalesce("label", "doc_id").alias("group_id"))
-        .withColumn("group_size", F.count("*").over(w))
+                F.coalesce("label", "doc_id").alias("group_id"),
+                F.coalesce("gsz", F.lit(1).cast("bigint"))
+                .alias("group_size"))
     )
 
 
